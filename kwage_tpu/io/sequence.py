@@ -1,0 +1,107 @@
+"""FASTA/FASTQ sequence reader (plain or gzip), matching parse_sequence.cpp.
+
+File type is detected from the extension (.fna/.fa/.fasta[.gz] -> FASTA,
+.fastq[.gz] -> FASTQ, parse_sequence.cpp:13-26). Deflines are returned with
+the leading '>'/'@' and leading whitespace stripped; sequence characters are
+upper-cased and whitespace is removed.
+"""
+
+from __future__ import annotations
+
+import gzip
+from typing import Iterator, TextIO
+
+FASTA = 0
+FASTQ = 1
+UNKNOWN_SEQUENCE = 2
+
+_FASTA_EXTS = (".fna", ".fna.gz", ".fa", ".fa.gz", ".fasta", ".fasta.gz")
+_FASTQ_EXTS = (".fastq", ".fastq.gz", ".fq", ".fq.gz")
+
+
+def get_file_type(filename: str) -> int:
+    lower = filename.lower()
+    if any(lower.endswith(e) for e in _FASTA_EXTS):
+        return FASTA
+    if any(lower.endswith(e) for e in _FASTQ_EXTS):
+        return FASTQ
+    return UNKNOWN_SEQUENCE
+
+
+def _open_text(filename: str) -> TextIO:
+    if filename.endswith(".gz"):
+        return gzip.open(filename, "rt")
+    return open(filename, "rt")
+
+
+def _iter_fasta(f: TextIO) -> Iterator[tuple[str, str]]:
+    defline = ""
+    chunks: list[str] = []
+    for line in f:
+        if ">" in line:
+            if chunks:
+                yield defline, "".join(chunks)
+                chunks = []
+            defline = line.strip().lstrip(">").lstrip()
+        else:
+            chunks.append("".join(line.split()).upper())
+    if chunks:
+        yield defline, "".join(chunks)
+
+
+def _iter_fastq(f: TextIO) -> Iterator[tuple[str, str]]:
+    while True:
+        header = f.readline()
+        if not header:
+            return
+        defline = header.strip().lstrip("@").lstrip()
+        seq = f.readline()
+        if not seq:
+            raise ValueError("truncated FASTQ record: missing sequence")
+        plus = f.readline()
+        if not plus:
+            raise ValueError("truncated FASTQ record: missing '+'")
+        qual = f.readline()
+        if not qual:
+            raise ValueError("truncated FASTQ record: missing quality")
+        seq = "".join(seq.split()).upper()
+        if seq:
+            yield defline, seq
+
+
+def iter_sequences(filename: str) -> Iterator[tuple[str, str]]:
+    """Yield (defline, sequence) records from a FASTA/FASTQ(.gz) file."""
+    ftype = get_file_type(filename)
+    if ftype == UNKNOWN_SEQUENCE:
+        raise ValueError(f"unknown sequence file type: {filename}")
+    with _open_text(filename) as f:
+        it = _iter_fasta(f) if ftype == FASTA else _iter_fastq(f)
+        yield from it
+
+
+class SequenceIterator:
+    """Stateful iterator mirroring the reference SequenceIterator API."""
+
+    def __init__(self, filename: str):
+        self._gen = iter_sequences(filename)
+        self._cur: tuple[str, str] | None = None
+        self._advance()
+
+    def _advance(self) -> None:
+        self._cur = next(self._gen, None)
+
+    def __bool__(self) -> bool:
+        return self._cur is not None
+
+    def advance(self) -> None:
+        self._advance()
+
+    @property
+    def seq(self) -> str:
+        assert self._cur is not None
+        return self._cur[1]
+
+    @property
+    def info(self) -> str:
+        assert self._cur is not None
+        return self._cur[0]
