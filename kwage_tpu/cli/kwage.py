@@ -1,0 +1,150 @@
+"""kwage: search bit-sliced Bloom filter databases with DNA queries.
+
+CLI and output are drop-in compatible with the reference ``kwage`` tool
+(kwage.cpp:37-336): same flags, same JSON/CSV bytes for the same inputs.
+"""
+
+from __future__ import annotations
+
+import getopt
+import os
+import sys
+import time
+
+from .. import KWAGE_VERSION
+from ..core.params import DEFAULT_SEARCH_THRESHOLD
+from ..io.sequence import get_file_type, UNKNOWN_SEQUENCE, iter_sequences
+from ..search.engine import search_database_files
+from ..search.output import render_csv, render_json
+
+OUTPUT_CSV = 0
+OUTPUT_JSON = 1
+
+
+def find_db_files(paths: list[str]) -> list[str]:
+    """Recursive .db discovery under -d paths (options.cpp:130-139).
+
+    Directory traversal is sorted for determinism (the reference uses
+    readdir order, which is filesystem dependent).
+    """
+    out: list[str] = []
+    for p in paths:
+        if os.path.isfile(p):
+            if p.endswith(".db"):
+                out.append(p)
+        elif os.path.isdir(p):
+            for root, dirs, files in os.walk(p):
+                dirs.sort()
+                for name in sorted(files):
+                    if name.endswith(".db"):
+                        out.append(os.path.join(root, name))
+    return out
+
+
+def usage(out=sys.stderr) -> None:
+    print(f"Usage for KWAGE (v. {KWAGE_VERSION}):", file=out)
+    print("\t[-o <output file>] (default is stdout)", file=out)
+    print("\t[--o.csv (output CSV) | --o.json (output JSON)]", file=out)
+    print(f"\t[-t <search threshold>] (default is {DEFAULT_SEARCH_THRESHOLD:g})", file=out)
+    print("\t-d <database search path> (can be repeated)", file=out)
+    print("\t[-i <input sequence file>] (can be repeated)", file=out)
+    print("\t[<DNA sequence>] (can be repeated)", file=out)
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    t0 = time.time()
+
+    output_file = ""
+    output_format = OUTPUT_JSON
+    threshold = DEFAULT_SEARCH_THRESHOLD
+    db_paths: list[str] = []
+    query_files: list[str] = []
+
+    try:
+        opts, args = getopt.gnu_getopt(argv, "o:d:i:t:h?", ["o.csv", "o.json"])
+    except getopt.GetoptError as e:
+        print(e, file=sys.stderr)
+        usage()
+        return 1
+
+    if not argv:
+        usage()
+        return 0
+
+    for flag, val in opts:
+        if flag == "-o":
+            output_file = val
+        elif flag == "-d":
+            db_paths.append(val)
+        elif flag == "-i":
+            query_files.append(val)
+        elif flag == "-t":
+            threshold = float(val)
+        elif flag in ("-h", "-?"):
+            usage()
+            return 0
+        elif flag == "--o.csv":
+            output_format = OUTPUT_CSV
+        elif flag == "--o.json":
+            output_format = OUTPUT_JSON
+
+    query_seqs = list(args)
+
+    subject_files = find_db_files(db_paths)
+    if not subject_files:
+        print("Please provide at least one database file to search (-d)", file=sys.stderr)
+        return 1
+    if not query_files and not query_seqs:
+        print("Please provide at least one query sequence or file", file=sys.stderr)
+        return 1
+    for qf in query_files:
+        if get_file_type(qf) == UNKNOWN_SEQUENCE:
+            print(
+                f"The query sequence file name, {qf}, does not have an allowed file extension",
+                file=sys.stderr,
+            )
+            return 1
+    if threshold <= 0.0 or threshold > 1.0:
+        print("Please provide: 0.0 < search threshold <= 1.0", file=sys.stderr)
+        return 1
+
+    # Query ids: command-line sequences and file-based sequences live in
+    # separate id spaces (kwage.cpp:116-148); command-line matches print
+    # first, each sorted by id.
+    cmd_queries = [(i, s) for i, s in enumerate(query_seqs)]
+    file_queries: list[tuple[int, str]] = []
+    file_deflines: dict[int, str] = {}
+    qid = 0
+    for qf in query_files:
+        for defline, seq in iter_sequences(qf):
+            file_queries.append((qid, seq))
+            file_deflines[qid] = defline
+            qid += 1
+
+    cmd_results = search_database_files(subject_files, cmd_queries, threshold)
+    file_results = search_database_files(subject_files, file_queries, threshold)
+
+    ordered: list[tuple[str, list]] = []
+    for i in sorted(cmd_results):
+        ordered.append((f"command line seq {i}", cmd_results[i]))
+    for i in sorted(file_results):
+        ordered.append((file_deflines[i], file_results[i]))
+
+    if output_format == OUTPUT_CSV:
+        text = render_csv(ordered)
+    else:
+        text = render_json(ordered, threshold)
+
+    if output_file:
+        with open(output_file, "w") as f:
+            f.write(text)
+    else:
+        sys.stdout.write(text)
+
+    print(f"Search complete in {int(time.time() - t0)} sec", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

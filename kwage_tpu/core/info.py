@@ -43,7 +43,9 @@ class FilterInfo:
         return self.number_of_bases
 
     def csv_string(self) -> str:
-        return accession_to_str(self.run_accession) if self.run_accession != INVALID_ACCESSION else ""
+        # The reference renders the accession unconditionally, even when
+        # invalid (bloom.cpp:124-127: INVALID_ACCESSION prints as "AAA0").
+        return accession_to_str(self.run_accession)
 
     def json_string(self, prefix: str) -> str:
         parts: list[str] = []

@@ -1,0 +1,177 @@
+"""Native host library loader (ctypes) with a pure-Python fallback.
+
+The C++ library implements the ingest hot path (the reference's worker-side
+count_words loop, make_bloom.cpp:506-621): canonical k-mer extraction,
+multi-seed murmur3-32, and counting-Bloom thresholding. It is compiled on
+first use with the local toolchain and cached next to the source.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "kwage_native.cpp")
+_LOCK = threading.Lock()
+_LIB = None
+_LIB_ERR: Exception | None = None
+
+
+def _source_tag() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:16]
+
+
+def _build() -> str:
+    tag = _source_tag()
+    so_path = os.path.join(_DIR, f"libkwage_native_{tag}.so")
+    if os.path.exists(so_path):
+        return so_path
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-o", so_path + ".tmp", _SRC,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.rename(so_path + ".tmp", so_path)
+    return so_path
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u32, u64 = ctypes.c_uint32, ctypes.c_uint64
+    lib.kn_new.restype = ctypes.c_void_p
+    lib.kn_new.argtypes = [u32, u32, u32, u32]
+    lib.kn_free.argtypes = [ctypes.c_void_p]
+    lib.kn_num_valid_kmer.restype = u64
+    lib.kn_num_valid_kmer.argtypes = [ctypes.c_void_p]
+    lib.kn_num_bp.restype = u64
+    lib.kn_num_bp.argtypes = [ctypes.c_void_p]
+    lib.kn_add_seq.argtypes = [ctypes.c_void_p, ctypes.c_char_p, u64]
+    lib.kn_fold.argtypes = [ctypes.c_void_p, u32, u32, u8p]
+    lib.kn_canonical_kmers.restype = u64
+    lib.kn_canonical_kmers.argtypes = [
+        ctypes.c_char_p, u64, u32, ctypes.POINTER(ctypes.c_uint64)]
+    lib.kn_murmur32.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), u64, u32, u32,
+        ctypes.POINTER(ctypes.c_uint32)]
+    return lib
+
+
+def get_lib() -> ctypes.CDLL | None:
+    """The native library, or None if the toolchain is unavailable."""
+    global _LIB, _LIB_ERR
+    if _LIB is not None or _LIB_ERR is not None:
+        return _LIB
+    with _LOCK:
+        if _LIB is None and _LIB_ERR is None:
+            try:
+                _LIB = _bind(ctypes.CDLL(_build()))
+            except Exception as e:  # pragma: no cover - toolchain missing
+                _LIB_ERR = e
+    return _LIB
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+class CountingBuilder:
+    """Per-accession counting-Bloom thresholding (native-backed).
+
+    Reproduces the reference worker kernel exactly: two 4-bit counting
+    sub-filters (seeds 0,1 and 2,3) with conservative update; a k-mer
+    occurrence that lifts the minimum cell count to ``min_count`` sets its
+    five hash bits in planes of length 2**max_log2_filter_len, later folded
+    down to the solved filter length.
+    """
+
+    def __init__(self, k: int, min_count: int, log2_count_len: int,
+                 max_log2_filter_len: int):
+        lib = get_lib()
+        if lib is None:
+            from .fallback import PyCountingBuilder
+            self._impl = PyCountingBuilder(
+                k, min_count, log2_count_len, max_log2_filter_len)
+            self._ptr = None
+        else:
+            self._lib = lib
+            self._ptr = lib.kn_new(k, min_count, log2_count_len, max_log2_filter_len)
+            if not self._ptr:
+                raise ValueError("invalid CountingBuilder parameters")
+            self._impl = None
+
+    def add_sequence(self, seq: str | bytes) -> None:
+        if self._ptr is None:
+            self._impl.add_sequence(seq)
+            return
+        if isinstance(seq, str):
+            seq = seq.encode("ascii")
+        self._lib.kn_add_seq(self._ptr, seq, len(seq))
+
+    @property
+    def num_valid_kmer(self) -> int:
+        if self._ptr is None:
+            return self._impl.num_valid_kmer
+        return int(self._lib.kn_num_valid_kmer(self._ptr))
+
+    @property
+    def num_bp(self) -> int:
+        if self._ptr is None:
+            return self._impl.num_bp
+        return int(self._lib.kn_num_bp(self._ptr))
+
+    def fold(self, log2_filter_len: int, num_hash: int) -> np.ndarray:
+        """Final filter bytes (2**L / 8, LSB-first bit packing)."""
+        if self._ptr is None:
+            return self._impl.fold(log2_filter_len, num_hash)
+        out = np.zeros((1 << log2_filter_len) // 8, dtype=np.uint8)
+        self._lib.kn_fold(
+            self._ptr, log2_filter_len, num_hash,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return out
+
+    def close(self) -> None:
+        if self._ptr is not None:
+            self._lib.kn_free(self._ptr)
+            self._ptr = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def canonical_kmers_native(seq: str | bytes, k: int) -> np.ndarray:
+    """Canonical k-mer words via the native library (numpy fallback otherwise)."""
+    lib = get_lib()
+    if lib is None:
+        from ..core.words import canonical_kmers
+        return canonical_kmers(seq, k)
+    if isinstance(seq, str):
+        seq = seq.encode("ascii")
+    n_max = max(0, len(seq) - k + 1)
+    out = np.empty(n_max, dtype=np.uint64)
+    n = lib.kn_canonical_kmers(
+        seq, len(seq), k, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    return out[:n]
+
+
+def murmur32_native(words: np.ndarray, k: int, num_seeds: int) -> np.ndarray:
+    lib = get_lib()
+    words = np.ascontiguousarray(words, dtype=np.uint64)
+    if lib is None:
+        from ..core.hash import murmur32_words
+        return murmur32_words(words, k, num_seeds)
+    out = np.empty((words.shape[0], num_seeds), dtype=np.uint32)
+    lib.kn_murmur32(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        words.shape[0], k, num_seeds,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return out

@@ -1,0 +1,260 @@
+// kwage_tpu native host library.
+//
+// The ingest hot path of the engine: canonical k-mer rolling windows,
+// multi-seed murmur3-32, and the two-plane 4-bit counting-Bloom
+// thresholding with conservative update. Semantics follow the reference
+// engine (word.h:73-168, hash.cpp:239-332, make_bloom.cpp:506-621) so that
+// filters built here are bit-identical to the reference given the same
+// sequence stream; the implementation is original.
+//
+// Built as a shared library and bound via ctypes (see __init__.py).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+
+namespace {
+
+constexpr uint32_t kMaxPlanes = 5;   // MAX_NUM_HASH planes of valid bits
+constexpr uint32_t kNumCountHash = 4;  // seeds 0,1 -> plane A; 2,3 -> plane B
+constexpr uint32_t kMaxCount = 15;   // 4-bit saturating counters
+
+constexpr uint32_t kC1 = 0xcc9e2d51u;
+constexpr uint32_t kC2 = 0x1b873593u;
+
+inline uint32_t rotl32(uint32_t x, int r) { return (x << r) | (x >> (32 - r)); }
+
+inline uint32_t fmix32(uint32_t h) {
+  h ^= h >> 16;
+  h *= 0x85ebca6bu;
+  h ^= h >> 13;
+  h *= 0xc2b2ae35u;
+  h ^= h >> 16;
+  return h;
+}
+
+// Murmur3-32 of the decoded ASCII k-mer for seeds 0..num_seeds-1.
+// The per-block mixing of the message is seed independent, so each block
+// constant is computed once and folded into all seed lanes.
+inline void murmur_kmer(uint64_t word, uint32_t k, uint32_t num_seeds,
+                        uint32_t* out) {
+  static const uint32_t kAscii[4] = {65u, 67u, 71u, 84u};  // "ACGT"
+  uint32_t h[8];
+  for (uint32_t s = 0; s < num_seeds; ++s) h[s] = s;
+
+  const uint32_t nblocks = k / 4;
+  const uint32_t tail = k & 3;
+
+  for (uint32_t blk = 0; blk < nblocks; ++blk) {
+    uint32_t k1 = 0;
+    for (uint32_t byte = 0; byte < 4; ++byte) {
+      const uint32_t i = blk * 4 + byte;
+      const uint32_t code =
+          static_cast<uint32_t>(word >> (2 * (k - 1 - i))) & 3u;
+      k1 |= kAscii[code] << (8 * byte);
+    }
+    k1 *= kC1;
+    k1 = rotl32(k1, 15);
+    k1 *= kC2;
+    for (uint32_t s = 0; s < num_seeds; ++s) {
+      h[s] ^= k1;
+      h[s] = rotl32(h[s], 13);
+      h[s] = h[s] * 5u + 0xe6546b64u;
+    }
+  }
+  if (tail) {
+    uint32_t k1 = 0;
+    for (uint32_t t = 0; t < tail; ++t) {
+      const uint32_t i = nblocks * 4 + t;
+      const uint32_t code =
+          static_cast<uint32_t>(word >> (2 * (k - 1 - i))) & 3u;
+      k1 ^= kAscii[code] << (8 * t);
+    }
+    k1 *= kC1;
+    k1 = rotl32(k1, 15);
+    k1 *= kC2;
+    for (uint32_t s = 0; s < num_seeds; ++s) h[s] ^= k1;
+  }
+  for (uint32_t s = 0; s < num_seeds; ++s) out[s] = fmix32(h[s] ^ k);
+}
+
+inline int base_code(char c) {
+  switch (c) {
+    case 'A': case 'a': return 0;
+    case 'C': case 'c': return 1;
+    case 'G': case 'g': return 2;
+    case 'T': case 't': return 3;
+    default: return -1;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Counting builder: one per accession under construction.
+// ---------------------------------------------------------------------------
+
+struct KnBuilder {
+  uint32_t k;
+  uint32_t min_count;
+  uint64_t count_mask;   // 2**log2_count_len - 1
+  uint64_t seq_mask;     // 2**max_log2_filter_len - 1
+  uint64_t plane_bytes;  // 2**max_log2_filter_len / 8
+  uint64_t num_valid_kmer;
+  uint64_t num_bp;
+  uint8_t* cells;        // low nibble: plane A count, high nibble: plane B
+  uint8_t* planes[kMaxPlanes];
+};
+
+KnBuilder* kn_new(uint32_t k, uint32_t min_count, uint32_t log2_count_len,
+                  uint32_t max_log2_filter_len) {
+  if (k < 1 || k > 32 || min_count < 1 || min_count > kMaxCount ||
+      log2_count_len > 32 || max_log2_filter_len > 32 ||
+      max_log2_filter_len < 3) {
+    return nullptr;
+  }
+  KnBuilder* b = new KnBuilder();
+  b->k = k;
+  b->min_count = min_count;
+  b->count_mask = (1ull << log2_count_len) - 1;
+  b->seq_mask =
+      (max_log2_filter_len == 32) ? 0xffffffffull
+                                  : (1ull << max_log2_filter_len) - 1;
+  b->plane_bytes = (1ull << max_log2_filter_len) / 8;
+  b->num_valid_kmer = 0;
+  b->num_bp = 0;
+  b->cells = static_cast<uint8_t*>(calloc(1ull << log2_count_len, 1));
+  for (uint32_t h = 0; h < kMaxPlanes; ++h) {
+    b->planes[h] = static_cast<uint8_t*>(calloc(b->plane_bytes, 1));
+  }
+  return b;
+}
+
+void kn_free(KnBuilder* b) {
+  if (!b) return;
+  free(b->cells);
+  for (uint32_t h = 0; h < kMaxPlanes; ++h) free(b->planes[h]);
+  delete b;
+}
+
+uint64_t kn_num_valid_kmer(const KnBuilder* b) { return b->num_valid_kmer; }
+uint64_t kn_num_bp(const KnBuilder* b) { return b->num_bp; }
+
+// Digest one sequence: rolling duplex window, canonical word, counting
+// update, and threshold-crossing bit sets in all five planes.
+void kn_add_seq(KnBuilder* b, const char* seq, uint64_t len) {
+  const uint32_t k = b->k;
+  b->num_bp += len;
+  if (len < k) return;
+
+  const uint64_t mask = (k == 32) ? ~0ull : (1ull << (2 * k)) - 1;
+  const int comp_shift = 2 * (k - 1);
+  uint64_t w = 0, cw = 0;
+  uint32_t run = 0;
+  uint32_t hashes[8];
+
+  for (uint64_t i = 0; i < len; ++i) {
+    const int code = base_code(seq[i]);
+    if (code < 0) {
+      run = 0;
+      continue;
+    }
+    ++run;
+    w = (w << 2) | static_cast<uint64_t>(code);
+    cw = (cw >> 2) | (static_cast<uint64_t>(3 - code) << comp_shift);
+    if (run < k) continue;
+
+    const uint64_t sense = w & mask;
+    const uint64_t anti = cw & mask;
+    const uint64_t canon = sense < anti ? sense : anti;
+
+    murmur_kmer(canon, k, kMaxPlanes, hashes);
+
+    uint8_t* c0 = b->cells + (hashes[0] & b->count_mask);
+    uint8_t* c1 = b->cells + (hashes[1] & b->count_mask);
+    uint8_t* c2 = b->cells + (hashes[2] & b->count_mask);
+    uint8_t* c3 = b->cells + (hashes[3] & b->count_mask);
+    const uint8_t v0 = *c0 & 0x0f;
+    const uint8_t v1 = *c1 & 0x0f;
+    const uint8_t v2 = *c2 >> 4;
+    const uint8_t v3 = *c3 >> 4;
+    const uint8_t mn = std::min(std::min(v0, v1), std::min(v2, v3));
+
+    if (mn < b->min_count) {
+      if (mn == b->min_count - 1) {
+        ++b->num_valid_kmer;
+        for (uint32_t h = 0; h < kMaxPlanes; ++h) {
+          const uint64_t bit = hashes[h] & b->seq_mask;
+          b->planes[h][bit >> 3] |= static_cast<uint8_t>(1u << (bit & 7));
+        }
+      }
+      // Conservative update: only the minimum-count cells advance. True
+      // in-place increments (not stale-value writes) so aliased cells --
+      // two seeds hashing to the same index -- advance twice, with 4-bit
+      // wraparound, exactly like the reference's bitfield ++.
+      if (v0 == mn) *c0 = static_cast<uint8_t>((*c0 & 0xf0) | (((*c0 & 0x0f) + 1) & 0x0f));
+      if (v1 == mn) *c1 = static_cast<uint8_t>((*c1 & 0xf0) | (((*c1 & 0x0f) + 1) & 0x0f));
+      if (v2 == mn) *c2 = static_cast<uint8_t>((*c2 & 0x0f) | ((((*c2 >> 4) + 1) & 0x0f) << 4));
+      if (v3 == mn) *c3 = static_cast<uint8_t>((*c3 & 0x0f) | ((((*c3 >> 4) + 1) & 0x0f) << 4));
+    }
+  }
+}
+
+// Fold the first num_hash planes (length 2**maxL) into a 2**L filter with
+// byte-wise OR at stride (make_bloom.cpp:337-354 equivalent).
+void kn_fold(const KnBuilder* b, uint32_t log2_filter_len, uint32_t num_hash,
+             uint8_t* out) {
+  const uint64_t dst_bytes = (1ull << log2_filter_len) / 8;
+  memset(out, 0, dst_bytes);
+  for (uint32_t h = 0; h < num_hash && h < kMaxPlanes; ++h) {
+    const uint8_t* src = b->planes[h];
+    for (uint64_t i = 0; i < b->plane_bytes; i += dst_bytes) {
+      for (uint64_t j = 0; j < dst_bytes; ++j) out[j] |= src[i + j];
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Stateless helpers for the query path and device-kernel cross-checks.
+// ---------------------------------------------------------------------------
+
+// Extract canonical k-mer words in sequence order; returns the count.
+// `out` must have room for len - k + 1 words.
+uint64_t kn_canonical_kmers(const char* seq, uint64_t len, uint32_t k,
+                            uint64_t* out) {
+  if (len < k) return 0;
+  const uint64_t mask = (k == 32) ? ~0ull : (1ull << (2 * k)) - 1;
+  const int comp_shift = 2 * (k - 1);
+  uint64_t w = 0, cw = 0;
+  uint32_t run = 0;
+  uint64_t n = 0;
+  for (uint64_t i = 0; i < len; ++i) {
+    const int code = base_code(seq[i]);
+    if (code < 0) {
+      run = 0;
+      continue;
+    }
+    ++run;
+    w = (w << 2) | static_cast<uint64_t>(code);
+    cw = (cw >> 2) | (static_cast<uint64_t>(3 - code) << comp_shift);
+    if (run >= k) {
+      const uint64_t sense = w & mask;
+      const uint64_t anti = cw & mask;
+      out[n++] = sense < anti ? sense : anti;
+    }
+  }
+  return n;
+}
+
+// Multi-seed murmur for a batch of k-mer words: out[n][num_seeds].
+void kn_murmur32(const uint64_t* words, uint64_t n, uint32_t k,
+                 uint32_t num_seeds, uint32_t* out) {
+  for (uint64_t i = 0; i < n; ++i) {
+    murmur_kmer(words[i], k, num_seeds, out + i * num_seeds);
+  }
+}
+
+}  // extern "C"

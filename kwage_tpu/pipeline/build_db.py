@@ -1,0 +1,118 @@
+"""Filter -> bit-slice transposition (the reference's build_db).
+
+The BIGSI core move: N same-shape Bloom filters (rows = filters, columns =
+filter bits) become 2**L bit slices (rows = bit positions, columns =
+filters), so a query probes num_hash slice rows instead of N filters.
+
+The host path streams the inputs in row chunks and transposes with
+vectorized numpy bit unpack/pack (equivalent to the byte-scatter loop in
+build_db.cpp:259-315, but O(bits) with no per-bit branches). The device
+path lives in kwage_tpu.ops.transpose.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+from ..core.params import BloomParam
+from ..io.bloom_file import (
+    BLOOM_MAGIC_COMPLETE,
+    read_bloom_file,
+)
+from ..io.binary import BinaryReader
+from ..io.db_file import DBFileHeader, write_db_file_streaming
+
+# 1 GiB destination buffer in the reference (build_db.cpp:243); the numpy
+# path is not seek-bound so a smaller default keeps memory modest.
+DEFAULT_CHUNK_BITS = 1 << 22
+
+
+def transpose_filters(filter_bytes: np.ndarray, num_filter: int | None = None) -> np.ndarray:
+    """Transpose packed filters [F, L/8] -> packed slices [L, ceil(F/8)].
+
+    Bits are LSB-first within each byte on both sides (bloom.h:140-171).
+    """
+    F, nbytes = filter_bytes.shape
+    if num_filter is None:
+        num_filter = F
+    # [F, L] bits; unpackbits is MSB-first, so request little-endian order.
+    bits = np.unpackbits(filter_bytes, axis=1, bitorder="little")
+    slices = np.packbits(bits.T, axis=1, bitorder="little")
+    want = (num_filter + 7) // 8
+    if slices.shape[1] < want:
+        slices = np.pad(slices, ((0, 0), (0, want - slices.shape[1])))
+    return slices
+
+
+def _iter_transposed_chunks(paths: list[str], param: BloomParam, chunk_bits: int):
+    """Yield transposed slice chunks while streaming all inputs in lockstep,
+    validating per-filter crc32 like build_db.cpp:280-286, 343-362."""
+    num_filter = len(paths)
+    filter_len = param.filter_len
+    chunk_bytes = chunk_bits // 8
+
+    handles = []
+    expected_crc = []
+    running_crc = []
+    try:
+        for p in paths:
+            f = open(p, "rb")
+            r = BinaryReader(f)
+            magic = r.u8()
+            if magic != BLOOM_MAGIC_COMPLETE:
+                raise ValueError(f"{p}: incomplete Bloom filter")
+            local = r.bloom_param()
+            if local != param:
+                raise ValueError(f"{p}: inconsistent Bloom parameters {local} != {param}")
+            expected_crc.append(r.u32())
+            r.filter_info()  # skip; re-read separately for the metadata block
+            handles.append(f)
+            running_crc.append(zlib.crc32(b""))
+
+        for start in range(0, filter_len, chunk_bits):
+            nbits = min(chunk_bits, filter_len - start)
+            nbytes = nbits // 8
+            block = np.empty((num_filter, nbytes), dtype=np.uint8)
+            for j, f in enumerate(handles):
+                data = f.read(nbytes)
+                if len(data) != nbytes:
+                    raise ValueError(f"{paths[j]}: truncated filter data")
+                running_crc[j] = zlib.crc32(data, running_crc[j])
+                block[j] = np.frombuffer(data, dtype=np.uint8)
+            yield transpose_filters(block, num_filter)
+
+        for j in range(num_filter):
+            if (running_crc[j] & 0xFFFFFFFF) != expected_crc[j]:
+                raise ValueError(f"{paths[j]}: invalid Bloom filter crc32")
+    finally:
+        for f in handles:
+            f.close()
+
+
+def build_db_from_bloom_files(
+    out_path: str,
+    param: BloomParam,
+    bloom_files: list[str],
+    chunk_bits: int = DEFAULT_CHUNK_BITS,
+) -> DBFileHeader:
+    """Transpose .bloom files into a .db database file (build_db.cpp:24-456).
+
+    Byte-identical output to the reference for the same inputs; streaming
+    with bounded memory ~ num_filter * chunk_bits bits.
+    """
+    if not bloom_files:
+        raise ValueError("empty Bloom filter inventory")
+    if chunk_bits % 8:
+        raise ValueError("chunk_bits must be byte aligned")
+
+    infos = [read_bloom_file(p, with_bits=False).info for p in bloom_files]
+
+    return write_db_file_streaming(
+        out_path,
+        param,
+        _iter_transposed_chunks(bloom_files, param, chunk_bits),
+        infos,
+        num_filter=len(bloom_files),
+    )

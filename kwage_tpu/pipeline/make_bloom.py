@@ -1,0 +1,156 @@
+"""Per-accession Bloom filter construction (the reference's make_bloom).
+
+Pipeline (make_bloom.cpp:76-504): size the counting filter from the total
+base count, stream every read through the counting-Bloom thresholder,
+solve the adaptive filter shape from the observed valid-k-mer count, fold
+the per-seed valid-bit planes down to the final length, and emit a
+``.bloom`` record with crc32 + metadata.
+
+Sequence sources here are FASTA/FASTQ files or in-memory read streams (the
+reference reads SRA via NGS; this engine treats SRA ingestion as a
+pluggable source, see kwage_tpu.parallel.maestro).
+"""
+
+from __future__ import annotations
+
+import math
+import zlib
+from dataclasses import dataclass
+from typing import Iterable
+
+import numpy as np
+
+from ..core.hash import MURMUR_HASH_32
+from ..core.info import FilterInfo
+from ..core.params import (
+    DEFAULT_FALSE_POSITIVE_PROBABILITY,
+    DEFAULT_KMER_LENGTH,
+    DEFAULT_MAX_LOG_2_FILTER_LEN,
+    DEFAULT_MIN_LOG_2_FILTER_LEN,
+    DEFAULT_SRA_MIN_KMER_COUNT,
+    BloomParam,
+    approximate_max_kmers,
+    optimal_bloom_param,
+)
+from ..io.bloom_file import BloomFilterRecord
+from ..io.sequence import iter_sequences
+from ..native import CountingBuilder
+
+# Counting-filter sizing constants (make_bloom.cpp:21-25)
+MAX_LOG_COUNT_FILTER_LEN = 32
+MIN_LOG_COUNT_FILTER_LEN = 18
+COUNT_FILTER_FP = 1.0e-2
+
+
+@dataclass
+class BuildOptions:
+    kmer_len: int = DEFAULT_KMER_LENGTH
+    min_kmer_count: int = DEFAULT_SRA_MIN_KMER_COUNT
+    false_positive_probability: float = DEFAULT_FALSE_POSITIVE_PROBABILITY
+    min_log_2_filter_len: int = DEFAULT_MIN_LOG_2_FILTER_LEN
+    max_log_2_filter_len: int = DEFAULT_MAX_LOG_2_FILTER_LEN
+    hash_func: int = MURMUR_HASH_32
+    # Counting-filter clamp; tests shrink these to bound memory.
+    min_log_2_count_len: int = MIN_LOG_COUNT_FILTER_LEN
+    max_log_2_count_len: int = MAX_LOG_COUNT_FILTER_LEN
+
+
+class BloomInvalid(Exception):
+    """Raised when no valid Bloom parameters exist for an accession
+    (maps to STATUS_BLOOM_INVALID)."""
+
+
+def counting_filter_log2_len(num_bp: int, opts: BuildOptions) -> int:
+    """Counting-filter sizing from the total base count (make_bloom.cpp:109-129).
+
+    Two 4-bit counting sub-filters, two hash functions each; length chosen
+    so the 4-probe false-positive rate stays under COUNT_FILTER_FP for
+    2*num_bp insertions, clamped to the allowed range.
+    """
+    if num_bp <= 0:
+        return opts.max_log_2_count_len
+    counting_length = 1.0 / (
+        1.0 - (1.0 - COUNT_FILTER_FP ** 0.25) ** (1.0 / (2.0 * num_bp))
+    )
+    log2_len = math.ceil(math.log(counting_length) / math.log(2.0))
+    return max(opts.min_log_2_count_len, min(opts.max_log_2_count_len, log2_len))
+
+
+def build_bloom_from_sequences(
+    sequences: Iterable[str],
+    opts: BuildOptions,
+    info: FilterInfo,
+    num_bp_hint: int | None = None,
+) -> BloomFilterRecord:
+    """Build a Bloom filter from an in-memory iterable of read sequences.
+
+    ``num_bp_hint`` plays the role of the SRA metadata BASE_COUNT used to
+    pre-size the counting filter; when absent the sequences are buffered to
+    measure it (matching what the reference gets from sra_meta.cpp).
+    """
+    if num_bp_hint is None:
+        sequences = list(sequences)
+        num_bp_hint = sum(len(s) for s in sequences)
+
+    log2_count = counting_filter_log2_len(num_bp_hint, opts)
+    max_kmers = approximate_max_kmers(
+        opts.false_positive_probability,
+        opts.hash_func,
+        opts.min_log_2_filter_len,
+        opts.max_log_2_filter_len,
+    )
+
+    with CountingBuilder(
+        opts.kmer_len, opts.min_kmer_count, log2_count, opts.max_log_2_filter_len
+    ) as builder:
+        for seq in sequences:
+            builder.add_sequence(seq)
+            if builder.num_valid_kmer > max_kmers:
+                raise BloomInvalid(
+                    f"k-mer count {builder.num_valid_kmer} exceeds feasible maximum {max_kmers}"
+                )
+
+        try:
+            param = optimal_bloom_param(
+                opts.kmer_len,
+                builder.num_valid_kmer,
+                opts.false_positive_probability,
+                opts.hash_func,
+                opts.min_log_2_filter_len,
+                opts.max_log_2_filter_len,
+            )
+        except ValueError as e:
+            raise BloomInvalid(str(e)) from e
+
+        bits = builder.fold(param.log_2_filter_len, param.num_hash)
+
+    return BloomFilterRecord(
+        param=param,
+        crc32=zlib.crc32(bits.tobytes()) & 0xFFFFFFFF,
+        info=info,
+        bits=bits,
+    )
+
+
+def build_bloom_from_file(
+    path: str, opts: BuildOptions, info: FilterInfo | None = None
+) -> BloomFilterRecord:
+    """Build a Bloom filter from a FASTA/FASTQ(.gz) file (two streaming passes).
+
+    Pass 1 measures the base/spot counts (the metadata the reference reads
+    from the SRA record); pass 2 digests the reads.
+    """
+    num_bp = 0
+    num_spots = 0
+    for _, seq in iter_sequences(path):
+        num_bp += len(seq)
+        num_spots += 1
+
+    if info is None:
+        info = FilterInfo()
+    info.number_of_bases = num_bp
+    info.number_of_spots = num_spots
+
+    return build_bloom_from_sequences(
+        (seq for _, seq in iter_sequences(path)), opts, info, num_bp_hint=num_bp
+    )

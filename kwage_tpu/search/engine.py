@@ -1,0 +1,143 @@
+"""Bit-sliced Bloom-filter search (host path; device kernel in ops.search).
+
+Per query (kwage.cpp:340-541): extract the sorted unique canonical k-mer
+set, map each (k-mer, seed) pair to a bit-slice row via murmur3-32 %% 2**L,
+AND the gathered slice rows across seeds into per-k-mer match vectors, then
+either AND across k-mers (threshold == 1.0, "complete match") or count hits
+per filter and compare against ``trunc(float32(threshold) * num_kmers)``
+(the reference's float->uint narrowing, kwage.cpp:388).
+
+The reference's early-exit logic is a disk-seek optimization and never
+changes results; the vectorized full reduction used here is faster on
+modern hardware and identical in output.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core.info import FilterInfo
+from ..core.words import canonical_kmers
+from ..io.db_file import DBFileReader
+from ..native import murmur32_native
+
+
+@dataclass
+class MatchResult:
+    num_kmers_found: int
+    num_query_kmer: int
+    subject_info: FilterInfo
+
+
+def query_slice_indices(query: str, header) -> tuple[np.ndarray, int]:
+    """Sorted-unique query k-mers -> slice row indices [n_kmer, num_hash]."""
+    kmers = np.unique(canonical_kmers(query, header.kmer_len))
+    if kmers.size == 0:
+        return np.empty((0, header.num_hash), dtype=np.int64), 0
+    h = murmur32_native(kmers, header.kmer_len, header.num_hash)
+    if header.log_2_filter_len >= 32:
+        idx = h.astype(np.int64)
+    else:
+        idx = (h & np.uint32((1 << header.log_2_filter_len) - 1)).astype(np.int64)
+    return idx, int(kmers.size)
+
+
+def query_threshold_count(threshold: float, num_query_kmer: int) -> int:
+    """trunc(float32(threshold) * float32(num_kmers)) (kwage.cpp:388)."""
+    return int(np.float32(threshold) * np.float32(num_query_kmer))
+
+
+def _match_filters(
+    slice_rows: np.ndarray, num_hash: int, num_filter: int, threshold: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Reduce gathered slice rows into (matched_mask, per-filter counts).
+
+    ``slice_rows``: uint8 [n_kmer * num_hash, slice_size].
+    """
+    n_total = slice_rows.shape[0]
+    n_kmer = n_total // num_hash
+    rows = slice_rows.reshape(n_kmer, num_hash, -1)
+    kmer_match = rows[:, 0, :]
+    for h in range(1, num_hash):
+        kmer_match = kmer_match & rows[:, h, :]
+
+    bits = np.unpackbits(kmer_match, axis=1, bitorder="little")[:, :num_filter]
+    counts = bits.sum(axis=0, dtype=np.int64)
+    if threshold == 1.0:
+        matched = bits.all(axis=0) if n_kmer else np.zeros(num_filter, dtype=bool)
+    else:
+        qt = query_threshold_count(threshold, n_kmer)
+        matched = counts >= qt
+    return matched, counts
+
+
+def search_database(
+    reader: DBFileReader,
+    query: str,
+    threshold: float,
+    slices: np.ndarray | None = None,
+) -> list[tuple[int, int, int]] | None:
+    """Search one database file with one query.
+
+    Returns ``[(filter_index, num_kmers_found, num_query_kmer), ...]`` for
+    matching filters in filter-index order, or None when the query has no
+    valid k-mers. ``slices`` optionally supplies the full in-memory slice
+    matrix (uint8 [filter_len, slice_size]) to avoid per-row disk seeks.
+    """
+    hdr = reader.header
+    idx, n_kmer = query_slice_indices(query, hdr)
+    if n_kmer == 0:
+        return None
+
+    flat = idx.reshape(-1)
+    if slices is not None:
+        rows = slices[flat]
+    else:
+        # Gather unique rows once; the reference re-reads per (kmer, seed).
+        uniq, inverse = np.unique(flat, return_inverse=True)
+        rows = reader.read_slice_rows(uniq)[inverse]
+
+    matched, counts = _match_filters(rows, hdr.num_hash, hdr.num_filter, threshold)
+
+    out = []
+    for i in np.nonzero(matched)[0]:
+        num_match = n_kmer if threshold == 1.0 else int(counts[i])
+        out.append((int(i), num_match, n_kmer))
+    return out
+
+
+def search_database_files(
+    db_paths: list[str],
+    queries: list[tuple[int, str]],
+    threshold: float,
+    in_memory: bool = True,
+) -> dict[int, list[MatchResult]]:
+    """Search every query against every database file.
+
+    ``queries`` is a list of (query_id, sequence). Results are accumulated
+    per query id in (file order, filter index order) and then stable-sorted
+    descending by num_kmers_found, reproducing the reference's output order
+    (output.h:27-32; kwage.cpp:190-201).
+    """
+    results: dict[int, list[MatchResult]] = {}
+    for path in db_paths:
+        reader = DBFileReader(path)
+        slices = reader.read_slices() if in_memory else None
+        infos_cache: dict[int, FilterInfo] = {}
+        for qid, seq in queries:
+            hits = search_database(reader, seq, threshold, slices=slices)
+            if not hits:
+                continue
+            bucket = results.setdefault(qid, [])
+            for fidx, num_match, n_kmer in hits:
+                info = infos_cache.get(fidx)
+                if info is None:
+                    info = reader.read_filter_info(fidx)
+                    infos_cache[fidx] = info
+                bucket.append(MatchResult(num_match, n_kmer, info))
+
+    for bucket in results.values():
+        bucket.sort(key=lambda m: -m.num_kmers_found)
+    return results
