@@ -1,0 +1,105 @@
+"""Device-side canonical k-mer extraction (JAX, TPU-native).
+
+K-mer words are represented as (hi, lo) uint32 pairs -- TPU vector units
+are 32-bit lanes, so 64-bit emulation is avoided on the hot path. The
+window semantics match word.h:73-168: windows containing any non-ACGT base
+are masked invalid; the canonical word is the unsigned minimum of the
+sense and reverse-complement windows.
+
+All shapes are static under jit (sequence length is the trace key); the
+per-base rolling update unrolls into k vector ops over the window axis.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_A, _C, _G, _T = 65, 67, 71, 84  # ASCII
+_A_L, _C_L, _G_L, _T_L = 97, 99, 103, 116
+
+
+def encode_bases_device(ascii_u8: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """ASCII bytes -> (2-bit codes uint32, valid bool). Non-ACGT -> code 0, invalid."""
+    x = ascii_u8.astype(jnp.int32)
+    code = jnp.zeros_like(x)
+    valid = jnp.zeros_like(x, dtype=bool)
+    for base_codes, value in (((_A, _A_L), 0), ((_C, _C_L), 1), ((_G, _G_L), 2), ((_T, _T_L), 3)):
+        hit = (x == base_codes[0]) | (x == base_codes[1])
+        code = jnp.where(hit, value, code)
+        valid = valid | hit
+    return code.astype(jnp.uint32), valid
+
+
+@partial(jax.jit, static_argnames=("k",))
+def canonical_kmers_device(
+    ascii_u8: jax.Array, k: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """All k-windows of a sequence -> canonical words as uint32 pairs.
+
+    Returns ``(hi, lo, valid)`` with shape [len(seq) - k + 1] each.
+    ``hi`` holds word bits 32..2k-1 (zero when 2k <= 32).
+    """
+    n = ascii_u8.shape[0]
+    if n < k:
+        raise ValueError("sequence shorter than k")
+    nwin = n - k + 1
+
+    codes, base_valid = encode_bases_device(ascii_u8)
+    comp = jnp.uint32(3) - codes
+
+    # Window validity: all k bases valid.
+    iv = (~base_valid).astype(jnp.int32)
+    cs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(iv)])
+    valid = (cs[k:] - cs[:-k]) == 0
+
+    s_hi = jnp.zeros(nwin, jnp.uint32)
+    s_lo = jnp.zeros(nwin, jnp.uint32)
+    a_hi = jnp.zeros(nwin, jnp.uint32)
+    a_lo = jnp.zeros(nwin, jnp.uint32)
+    top = 2 * (k - 1)
+
+    for j in range(k):
+        cj = jax.lax.dynamic_slice_in_dim(codes, j, nwin)
+        pj = jax.lax.dynamic_slice_in_dim(comp, j, nwin)
+        # sense: shift left 2, insert at bottom
+        s_hi = (s_hi << 2) | (s_lo >> 30)
+        s_lo = (s_lo << 2) | cj
+        # antisense: shift right 2, insert complement at bit 2(k-1)
+        a_lo = (a_lo >> 2) | (a_hi << 30)
+        a_hi = a_hi >> 2
+        if top >= 32:
+            a_hi = a_hi | (pj << (top - 32))
+        else:
+            a_lo = a_lo | (pj << top)
+
+    # Mask the sense word to 2k bits (the rolling shift accumulates history).
+    if 2 * k > 32:
+        if 2 * k < 64:
+            s_hi = s_hi & jnp.uint32((1 << (2 * k - 32)) - 1)
+    else:
+        s_hi = jnp.zeros_like(s_hi)
+        if 2 * k < 32:
+            s_lo = s_lo & jnp.uint32((1 << (2 * k)) - 1)
+
+    sense_le = (s_hi < a_hi) | ((s_hi == a_hi) & (s_lo <= a_lo))
+    hi = jnp.where(sense_le, s_hi, a_hi)
+    lo = jnp.where(sense_le, s_lo, a_lo)
+    return hi, lo, valid
+
+
+def words_to_u64(hi, lo):
+    """Test helper: (hi, lo) uint32 pairs -> numpy uint64 words (host)."""
+    import numpy as np
+
+    return (np.asarray(hi, dtype=np.uint64) << np.uint64(32)) | np.asarray(lo, dtype=np.uint64)
+
+
+def u64_to_words(words):
+    """Test helper: numpy uint64 -> (hi, lo) uint32 pairs (host)."""
+    import numpy as np
+
+    w = np.asarray(words, dtype=np.uint64)
+    return (w >> np.uint64(32)).astype(np.uint32), (w & np.uint64(0xFFFFFFFF)).astype(np.uint32)

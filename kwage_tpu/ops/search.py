@@ -1,0 +1,158 @@
+"""Device-side bit-slice AND-reduce search kernel (JAX/XLA path).
+
+The database lives in HBM as a uint32-packed signature matrix
+``[filter_len, W]`` with ``W = ceil(num_filter / 32)`` (bit j of filter j
+at word j//32, bit j%32 -- the little-endian view of the on-disk bytes).
+
+Per query batch:
+  1. gather the ``num_hash`` slice rows per k-mer (one HBM gather),
+  2. AND across seeds -> per-k-mer match words,
+  3. threshold == 1.0: AND across k-mers (padded k-mers contribute all-ones),
+     otherwise: unpack bits and sum hit counts per filter (padded k-mers
+     contribute zero).
+
+The reference's early exits (kwage.cpp:460-482) are disk-seek
+optimizations; with the matrix resident in HBM the masked full reduction
+is both faster and result-identical.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.words import canonical_kmers
+from ..native import murmur32_native
+
+
+def db_bytes_to_words(slices: np.ndarray) -> np.ndarray:
+    """Disk slice matrix uint8 [L, slice_size] -> uint32 [L, W] (host)."""
+    L, B = slices.shape
+    pad = (-B) % 4
+    if pad:
+        slices = np.pad(slices, ((0, 0), (0, pad)))
+    return np.ascontiguousarray(slices).reshape(L, -1, 4).view(np.uint32).reshape(L, -1)
+
+
+def make_query_batch(
+    queries: list[str], k: int, num_hash: int, log2_filter_len: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side query prep: pad per-query sorted-unique k-mer slice indices.
+
+    Returns (idx int32 [nq, max_k, num_hash], kmer_valid bool [nq, max_k],
+    num_kmers int32 [nq]).
+    """
+    per_query = []
+    for q in queries:
+        kmers = np.unique(canonical_kmers(q, k))
+        h = murmur32_native(kmers, k, num_hash)
+        mask = np.uint32((1 << log2_filter_len) - 1) if log2_filter_len < 32 else np.uint32(0xFFFFFFFF)
+        per_query.append((h & mask).astype(np.int64))
+
+    nq = len(per_query)
+    max_k = max((p.shape[0] for p in per_query), default=0)
+    max_k = max(max_k, 1)
+    idx = np.zeros((nq, max_k, num_hash), dtype=np.int32)
+    valid = np.zeros((nq, max_k), dtype=bool)
+    nk = np.zeros(nq, dtype=np.int32)
+    for i, p in enumerate(per_query):
+        idx[i, : p.shape[0]] = p
+        valid[i, : p.shape[0]] = True
+        nk[i] = p.shape[0]
+    return idx, valid, nk
+
+
+@jax.jit
+def _gather_and_reduce_seeds(db: jax.Array, idx: jax.Array, kmer_valid: jax.Array) -> jax.Array:
+    """Gather + AND across seeds -> per-k-mer match words uint32 [nq, nk, W].
+
+    Invalid (padding) k-mers produce all-zero match words.
+    """
+    nq, nk, nh = idx.shape
+    rows = db[idx.reshape(-1)]                       # [nq*nk*nh, W]
+    rows = rows.reshape(nq, nk, nh, -1)
+    kmer_match = rows[:, :, 0, :]
+    for h in range(1, nh):
+        kmer_match = kmer_match & rows[:, :, h, :]
+    return jnp.where(kmer_valid[:, :, None], kmer_match, jnp.uint32(0))
+
+
+@jax.jit
+def search_complete(db: jax.Array, idx: jax.Array, kmer_valid: jax.Array) -> jax.Array:
+    """Threshold == 1.0 path: packed complete-match mask uint32 [nq, W]."""
+    km = _gather_and_reduce_seeds(db, idx, kmer_valid)
+    # Padded k-mers must not clear the AND: flip them to all-ones.
+    km = jnp.where(kmer_valid[:, :, None], km, jnp.uint32(0xFFFFFFFF))
+    out = km[:, 0, :]
+    nk = km.shape[1]
+
+    def body(i, acc):
+        return acc & km[:, i, :]
+
+    return jax.lax.fori_loop(1, nk, body, out)
+
+
+@jax.jit
+def search_counts(db: jax.Array, idx: jax.Array, kmer_valid: jax.Array) -> jax.Array:
+    """Thresholded path: per-filter hit counts int32 [nq, W*32]."""
+    km = _gather_and_reduce_seeds(db, idx, kmer_valid)   # zeros for padding
+    nq, nk, W = km.shape
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = ((km[..., None] >> shifts) & jnp.uint32(1)).astype(jnp.int32)
+    return bits.reshape(nq, nk, W * 32).sum(axis=1)
+
+
+def unpack_mask(mask_words: np.ndarray, num_filter: int) -> np.ndarray:
+    """Packed uint32 match mask [nq, W] -> bool [nq, num_filter] (host)."""
+    m = np.asarray(mask_words)
+    bits = np.unpackbits(m.view(np.uint8).reshape(m.shape[0], -1), axis=1, bitorder="little")
+    return bits[:, :num_filter].astype(bool)
+
+
+class DeviceSearcher:
+    """A database file resident on device, searchable in query batches.
+
+    Produces identical hit lists to the host engine / reference binary.
+    """
+
+    def __init__(self, header, slices: np.ndarray):
+        self.header = header
+        self.db = jnp.asarray(db_bytes_to_words(slices))
+
+    @classmethod
+    def from_file(cls, path: str):
+        from ..io.db_file import DBFileReader
+
+        reader = DBFileReader(path)
+        return cls(reader.header, reader.read_slices()), reader
+
+    def search(self, queries: list[str], threshold: float):
+        """Returns per-query [(filter_idx, num_found, num_kmers), ...] lists."""
+        from ..search.engine import query_threshold_count
+
+        hdr = self.header
+        idx, valid, nk = make_query_batch(
+            queries, hdr.kmer_len, hdr.num_hash, hdr.log_2_filter_len
+        )
+        out = []
+        if threshold == 1.0:
+            mask = unpack_mask(np.asarray(search_complete(self.db, jnp.asarray(idx), jnp.asarray(valid))), hdr.num_filter)
+            for qi in range(len(queries)):
+                if nk[qi] == 0:
+                    out.append(None)
+                    continue
+                hits = np.nonzero(mask[qi])[0]
+                out.append([(int(f), int(nk[qi]), int(nk[qi])) for f in hits])
+        else:
+            counts = np.asarray(search_counts(self.db, jnp.asarray(idx), jnp.asarray(valid)))[:, : hdr.num_filter]
+            for qi in range(len(queries)):
+                if nk[qi] == 0:
+                    out.append(None)
+                    continue
+                qt = query_threshold_count(threshold, int(nk[qi]))
+                hits = np.nonzero(counts[qi] >= qt)[0]
+                out.append([(int(f), int(counts[qi, f]), int(nk[qi])) for f in hits])
+        return out

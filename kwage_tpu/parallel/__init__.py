@@ -1,0 +1,2 @@
+from .mesh import make_search_mesh
+from .sharded_search import ShardedDatabase, sharded_search_counts, sharded_search_complete

@@ -1,0 +1,131 @@
+"""Column-sharded bit-slice search over a device mesh (shard_map + ICI).
+
+The signature matrix [filter_len, W] is sharded along the packed-filter
+axis ("filters"); query slice indices are sharded along the batch axis
+("data") and replicated across filter shards. Each device gathers its
+local slice words, reduces across seeds/k-mers locally, and the per-shard
+hit vectors are merged with an all_gather over the filters axis -- the
+TPU equivalent of concatenating per-database-file hit lists in the
+reference (kwage.cpp:154-177).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.search import db_bytes_to_words, make_query_batch, unpack_mask
+
+
+def _local_kmer_match(db_local, idx, kmer_valid):
+    rows = db_local[idx.reshape(-1)]
+    nq, nk, nh = idx.shape
+    rows = rows.reshape(nq, nk, nh, -1)
+    km = rows[:, :, 0, :]
+    for h in range(1, nh):
+        km = km & rows[:, :, h, :]
+    return km, (nq, nk)
+
+
+def _counts_kernel(db_local, idx, kmer_valid):
+    km, (nq, nk) = _local_kmer_match(db_local, idx, kmer_valid)
+    km = jnp.where(kmer_valid[:, :, None], km, jnp.uint32(0))
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = ((km[..., None] >> shifts) & jnp.uint32(1)).astype(jnp.int32)
+    return bits.reshape(nq, nk, -1).sum(axis=1)           # [nq_local, W_local*32]
+
+
+def _complete_kernel(db_local, idx, kmer_valid):
+    km, (nq, nk) = _local_kmer_match(db_local, idx, kmer_valid)
+    km = jnp.where(kmer_valid[:, :, None], km, jnp.uint32(0xFFFFFFFF))
+    acc = km[:, 0, :]
+
+    def body(i, a):
+        return a & km[:, i, :]
+
+    return jax.lax.fori_loop(1, nk, body, acc)            # [nq_local, W_local]
+
+
+def _sharded(fn, mesh: Mesh):
+    # Per-query hit vectors are naturally sharded: the query axis follows
+    # "data" and the packed-filter axis follows "filters" -- no collective
+    # is needed at all (the concatenation of shard outputs IS the global
+    # result). XLA reassembles the global array from the out_specs.
+    return jax.jit(
+        jax.shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(P(None, "filters"), P("data", None, None), P("data", None)),
+            out_specs=P("data", "filters"),
+        )
+    )
+
+
+def sharded_search_counts(mesh: Mesh, db, idx, kmer_valid):
+    return _sharded(_counts_kernel, mesh)(db, idx, kmer_valid)
+
+
+def sharded_search_complete(mesh: Mesh, db, idx, kmer_valid):
+    return _sharded(_complete_kernel, mesh)(db, idx, kmer_valid)
+
+
+class ShardedDatabase:
+    """One BloomParam group of the corpus, sharded across a device mesh.
+
+    Filters from many database files (same shape) are concatenated along
+    the packed-word axis and placed with a NamedSharding over the
+    "filters" mesh axis; queries are batched over "data".
+    """
+
+    def __init__(self, mesh: Mesh, param, slices: np.ndarray, num_filter: int):
+        self.mesh = mesh
+        self.param = param
+        self.num_filter = num_filter
+        words = db_bytes_to_words(slices)
+        n_shards = mesh.shape["filters"]
+        pad = (-words.shape[1]) % n_shards
+        if pad:
+            words = np.pad(words, ((0, 0), (0, pad)))
+        self.W = words.shape[1]
+        self.db = jax.device_put(
+            words, NamedSharding(mesh, P(None, "filters"))
+        )
+        self._counts = _sharded(_counts_kernel, mesh)
+        self._complete = _sharded(_complete_kernel, mesh)
+
+    def _prep(self, queries: list[str]):
+        idx, valid, nk = make_query_batch(
+            queries,
+            self.param.kmer_len,
+            self.param.num_hash,
+            self.param.log_2_filter_len,
+        )
+        # Pad the query batch to a multiple of the data axis.
+        n_data = self.mesh.shape["data"]
+        pad = (-idx.shape[0]) % n_data
+        if pad:
+            idx = np.pad(idx, ((0, pad), (0, 0), (0, 0)))
+            valid = np.pad(valid, ((0, pad), (0, 0)))
+        spec_idx = NamedSharding(self.mesh, P("data", None, None))
+        spec_valid = NamedSharding(self.mesh, P("data", None))
+        return (
+            jax.device_put(idx, spec_idx),
+            jax.device_put(valid, spec_valid),
+            nk,
+        )
+
+    def search_counts(self, queries: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Per-filter hit counts int [nq, num_filter] + per-query k-mer counts."""
+        idx, valid, nk = self._prep(queries)
+        counts = np.asarray(self._counts(self.db, idx, valid))
+        return counts[: len(queries), : self.num_filter], nk
+
+    def search_complete(self, queries: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Complete-match bool mask [nq, num_filter] + per-query k-mer counts."""
+        idx, valid, nk = self._prep(queries)
+        mask_words = np.asarray(self._complete(self.db, idx, valid))
+        return unpack_mask(mask_words[: len(queries)], self.num_filter), nk

@@ -1,0 +1,59 @@
+"""Multi-device sharded search == single-device search (8-way CPU mesh)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kwage_tpu.core.params import BloomParam
+from kwage_tpu.ops.search import (
+    db_bytes_to_words,
+    make_query_batch,
+    search_complete,
+    search_counts,
+    unpack_mask,
+)
+from kwage_tpu.parallel import ShardedDatabase, make_search_mesh
+from kwage_tpu.pipeline.build_db import transpose_filters
+
+rng = np.random.default_rng(21)
+
+
+def rand_seq(n):
+    return "".join(rng.choice(list("ACGT")) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    num_filter, L = 512, 4096  # 16 packed words -> 2 words per filter shard
+    filters = rng.integers(0, 256, size=(num_filter, L // 8), dtype=np.uint8)
+    slices = transpose_filters(filters)
+    param = BloomParam(kmer_len=31, log_2_filter_len=12, num_hash=3, hash_func=0)
+    return param, slices, num_filter
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (8, 1)])
+def test_sharded_matches_single_device(corpus, mesh_shape):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    param, slices, num_filter = corpus
+    mesh = make_search_mesh(*mesh_shape)
+    sdb = ShardedDatabase(mesh, param, slices, num_filter)
+
+    queries = [rand_seq(100), rand_seq(200), rand_seq(64)]
+
+    # Reference: single-device kernels.
+    db = jnp.asarray(db_bytes_to_words(slices))
+    idx, valid, nk = make_query_batch(
+        queries, param.kmer_len, param.num_hash, param.log_2_filter_len
+    )
+    want_counts = np.asarray(search_counts(db, jnp.asarray(idx), jnp.asarray(valid)))[:, :num_filter]
+    want_mask = unpack_mask(
+        np.asarray(search_complete(db, jnp.asarray(idx), jnp.asarray(valid))), num_filter
+    )
+
+    got_counts, _ = sdb.search_counts(queries)
+    got_mask, _ = sdb.search_complete(queries)
+    np.testing.assert_array_equal(got_counts, want_counts)
+    np.testing.assert_array_equal(got_mask, want_mask)
