@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import functools
 import sys
+import tarfile
 
 from ..core.accession import INVALID_ACCESSION, accession_to_str
 from ..core.hash import MURMUR_HASH_32, UNKNOWN_HASH
@@ -22,6 +23,9 @@ def cli_errors(fn):
             print(f"Unable to open {e.filename} for reading", file=sys.stderr)
             return 1
         except (OSError, EOFError, ValueError) as e:
+            print(f"Caught the error {e}", file=sys.stderr)
+            return 1
+        except tarfile.TarError as e:
             print(f"Caught the error {e}", file=sys.stderr)
             return 1
 

@@ -1,0 +1,194 @@
+"""sriracha: per-read k-mer confirmation search over read sets.
+
+Flag- and output-compatible with the reference SriRachA tool
+(SriRachA/main.cpp, options.cpp). Accessions are local FASTA/FASTQ files
+or directories (the reference's local-file streaming path); --slice/--of
+select a shard of each accession's read range. --device runs the batched
+TPU kernel.
+"""
+
+from __future__ import annotations
+
+import getopt
+import sys
+import time
+
+from .. import SRIRACHA_VERSION
+from ..sriracha.engine import (
+    CHATTY,
+    DEFAULT_KMER_LENGTH,
+    DEFAULT_KMER_MATCH_THRESHOLD,
+    DEFAULT_MAX_MATCH,
+    DEFAULT_MIN_READ_COMPLEXITY,
+    DEFAULT_MIN_READ_LENGTH,
+    DEFAULT_MIN_VALID_KMER,
+    MAX_KMER_LEN,
+    MIN_KMER_LEN,
+    NORMAL,
+    SrirachaOptions,
+    StreamStats,
+    format_results,
+    load_subject_kmers,
+    search_accession,
+)
+from ._render import cli_errors
+
+
+def usage() -> None:
+    e = sys.stderr
+    print(f"Usage for SriRachA (v. {SRIRACHA_VERSION}):", file=e)
+    print("\t-i <input sequence files> (can be repeated)", file=e)
+    print("\t[-o <output filename>] (default is stdout)", file=e)
+    print(f"\t[--read.len.min <minimum read length>] (default is {DEFAULT_MIN_READ_LENGTH})", file=e)
+    print(f"\t[--max-results <maximum number of results to show per accession/query>] (default is {DEFAULT_MAX_MATCH})", file=e)
+    print("\t[-a <list of SRA accessions in a text file>]", file=e)
+    print("\t[-v (increase the verbosity: silent, tacitern, normal, chatty. Default is silent)]", file=e)
+    print("\t[--retry <maximum number of download atttemps>] (default is 0)", file=e)
+    print("\t[--slice <slice number [0, N)]>] (not compatible with MPI)", file=e)
+    print("\t[--of <number of slices, N>] (not compatible with MPI)", file=e)
+    print("\t[--device (run the batched TPU search kernel)]", file=e)
+    print("\tSearch strategies", file=e)
+    print("\t\t[--search-by-kmer] (default)", file=e)
+    print(f"\t\t\t[-k <k-mer length>] (default is {DEFAULT_KMER_LENGTH})", file=e)
+    print(f"\t\t\t[-t <match threshold>] (default is {DEFAULT_KMER_MATCH_THRESHOLD})", file=e)
+    print(f"\t\t\t[-n <min number valid kmer>] (default is {DEFAULT_MIN_VALID_KMER})", file=e)
+    print(f"\t\t\t[--read.complexity.min <min read complexity>] (default is {DEFAULT_MIN_READ_COMPLEXITY})", file=e)
+    print("\t<SRA accession or file or dir> ...", file=e)
+
+
+@cli_errors
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    start = time.time()
+    opt = SrirachaOptions()
+
+    try:
+        flags, args = getopt.gnu_getopt(
+            argv,
+            "k:t:n:o:i:a:vh?",
+            ["search-by-align", "search-by-kmer", "search-by-bloom",
+             "read.len.min=", "read.complexity.min=", "max-results=",
+             "vv", "vvv", "vvvv", "retry=", "slice=", "of=", "device"],
+        )
+    except getopt.GetoptError as e:
+        print(e, file=sys.stderr)
+        usage()
+        return 1
+
+    if not argv:
+        usage()
+        return 0
+
+    for flag, val in flags:
+        if flag == "-i":
+            opt.input_sequence_files.append(val)
+        elif flag == "-o":
+            opt.output_filename = val
+        elif flag == "-a":
+            opt.sra_accession_filename = val
+        elif flag == "-k":
+            opt.kmer_len = abs(int(val))
+        elif flag == "-t":
+            opt.kmer_match_threshold = float(val)
+        elif flag == "-n":
+            opt.min_valid_kmer = abs(int(val))
+        elif flag == "-v":
+            opt.verbose += 1
+        elif flag == "--vv":
+            opt.verbose += 2
+        elif flag == "--vvv":
+            opt.verbose += 3
+        elif flag == "--vvvv":
+            opt.verbose += 4
+        elif flag == "--read.len.min":
+            opt.min_read_length = abs(int(val))
+        elif flag == "--read.complexity.min":
+            opt.min_read_complexity = float(val)
+        elif flag == "--max-results":
+            opt.max_num_match = int(abs(float(val)))
+        elif flag == "--retry":
+            opt.max_retry = abs(int(val))
+        elif flag == "--slice":
+            opt.slice_index = abs(int(val))
+        elif flag == "--of":
+            opt.num_slice = abs(int(val))
+        elif flag == "--device":
+            opt.use_device = True
+        elif flag in ("-h", "-?"):
+            usage()
+            return 0
+        elif flag == "--search-by-align":
+            print("Currently, SriRachA only supports search by kmer", file=sys.stderr)
+            return 1
+        elif flag == "--search-by-bloom":
+            print("Currently, SriRachA only supports search by kmer", file=sys.stderr)
+            return 1
+
+    opt.sra_accession = list(args)
+
+    if opt.min_valid_kmer == 0:
+        print("Please specify: 0 < minimum number of valid kmers", file=sys.stderr)
+        return 1
+    if opt.max_num_match == 0:
+        print("Please specify: 0 < max number of matches to report", file=sys.stderr)
+        return 1
+    if not MIN_KMER_LEN <= opt.kmer_len <= MAX_KMER_LEN:
+        print(f"Please specify: {MIN_KMER_LEN} <= kmer length <= {MAX_KMER_LEN}", file=sys.stderr)
+        return 1
+    if not 0.0 < opt.kmer_match_threshold <= 1.0:
+        print("Please specify: 0.0 < kmer match threshold <= 1.0", file=sys.stderr)
+        return 1
+    if opt.slice_index >= opt.num_slice:
+        print("Please specify: slice index < number of slices", file=sys.stderr)
+        return 1
+    if not opt.input_sequence_files:
+        print("Please specify at least one input sequence file (-i)", file=sys.stderr)
+        return 1
+
+    out = open(opt.output_filename, "w") if opt.output_filename else sys.stdout
+    try:
+        subject_kmers = load_subject_kmers(
+            opt.input_sequence_files, opt.kmer_len, opt.verbose
+        )
+
+        accessions = list(opt.sra_accession)
+        if opt.sra_accession_filename:
+            with open(opt.sra_accession_filename) as f:
+                accessions += f.read().split()
+        if not accessions:
+            accessions = sys.stdin.read().split()
+
+        failed = False
+        for acc in accessions:
+            if opt.verbose >= NORMAL:
+                print(f"Searching {acc} ... ", end="", file=sys.stderr)
+            t0 = time.time()
+            stats = StreamStats()
+            try:
+                results = search_accession(acc, subject_kmers, opt, stats)
+            except OSError as e:
+                print(f"Unable to download SRA accession: {acc} ({e})", file=sys.stderr)
+                out.write(f"{acc}\tNA\t0\tDownload failed\n")
+                failed = True
+                continue
+            out.write(format_results(acc, subject_kmers, results))
+            dt = time.time() - t0
+            if opt.verbose >= NORMAL:
+                print(
+                    f"complete in {dt:g} sec; {stats.num_reads} reads and "
+                    f"{stats.num_bases} bases; "
+                    f"{stats.num_bases / (max(1.0, dt) * 1.0e6):g} Mbp/sec",
+                    file=sys.stderr,
+                )
+
+        if not failed:
+            out.write("//\n")
+        print(f"Completed SRA streaming in {time.time() - start:g} sec", file=sys.stderr)
+    finally:
+        if opt.output_filename:
+            out.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,170 @@
+"""TPU batch path for SriRachA per-read search.
+
+Reads are padded into [batch, max_len] uint8 blocks and k-merized,
+deduplicated (lexicographic sort + neighbor compare) and intersected with
+the query k-mer sets entirely on device; the scalar gates, thresholding,
+perfect-match culling and ordering are applied on host from the returned
+integer counts so results are bit-identical to the sequential engine.
+
+K-mers fit a single uint32 lane for k <= 15 (sriracha's domain: the
+default confirmation k is 11); longer k falls back to the host engine.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .engine import SearchMatch, SrirachaOptions, StreamStats
+
+_SENTINEL = jnp.uint32(0xFFFFFFFF)
+MAX_DEVICE_K = 15
+
+
+def _encode(ascii_u8):
+    x = ascii_u8.astype(jnp.int32)
+    code = jnp.zeros_like(x)
+    valid = jnp.zeros_like(x, dtype=bool)
+    for chars, value in (((65, 97), 0), ((67, 99), 1), ((71, 103), 2), ((84, 116), 3)):
+        hit = (x == chars[0]) | (x == chars[1])
+        code = jnp.where(hit, value, code)
+        valid = valid | hit
+    return code.astype(jnp.uint32), valid
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _read_batch_kernel(reads: jax.Array, lengths: jax.Array, subjects: jax.Array, k: int):
+    """reads uint8 [B, L]; lengths int32 [B]; subjects uint32 [NS, Smax] padded
+    with the sentinel. Returns (counts int32 [B, NS], num_kmer int32 [B],
+    num_unique int32 [B])."""
+    B, L = reads.shape
+    nwin = L - k + 1
+    codes, base_valid = _encode(reads)
+    comp = jnp.uint32(3) - codes
+
+    pos = jnp.arange(L)
+    base_valid = base_valid & (pos[None, :] < lengths[:, None])
+
+    iv = (~base_valid).astype(jnp.int32)
+    cs = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), jnp.cumsum(iv, axis=1)], axis=1)
+    win_valid = (cs[:, k:] - cs[:, :-k]) == 0
+    win_valid = win_valid & (jnp.arange(nwin)[None, :] + k <= lengths[:, None])
+
+    sense = jnp.zeros((B, nwin), jnp.uint32)
+    anti = jnp.zeros((B, nwin), jnp.uint32)
+    top = 2 * (k - 1)
+    for j in range(k):
+        cj = jax.lax.dynamic_slice_in_dim(codes, j, nwin, axis=1)
+        pj = jax.lax.dynamic_slice_in_dim(comp, j, nwin, axis=1)
+        sense = (sense << 2) | cj
+        anti = (anti >> 2) | (pj << top)
+    sense = sense & jnp.uint32((1 << (2 * k)) - 1)
+    canon = jnp.minimum(sense, anti)
+
+    canon = jnp.where(win_valid, canon, _SENTINEL)
+    sorted_k = jnp.sort(canon, axis=1)
+    s_valid = sorted_k != _SENTINEL
+    prev = jnp.concatenate([jnp.full((B, 1), _SENTINEL), sorted_k[:, :-1]], axis=1)
+    uniq_mask = s_valid & (sorted_k != prev)
+
+    num_kmer = win_valid.sum(axis=1).astype(jnp.int32)
+    num_unique = uniq_mask.sum(axis=1).astype(jnp.int32)
+
+    def per_subject(subject):
+        pos = jnp.searchsorted(subject, sorted_k)
+        pos = jnp.minimum(pos, subject.shape[0] - 1)
+        found = (subject[pos] == sorted_k) & uniq_mask
+        return found.sum(axis=1).astype(jnp.int32)
+
+    counts = jax.vmap(per_subject)(subjects)  # [NS, B]
+    return counts.T, num_kmer, num_unique
+
+
+def search_reads_device(
+    read_iter,
+    subject_kmers: list[tuple[str, np.ndarray]],
+    opt: SrirachaOptions,
+    stats: StreamStats | None = None,
+    batch_size: int = 512,
+) -> list[list[SearchMatch]]:
+    """Device-batched equivalent of engine.search_reads (bit-identical output)."""
+    if opt.kmer_len > MAX_DEVICE_K:
+        from .engine import search_reads
+
+        return search_reads(read_iter, subject_kmers, opt, stats)
+
+    ns = len(subject_kmers)
+    smax = max((s.size for _, s in subject_kmers), default=1)
+    subjects = np.full((ns, smax), 0xFFFFFFFF, dtype=np.uint32)
+    for i, (_, s) in enumerate(subject_kmers):
+        subjects[i, : s.size] = s.astype(np.uint32)
+    subjects_dev = jnp.asarray(subjects)
+
+    reads = list(read_iter)
+    results: list[list[SearchMatch]] = [[] for _ in range(ns)]
+    num_perfect = [0] * ns
+    if not reads:
+        return results
+
+    # Bucket by padded length so jit recompiles only per bucket size.
+    def pad_len(n):
+        p = 64
+        while p < n:
+            p *= 2
+        return p
+
+    order = np.arange(len(reads))
+    buckets: dict[int, list[int]] = {}
+    for i, (seq, _, _) in enumerate(reads):
+        if stats is not None:
+            stats.num_reads += 1
+            stats.num_bases += len(seq)
+        buckets.setdefault(pad_len(max(len(seq), opt.kmer_len)), []).append(i)
+
+    counts = np.zeros((len(reads), ns), dtype=np.int64)
+    nk = np.zeros(len(reads), dtype=np.int64)
+    nu = np.zeros(len(reads), dtype=np.int64)
+    for L, idxs in sorted(buckets.items()):
+        for start in range(0, len(idxs), batch_size):
+            chunk = idxs[start : start + batch_size]
+            block = np.zeros((len(chunk), L), dtype=np.uint8)
+            lengths = np.zeros(len(chunk), dtype=np.int32)
+            for r, i in enumerate(chunk):
+                seq = reads[i][0]
+                block[r, : len(seq)] = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+                lengths[r] = len(seq)
+            c, k_, u_ = _read_batch_kernel(
+                jnp.asarray(block), jnp.asarray(lengths), subjects_dev, opt.kmer_len
+            )
+            counts[chunk] = np.asarray(c)
+            nk[chunk] = np.asarray(k_)
+            nu[chunk] = np.asarray(u_)
+
+    # Sequential gates + accumulation (preserves the engine's exact
+    # perfect-match early-skip and intermediate-cull semantics).
+    for i, (seq, ridx, sidx) in enumerate(reads):
+        if len(seq) < opt.min_read_length or nk[i] < opt.min_valid_kmer:
+            continue
+        if np.float32(nu[i]) / np.float32(nk[i]) < np.float32(opt.min_read_complexity):
+            continue
+        for s in range(ns):
+            if num_perfect[s] >= opt.max_num_match:
+                continue
+            score = np.float32(counts[i, s]) / np.float32(nu[i])
+            if score >= np.float32(opt.kmer_match_threshold):
+                bucket = results[s]
+                bucket.append(SearchMatch(ridx, sidx, float(score), seq))
+                if score == 1.0:
+                    num_perfect[s] += 1
+                if opt.max_num_match > 0 and len(bucket) > 10 * opt.max_num_match:
+                    bucket.sort(key=SearchMatch.sort_key)
+                    del bucket[opt.max_num_match :]
+
+    for bucket in results:
+        bucket.sort(key=SearchMatch.sort_key)
+        if opt.max_num_match > 0 and len(bucket) > opt.max_num_match:
+            del bucket[opt.max_num_match :]
+    return results

@@ -1,0 +1,265 @@
+"""SriRachA-style per-read k-mer confirmation search (host engine).
+
+Per read (SriRachA/search_by_kmer.cpp:14-135): extract canonical k-mers,
+apply the minimum-length / minimum-k-mer / complexity gates, intersect the
+read's unique k-mer set with each query ("subject") k-mer set via binary
+search, score = |intersection| / |unique read k-mers| (float32), and keep
+matches with score >= threshold, culled to the top max_num_match by
+(score desc, read_index asc, subindex asc).
+
+Read sources here are local FASTA/FASTQ files (the reference's local-file
+path, sra_stream.cpp:585-719: 1-based read indices, 1-based fragment
+subindices). Range sharding follows assign_read_range
+(sra_stream.cpp:525-543) for both --slice/--of and multi-worker splits;
+the TPU data-parallel batch path lives in kwage_tpu.sriracha.device.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Iterable
+
+import numpy as np
+
+from ..core.words import canonical_kmers
+from ..io.sequence import iter_sequences
+
+# Verbosity levels (sriracha.h:24-30)
+SILENT, TACITERN, NORMAL, CHATTY = 0, 1, 2, 3
+
+MIN_KMER_LEN = 3
+MAX_KMER_LEN = 32
+DEFAULT_KMER_LENGTH = 11
+DEFAULT_KMER_MATCH_THRESHOLD = 0.8
+DEFAULT_MIN_READ_COMPLEXITY = 0.75
+DEFAULT_MIN_VALID_KMER = 1
+DEFAULT_MIN_READ_LENGTH = 0
+DEFAULT_MAX_MATCH = 100
+
+
+@dataclass
+class SrirachaOptions:
+    input_sequence_files: list[str] = field(default_factory=list)
+    output_filename: str = ""
+    sra_accession: list[str] = field(default_factory=list)
+    sra_accession_filename: str = ""
+    kmer_len: int = DEFAULT_KMER_LENGTH
+    kmer_match_threshold: float = DEFAULT_KMER_MATCH_THRESHOLD
+    min_read_complexity: float = DEFAULT_MIN_READ_COMPLEXITY
+    min_read_length: int = DEFAULT_MIN_READ_LENGTH
+    min_valid_kmer: int = DEFAULT_MIN_VALID_KMER
+    max_num_match: int = DEFAULT_MAX_MATCH
+    max_retry: int = 0
+    slice_index: int = 0
+    num_slice: int = 1
+    verbose: int = SILENT
+    use_device: bool = False
+
+
+@dataclass
+class SearchMatch:
+    read_index: int
+    read_subindex: int
+    score: float
+    read_seq: str
+
+    def sort_key(self):
+        return (-self.score, self.read_index, self.read_subindex)
+
+
+@dataclass
+class StreamStats:
+    num_reads: int = 0
+    num_bases: int = 0
+
+
+def extract_sra_accession(path: str) -> str:
+    """Leaf path component up to the first punctuation (main.cpp:584-612)."""
+    end = len(path)
+    while end > 0 and path[end - 1] == os.sep:
+        end -= 1
+    if end == 0:
+        raise ValueError("unable to parse accession")
+    begin = end
+    while begin > 0 and path[begin - 1] != os.sep:
+        begin -= 1
+    stop = begin + 1
+    import string as _string
+
+    while stop < end and path[stop] not in _string.punctuation:
+        stop += 1
+    return path[begin:stop]
+
+
+def assign_read_range(first_read: int, num_read: int, rank: int, ntasks: int) -> tuple[int, int]:
+    """Contiguous per-rank read slice [start, stop) (sra_stream.cpp:525-543)."""
+    chunk = (num_read - first_read + 1) // ntasks
+    start = first_read + chunk * rank
+    if rank == ntasks - 1:
+        chunk += (num_read - first_read + 1) % ntasks
+    return start, start + chunk
+
+
+def load_subject_kmers(files: Iterable[str], k: int, verbose: int = SILENT):
+    """Per-query (defline, sorted unique canonical k-mers) list (main.cpp:121-170)."""
+    import sys
+
+    out: list[tuple[str, np.ndarray]] = []
+    for path in files:
+        if verbose >= NORMAL:
+            print(f"Reading sequences from {path}", file=sys.stderr)
+        for defline, seq in iter_sequences(path):
+            kmers = np.unique(canonical_kmers(seq, k))
+            if verbose >= CHATTY:
+                print(f"\t{defline} has {kmers.size} unique kmers", file=sys.stderr)
+            if kmers.size == 0:
+                if verbose >= TACITERN:
+                    print(f"Did not extract any kmers from: {defline}", file=sys.stderr)
+                continue
+            out.append((defline, kmers))
+    return out
+
+
+def search_one_read(
+    seq: str,
+    read_index: int,
+    read_subindex: int,
+    subject_kmers: list[tuple[str, np.ndarray]],
+    results: list[list[SearchMatch]],
+    num_perfect: list[int],
+    opt: SrirachaOptions,
+) -> None:
+    """The per-read kernel (search_by_kmer.cpp:14-135)."""
+    if len(seq) < opt.min_read_length:
+        return
+    kmers = canonical_kmers(seq, opt.kmer_len)
+    num_kmer = kmers.size
+    if num_kmer < opt.min_valid_kmer:
+        return
+    uniq = np.unique(kmers)
+    num_unique = uniq.size
+    if np.float32(num_unique) / np.float32(num_kmer) < np.float32(opt.min_read_complexity):
+        return
+
+    for index, (_, subject) in enumerate(subject_kmers):
+        if num_perfect[index] >= opt.max_num_match:
+            continue
+        pos = np.searchsorted(subject, uniq)
+        pos = np.minimum(pos, subject.size - 1)
+        count = int((subject[pos] == uniq).sum())
+        score = np.float32(count) / np.float32(num_unique)
+        if score >= np.float32(opt.kmer_match_threshold):
+            bucket = results[index]
+            bucket.append(SearchMatch(read_index, read_subindex, float(score), seq))
+            if score == 1.0:
+                num_perfect[index] += 1
+            if opt.max_num_match > 0 and len(bucket) > 10 * opt.max_num_match:
+                bucket.sort(key=SearchMatch.sort_key)
+                del bucket[opt.max_num_match :]
+
+
+def iter_reads_range(path: str, rank: int, ntasks: int):
+    """Yield (seq, read_index, subindex) for this rank's contiguous range.
+
+    Local files use 1-based read indices and 1-based fragment subindices
+    (sra_stream.cpp:620-643); FASTA/FASTQ records are single-fragment.
+    """
+    reads = [seq for _, seq in iter_sequences(path)]
+    num_read = len(reads)
+    if num_read == 0:
+        return
+    start, stop = assign_read_range(1, num_read, rank, ntasks)
+    for i in range(start, stop):
+        yield reads[i - 1], i, 1
+
+
+def search_reads(
+    read_iter,
+    subject_kmers: list[tuple[str, np.ndarray]],
+    opt: SrirachaOptions,
+    stats: StreamStats | None = None,
+) -> list[list[SearchMatch]]:
+    """Run the per-read kernel over a read stream; returns per-subject
+    matches sorted + culled (main.cpp:452-459)."""
+    results: list[list[SearchMatch]] = [[] for _ in subject_kmers]
+    num_perfect = [0] * len(subject_kmers)
+    for seq, ridx, sidx in read_iter:
+        if stats is not None:
+            stats.num_reads += 1
+            stats.num_bases += len(seq)
+        search_one_read(seq, ridx, sidx, subject_kmers, results, num_perfect, opt)
+
+    for bucket in results:
+        bucket.sort(key=SearchMatch.sort_key)
+        if opt.max_num_match > 0 and len(bucket) > opt.max_num_match:
+            del bucket[opt.max_num_match :]
+    return results
+
+
+def merge_worker_results(
+    all_results: list[list[list[SearchMatch]]], opt: SrirachaOptions
+) -> list[list[SearchMatch]]:
+    """Rank-0 merge + re-sort + re-cull (main.cpp:462-531)."""
+    if not all_results:
+        return []
+    merged = [list(b) for b in all_results[0]]
+    for worker in all_results[1:]:
+        for i, bucket in enumerate(worker):
+            merged[i].extend(bucket)
+    for bucket in merged:
+        bucket.sort(key=SearchMatch.sort_key)
+        if opt.max_num_match > 0 and len(bucket) > opt.max_num_match:
+            del bucket[opt.max_num_match :]
+    return merged
+
+
+def format_results(
+    accession_path: str,
+    subject_kmers: list[tuple[str, np.ndarray]],
+    results: list[list[SearchMatch]],
+) -> str:
+    """TSV rendering (main.cpp:553-578): accession, read[.sub], score, seq, defline."""
+    accession = extract_sra_accession(accession_path)
+    out = []
+    for i, (defline, _) in enumerate(subject_kmers):
+        for m in results[i]:
+            idx = str(m.read_index)
+            if m.read_subindex > 0:
+                idx += f".{m.read_subindex}"
+            out.append(f"{accession}\t{idx}\t{m.score:g}\t{m.read_seq}\t{defline}\n")
+    return "".join(out)
+
+
+def search_accession(
+    accession_path: str,
+    subject_kmers: list[tuple[str, np.ndarray]],
+    opt: SrirachaOptions,
+    stats: StreamStats | None = None,
+) -> list[list[SearchMatch]]:
+    """Search one accession (a local FASTA/FASTQ file or directory).
+
+    With --of N / --slice i, only that shard of the read range is scanned;
+    otherwise the full range is processed (single worker).
+    """
+    path = accession_path
+    if os.path.isdir(path):
+        # directory containing <leaf>.fasta/.fastq etc (reference expects
+        # <leaf>.sra; for the file-based engine pick the first sequence file)
+        for name in sorted(os.listdir(path)):
+            if name.endswith((".fasta", ".fa", ".fna", ".fastq", ".fq",
+                              ".fasta.gz", ".fa.gz", ".fna.gz", ".fastq.gz", ".fq.gz")):
+                path = os.path.join(path, name)
+                break
+
+    if opt.use_device:
+        from .device import search_reads_device
+
+        return search_reads_device(
+            iter_reads_range(path, opt.slice_index, opt.num_slice),
+            subject_kmers, opt, stats,
+        )
+    return search_reads(
+        iter_reads_range(path, opt.slice_index, opt.num_slice),
+        subject_kmers, opt, stats,
+    )

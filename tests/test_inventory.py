@@ -1,0 +1,224 @@
+"""sra_inventory pipeline over a synthetic NCBI metadata tarball, plus
+manual_db status patching and the bff factory rig."""
+
+import io
+import os
+import tarfile
+
+import numpy as np
+import pytest
+
+from kwage_tpu.core import Date, FilterInfo, accession_to_str, str_to_accession
+from kwage_tpu.io.inventory import read_inventory
+from kwage_tpu.pipeline.inventory import (
+    InventoryFilters,
+    build_inventory,
+    parse_sra_metadata,
+)
+
+
+def _add(tf, name, text):
+    data = text.encode()
+    ti = tarfile.TarInfo(name)
+    ti.size = len(data)
+    tf.addfile(ti, io.BytesIO(data))
+
+
+@pytest.fixture()
+def metadata_tar(tmp_path):
+    """A miniature NCBI SRA metadata archive."""
+    path = tmp_path / "NCBI_SRA_Metadata.tar.gz"
+    header = "\t".join(
+        ["Accession", "Submission", "Status", "Updated", "Published", "Received",
+         "Type", "Center", "Visibility", "Alias", "Experiment", "Sample", "Study",
+         "Loaded", "Spots", "Bases"]
+    )
+
+    def run_row(acc, status, received, exp, samp, study, spots, bases, vis="public", center="LANL"):
+        return "\t".join(
+            [acc, "SUB1", status, "2020-01-01", "2020-01-02", received, "RUN",
+             center, vis, "-", exp, samp, study, "1", str(spots), str(bases)]
+        )
+
+    tab = "\n".join([
+        header,
+        run_row("SRR0000001", "live", "2019-05-01T10:00:00Z", "SRX0000001", "SRS0000001", "SRP0000001", 10, 1000),
+        run_row("SRR0000002", "live", "2020-06-15T10:00:00Z", "SRX0000002", "SRS0000002", "SRP0000001", 20, 2000),
+        run_row("SRR0000003", "suppressed", "2020-06-15T10:00:00Z", "SRX0000002", "SRS0000002", "SRP0000001", 5, 500),
+        run_row("SRR0000004", "live", "2021-01-01T10:00:00Z", "SRX0000003", "-", "-", 7, 700),
+        "\t".join(["SRX0000001", "SUB1", "live", "-", "-", "2019-05-01T10:00:00Z",
+                   "EXPERIMENT", "LANL", "public", "-", "-", "-", "-", "1", "-", "-"]),
+    ]) + "\n"
+
+    exp_xml = """<EXPERIMENT_SET>
+<EXPERIMENT accession="SRX0000001" alias="e1">
+<TITLE>Experiment one title</TITLE>
+<DESIGN_DESCRIPTION>shotgun design</DESIGN_DESCRIPTION>
+<LIBRARY_NAME>lib1</LIBRARY_NAME>
+<LIBRARY_STRATEGY>WGS</LIBRARY_STRATEGY>
+<LIBRARY_SOURCE>GENOMIC</LIBRARY_SOURCE>
+<LIBRARY_SELECTION>RANDOM</LIBRARY_SELECTION>
+<INSTRUMENT_MODEL>Illumina NovaSeq 6000</INSTRUMENT_MODEL>
+</EXPERIMENT>
+<EXPERIMENT accession="SRX0000002" alias="e2">
+<TITLE>Experiment two title</TITLE>
+<LIBRARY_STRATEGY>RNA-Seq</LIBRARY_STRATEGY>
+<LIBRARY_SOURCE>TRANSCRIPTOMIC</LIBRARY_SOURCE>
+</EXPERIMENT>
+<EXPERIMENT accession="SRX0000003" alias="e3">
+<TITLE>Controlled</TITLE>
+<EXTERNAL_ID namespace="dbgap">phs000000</EXTERNAL_ID>
+</EXPERIMENT>
+</EXPERIMENT_SET>
+"""
+    sample_xml = """<SAMPLE_SET>
+<SAMPLE accession="SRS0000001" alias="s1">
+<SCIENTIFIC_NAME>Escherichia coli</SCIENTIFIC_NAME>
+<SAMPLE_ATTRIBUTE>
+<TAG>isolation_source</TAG>
+<VALUE>soil</VALUE>
+</SAMPLE_ATTRIBUTE>
+<SAMPLE_ATTRIBUTE>
+<TAG>BioSampleModel</TAG>
+<VALUE>Microbe</VALUE>
+</SAMPLE_ATTRIBUTE>
+</SAMPLE>
+</SAMPLE_SET>
+"""
+    study_xml = """<STUDY_SET>
+<STUDY accession="SRP0000001" alias="p1">
+<STUDY_TITLE>A study of things</STUDY_TITLE>
+<STUDY_ABSTRACT>We studied the things.</STUDY_ABSTRACT>
+</STUDY>
+</STUDY_SET>
+"""
+    with tarfile.open(path, "w:gz") as tf:
+        _add(tf, "SRA_Accessions.tab", tab)
+        _add(tf, "SUB1/SUB1.experiment.xml", exp_xml)
+        _add(tf, "SUB1/SUB1.sample.xml", sample_xml)
+        _add(tf, "SUB1/SUB1.study.xml", study_xml)
+    return str(path)
+
+
+def test_parse_metadata(metadata_tar):
+    db, attrs = parse_sra_metadata(metadata_tar, verbose=False)
+    # suppressed SRR0000003 dropped at the tab stage
+    accs = [accession_to_str(r.run_accession) for r in db]
+    assert accs == ["SRR0000001", "SRR0000002", "SRR0000004"]
+
+    r1 = db[0]
+    assert r1.experiment_title == "Experiment one title"
+    assert r1.experiment_library_strategy == "WGS"
+    assert r1.experiment_library_source == "GENOMIC"
+    assert r1.experiment_instrument_model == "Illumina NovaSeq 6000"
+    assert r1.sample_taxa == "Escherichia coli"
+    assert r1.study_title == "A study of things"
+    assert r1.study_abstract == "We studied the things."
+    assert r1.number_of_spots == 10 and r1.number_of_bases == 1000
+    assert r1.date_received == Date(1, 5, 2019)
+    # Center column becomes a sample attribute
+    assert r1.sample_attributes == {"Center": "LANL"}
+    # dbgap-linked experiment marks the run invalid
+    assert db[2].valid is False
+    # sample attributes accumulate per sample accession, BioSampleModel excluded
+    assert attrs[str_to_accession("SRS0000001")] == {"isolation_source": "soil"}
+
+
+def test_build_inventory_with_filters(metadata_tar, tmp_path):
+    out = tmp_path / "inv.bin"
+    n = build_inventory(
+        metadata_tar, str(out),
+        InventoryFilters(required_strategy={"WGS"}),
+        verbose=False,
+    )
+    assert n == 1
+    infos = read_inventory(str(out))
+    assert accession_to_str(infos[0].run_accession) == "SRR0000001"
+    # injected sample attributes include both Center and the XML attribute
+    assert infos[0].sample_attributes == {"Center": "LANL", "isolation_source": "soil"}
+
+
+def test_build_inventory_date_filter(metadata_tar, tmp_path):
+    out = tmp_path / "inv.bin"
+    n = build_inventory(
+        metadata_tar, str(out),
+        InventoryFilters(begin_date=Date(1, 1, 2020)),
+        verbose=False,
+    )
+    infos = read_inventory(str(out))
+    assert [accession_to_str(i.run_accession) for i in infos] == ["SRR0000002"]
+    assert n == 1
+
+
+def test_inventory_sorted_by_bases(metadata_tar, tmp_path):
+    out = tmp_path / "inv.bin"
+    build_inventory(metadata_tar, str(out), verbose=False)
+    infos = read_inventory(str(out))
+    bases = [i.number_of_bases for i in infos]
+    assert bases == sorted(bases)
+
+
+def test_manual_db(metadata_tar, tmp_path, data_dir, golden_dir):
+    """manual_db marks a database's accessions DATABASE_SUCCESS."""
+    import json
+
+    from kwage_tpu.cli.manual_db import main as manual_db_main
+    from kwage_tpu.core import FilterInfo
+    from kwage_tpu.io.inventory import write_inventory
+    from kwage_tpu.io.bloom_file import read_bloom_file, write_bloom_file
+    from kwage_tpu.io.status import read_status_file
+    from kwage_tpu.pipeline import BuildOptions, build_bloom_from_file, build_db_from_bloom_files
+
+    with open(golden_dir / "e2e" / "manifest.json") as f:
+        manifest = json.load(f)
+    opts = BuildOptions(
+        kmer_len=manifest["k"], min_kmer_count=manifest["min_kmer_count"],
+        false_positive_probability=manifest["fp"],
+        min_log_2_filter_len=manifest["minL"], max_log_2_filter_len=manifest["maxL"],
+        min_log_2_count_len=manifest["minLc"], max_log_2_count_len=manifest["maxLc"],
+    )
+    group = manifest["db_groups"][2]
+    blooms = []
+    for acc in group:
+        rec = build_bloom_from_file(
+            str(data_dir / f"{acc}.fasta"), opts,
+            FilterInfo(run_accession=str_to_accession(acc)))
+        p = tmp_path / f"{acc}.bloom"
+        write_bloom_file(str(p), rec)
+        blooms.append(str(p))
+    param = read_bloom_file(blooms[0], with_bits=False).param
+    db_path = tmp_path / "x.db"
+    build_db_from_bloom_files(str(db_path), param, blooms)
+
+    inv = tmp_path / "inv.bin"
+    write_inventory(str(inv), [
+        FilterInfo(run_accession=str_to_accession(a)) for a in manifest["accessions"]
+    ])
+    status_path = tmp_path / "status.bin"
+    rc = manual_db_main(["-d", str(db_path), "-s", str(status_path), "--meta", str(inv)])
+    assert rc == 0
+    status, _ = read_status_file(str(status_path), len(manifest["accessions"]))
+    # accessions sorted; group members marked 17, everyone else INIT
+    sorted_accs = sorted(manifest["accessions"])
+    for i, acc in enumerate(sorted_accs):
+        assert status[i] == (17 if acc in group else 1), acc
+
+
+def test_bff(tmp_path, data_dir, golden_dir, capsys):
+    import json
+
+    from kwage_tpu.cli.bff import main as bff_main
+
+    with open(golden_dir / "e2e" / "manifest.json") as f:
+        manifest = json.load(f)
+    acc = manifest["accessions"][0]
+    rc = bff_main([
+        "-k", str(manifest["k"]), "--min-kmer-count", str(manifest["min_kmer_count"]),
+        "--len.min", str(manifest["minL"]), "--len.max", str(manifest["maxL"]),
+        "--count-len.min", str(manifest["minLc"]), "--count-len.max", str(manifest["maxLc"]),
+        "-o", str(tmp_path), "--source-dir", str(data_dir), acc,
+    ])
+    assert rc == 0
+    assert (tmp_path / f"{acc}.bloom").exists()
+    err = capsys.readouterr().err
+    assert "L=13" in err and "crc32=237c27cb" in err

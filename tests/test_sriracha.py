@@ -1,0 +1,83 @@
+"""SriRachA per-read search: host + device engines vs reference oracle TSV."""
+
+import io
+import sys
+
+import pytest
+
+from kwage_tpu.cli.sriracha import main as sriracha_main
+
+CASES = [
+    "11_0.4_1_0.5_0_100_0_1",
+    "11_0.8_1_0.75_0_100_0_1",
+    "7_0.6_3_0.6_50_5_0_1",
+    "11_0.4_1_0.5_0_100_1_3",
+    "11_0.4_1_0.5_0_100_2_3",
+    "15_0.3_1_0.5_0_100_0_1",
+]
+
+
+def _args(case, data_dir, device=False):
+    k, t, n, c, minlen, maxm, sl, of = case.split("_")
+    args = [
+        "-k", k, "-t", t, "-n", n,
+        "--read.complexity.min", c,
+        "--read.len.min", minlen,
+        "--max-results", maxm,
+        "-i", str(data_dir / "sriracha_queries.fasta"),
+    ]
+    if of != "1":
+        args += ["--slice", sl, "--of", of]
+    if device:
+        args += ["--device"]
+    args += [str(data_dir / "sriracha_reads.fasta")]
+    return args
+
+
+def _run(args, tmp_path):
+    out = tmp_path / "out.tsv"
+    rc = sriracha_main(args + ["-o", str(out)])
+    assert rc == 0
+    return out.read_text()
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_host_engine_matches_oracle(case, data_dir, golden_dir, tmp_path):
+    got = _run(_args(case, data_dir), tmp_path)
+    want = (golden_dir / "sriracha" / f"{case}.tsv").read_text()
+    # The oracle prints file-stem accessions differently; normalize col 0.
+    def norm(text):
+        return [
+            "\t".join(["ACC"] + line.split("\t")[1:]) if "\t" in line else line
+            for line in text.splitlines()
+        ]
+    assert norm(got) == norm(want), case
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_device_engine_matches_oracle(case, data_dir, golden_dir, tmp_path):
+    k = int(case.split("_")[0])
+    if k > 15:
+        pytest.skip("device path covers k <= 15")
+    got = _run(_args(case, data_dir, device=True), tmp_path)
+    want = (golden_dir / "sriracha" / f"{case}.tsv").read_text()
+    def norm(text):
+        return [
+            "\t".join(["ACC"] + line.split("\t")[1:]) if "\t" in line else line
+            for line in text.splitlines()
+        ]
+    assert norm(got) == norm(want), case
+
+
+def test_slices_cover_full_range(data_dir, golden_dir, tmp_path):
+    """Union of 3 slices == full-range result set (order within slices)."""
+    full = _run(_args("11_0.4_1_0.5_0_100_0_1", data_dir), tmp_path)
+    parts = []
+    for sl in range(3):
+        case = f"11_0.4_1_0.5_0_100_{sl}_3"
+        parts.append(_run(_args(case, data_dir), tmp_path))
+    full_lines = set(l for l in full.splitlines() if l != "//")
+    part_lines = set()
+    for p in parts:
+        part_lines |= set(l for l in p.splitlines() if l != "//")
+    assert part_lines == full_lines
