@@ -36,9 +36,16 @@ def main() -> None:
     NQ, NK, NH = 8, 1024, 5
     ITERS = 30
 
+    # Generate the 1 GiB database ON DEVICE: host RNG + the tunnel transfer
+    # cost ~60 s and measure nothing (the real pipeline writes the matrix
+    # once and queries it many times).
+    key = jax.random.key(0)
+    db = jax.jit(
+        lambda k: jax.random.bits(k, (1 << LOG2_L, W), dtype=jnp.uint32)
+    )(key)
+    db.block_until_ready()
+
     rng = np.random.default_rng(0)
-    db_host = rng.integers(0, 1 << 32, size=(1 << LOG2_L, W), dtype=np.uint32)
-    db = jnp.asarray(db_host)
     idx = jnp.asarray(
         rng.integers(0, 1 << LOG2_L, size=(NQ, NK, NH), dtype=np.int32)
     )
@@ -55,7 +62,12 @@ def main() -> None:
     tpu_rate = NQ * NK * ITERS / dt
 
     # Host (single-core numpy) baseline on a smaller sample, same reduction.
-    h_idx = np.asarray(idx[:1, :256])
+    # A 2^19-row host matrix (128 MiB, well past L3) keeps the host gather
+    # memory-bound like the full matrix would be, without the 30 s host-RNG
+    # cost of materializing all 1 GiB on CPU.
+    H_LOG2 = 19
+    db_host = rng.integers(0, 1 << 32, size=(1 << H_LOG2, W), dtype=np.uint32)
+    h_idx = np.asarray(idx[:1, :256]) & ((1 << H_LOG2) - 1)
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
