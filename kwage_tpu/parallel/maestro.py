@@ -33,6 +33,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..core.accession import accession_to_str
+from ..utils.mem_usage import memory_usage
 from ..core.hash import MURMUR_HASH_32
 from ..core.info import FilterInfo
 from ..core.params import (
@@ -414,7 +415,8 @@ class Maestro:
                             self.status[idx] = STATUS_BLOOM_SUCCESS
                             self._log(
                                 f"[maestro] bloom {self.accessions[idx]} ok "
-                                f"(L={param.log_2_filter_len}, h={param.num_hash}) in {dt:.2f}s"
+                                f"(L={param.log_2_filter_len}, h={param.num_hash}) "
+                                f"in {dt:.2f}s (mem {100.0 * memory_usage():.1f}%)"
                             )
                         elif status == STATUS_BLOOM_INVALID:
                             self.status[idx] = STATUS_BLOOM_INVALID
@@ -439,7 +441,8 @@ class Maestro:
                         self._log(
                             f"[maestro] database {os.path.basename(db_path)} "
                             f"{STATUS_NAMES.get(status, status)} "
-                            f"({len(members)} filters) in {dt:.2f}s"
+                            f"({len(members)} filters) in {dt:.2f}s "
+                            f"(mem {100.0 * memory_usage():.1f}%)"
                         )
                         if status == STATUS_DATABASE_SUCCESS:
                             self.checkpoint(force=True)
