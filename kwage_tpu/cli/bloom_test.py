@@ -3,9 +3,12 @@
 The reference rig (bloom_test.cpp:37-443, GROUND_TRUTH path) streams one
 accession through the approximate two-plane counting filter AND an exact
 ``unordered_map<Word, count>`` tally, then reports per-bit differences.
-This is the accuracy oracle for the de-noising stage: every difference is
-a k-mer the conservative-update counting filter promoted early (a false
-positive of the counter -- it can never suppress a truly abundant k-mer).
+This is the accuracy oracle for the de-noising stage. Differences are
+almost always early promotions (counting-filter false positives); in
+rare aliasing cases the min-cell count can jump PAST the
+``== min_count-1`` crossing and suppress a truly abundant k-mer, so
+suppressions are reported separately (the reference's measured ~0.1%
+bit-difference notes, make_bloom.cpp:35-45, include both directions).
 
 Inputs here are local FASTA/FASTQ(.gz) files (SRA streaming is a
 pluggable source in this engine, see kwage_tpu.parallel.maestro). The
@@ -139,10 +142,7 @@ def main(argv: list[str] | None = None) -> int:
         f"{diff} ({100.0 * diff / max(1, plane_len):.6f}% of {plane_len} bits)"
     )
     missing = _popcount(np.bitwise_and(gt_filter, np.bitwise_not(approx_filter)))
-    if missing:
-        # The conservative counter can only over-promote, never suppress.
-        print(f"ERROR: {missing} ground-truth bits missing from the filter")
-        return 1
+    print(f"Suppressed ground-truth bits = {missing}")
     print(f"Completed in {dt:.2f} sec")
     return 0
 

@@ -168,6 +168,9 @@ class MaestroOptions:
     stream_sra: bool = True
     verbose: bool = False
     num_workers: int = 4
+    # TPU ingest mode: exact-count thresholding on device instead of the
+    # host counting-Bloom (see kwage_tpu.ops.counting).
+    device_build: bool = False
     # counting-filter clamp passthrough (tests shrink it)
     min_log_2_count_len: int = 18
     max_log_2_count_len: int = 32
@@ -274,7 +277,17 @@ class Maestro:
         if path is None:
             return idx, STATUS_DOWNLOAD_FAIL, None, time.time() - t0
         try:
-            rec = build_bloom_from_file(path, self.opt.build_options(), self.infos[idx])
+            if self.opt.device_build:
+                from ..io.sequence import iter_sequences
+                from ..pipeline.make_bloom import build_bloom_device
+
+                rec = build_bloom_device(
+                    (s for _, s in iter_sequences(path)),
+                    self.opt.build_options(),
+                    self.infos[idx],
+                )
+            else:
+                rec = build_bloom_from_file(path, self.opt.build_options(), self.infos[idx])
             write_bloom_file(self.bloom_path(idx), rec)
             status = STATUS_BLOOM_SUCCESS
             param = rec.param

@@ -132,6 +132,82 @@ def build_bloom_from_sequences(
     )
 
 
+def _pad_reads_to_batch(sequences: list[str], k: int) -> "np.ndarray":
+    """ASCII read batch padded with zeros (invalid windows) to a bucketed
+    common length -- bucketing bounds the number of distinct jit traces."""
+    max_len = max((len(s) for s in sequences), default=k)
+    bucket = max(128, ((max_len + 127) // 128) * 128)
+    batch = np.zeros((len(sequences), bucket), dtype=np.uint8)
+    for i, s in enumerate(sequences):
+        batch[i, : len(s)] = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+    return batch
+
+
+def build_bloom_device(
+    sequences: Iterable[str],
+    opts: BuildOptions,
+    info: FilterInfo,
+) -> BloomFilterRecord:
+    """TPU-path Bloom construction: exact-count thresholding on device.
+
+    Sort/segment-sum replaces the reference's scatter-heavy counting Bloom
+    (see kwage_tpu.ops.counting). Thresholding uses exact counts: output
+    is bit-identical to build_bloom_from_sequences whenever the counting
+    filter is collision-free over the input, and is the exact ground
+    truth otherwise (no counting-filter false promotions/suppressions).
+    """
+    import jax.numpy as jnp
+
+    from ..ops.counting import count_kmers_device, filter_words_to_bytes, set_filter_bits
+
+    sequences = [s for s in sequences if len(s) >= opts.kmer_len]
+    if not sequences:
+        raise BloomInvalid("no reads of length >= k")
+    num_bp = sum(len(s) for s in sequences)
+    batch = jnp.asarray(_pad_reads_to_batch(sequences, opts.kmer_len))
+
+    hi_s, lo_s, selected, num_valid = count_kmers_device(
+        batch, opts.kmer_len, opts.min_kmer_count
+    )
+    num_valid = int(num_valid)
+
+    max_kmers = approximate_max_kmers(
+        opts.false_positive_probability,
+        opts.hash_func,
+        opts.min_log_2_filter_len,
+        opts.max_log_2_filter_len,
+    )
+    if num_valid > max_kmers:
+        raise BloomInvalid(
+            f"k-mer count {num_valid} exceeds feasible maximum {max_kmers}"
+        )
+    try:
+        param = optimal_bloom_param(
+            opts.kmer_len,
+            num_valid,
+            opts.false_positive_probability,
+            opts.hash_func,
+            opts.min_log_2_filter_len,
+            opts.max_log_2_filter_len,
+        )
+    except ValueError as e:
+        raise BloomInvalid(str(e)) from e
+
+    words = set_filter_bits(
+        hi_s, lo_s, selected, opts.kmer_len, param.num_hash, param.log_2_filter_len
+    )
+    bits = filter_words_to_bytes(words)
+
+    info.number_of_bases = info.number_of_bases or num_bp
+    info.number_of_spots = info.number_of_spots or len(sequences)
+    return BloomFilterRecord(
+        param=param,
+        crc32=zlib.crc32(bits.tobytes()) & 0xFFFFFFFF,
+        info=info,
+        bits=bits,
+    )
+
+
 def build_bloom_from_file(
     path: str, opts: BuildOptions, info: FilterInfo | None = None
 ) -> BloomFilterRecord:

@@ -1,0 +1,90 @@
+"""Device exact-count thresholding vs the host/native parity path and
+exact ground truth (the TPU reformulation of make_bloom.cpp:506-621)."""
+
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from kwage_tpu.core import FilterInfo
+from kwage_tpu.core.words import canonical_kmers
+from kwage_tpu.native import murmur32_native
+from kwage_tpu.pipeline import BuildOptions
+from kwage_tpu.pipeline.make_bloom import (
+    build_bloom_device,
+    build_bloom_from_sequences,
+)
+
+
+@pytest.fixture(scope="module")
+def reads():
+    rng = np.random.default_rng(5)
+    uniq = ["".join(rng.choice(list("ACGT"), size=300)) for _ in range(10)]
+    # Some reads repeated 3x so min_count=3 has survivors; one with an N.
+    noisy = uniq[0][:120] + "N" + uniq[1][:100]
+    return uniq + uniq[:5] + uniq[:5] + [noisy]
+
+
+def _opts(min_count):
+    return BuildOptions(
+        kmer_len=31,
+        min_kmer_count=min_count,
+        false_positive_probability=0.25,
+        min_log_2_filter_len=14,
+        max_log_2_filter_len=20,
+        min_log_2_count_len=18,
+        max_log_2_count_len=20,
+    )
+
+
+def _exact_filter(reads, k, min_count, num_hash, log2_len):
+    counts = Counter()
+    for r in reads:
+        counts.update(canonical_kmers(r, k).tolist())
+    words = np.array(
+        sorted(w for w, c in counts.items() if c >= min_count), dtype=np.uint64
+    )
+    out = np.zeros((1 << log2_len) // 8, dtype=np.uint8)
+    if words.size:
+        h = murmur32_native(words, k, num_hash)
+        idx = (h & np.uint32((1 << log2_len) - 1)).reshape(-1).astype(np.uint64)
+        np.bitwise_or.at(
+            out, (idx >> 3).astype(np.int64), np.uint8(1) << (idx & 7).astype(np.uint8)
+        )
+    return words.shape[0], out
+
+
+@pytest.mark.parametrize("min_count", [1, 3])
+def test_device_build_matches_exact_ground_truth(reads, min_count):
+    rec = build_bloom_device(iter(reads), _opts(min_count), FilterInfo())
+    n_exact, gt = _exact_filter(
+        reads, 31, min_count, rec.param.num_hash, rec.param.log_2_filter_len
+    )
+    assert rec.bits.tobytes() == gt.tobytes()
+    assert rec.test_crc32()
+
+
+def test_device_matches_host_parity_path(reads):
+    # Collision-free counting filter => the reference algorithm is exact
+    # too and the two paths must agree bit for bit (param included).
+    opts = _opts(1)
+    dev = build_bloom_device(iter(reads), opts, FilterInfo())
+    host = build_bloom_from_sequences(iter(reads), opts, FilterInfo())
+    assert dev.param == host.param
+    assert dev.bits.tobytes() == host.bits.tobytes()
+
+
+def test_device_min_count_filters_noise(reads):
+    # min_count=3: only the 3x-repeated reads' k-mers survive.
+    rec = build_bloom_device(iter(reads), _opts(3), FilterInfo())
+    n_exact, _ = _exact_filter(reads, 31, 3, rec.param.num_hash, rec.param.log_2_filter_len)
+    assert n_exact > 0
+    # Every surviving k-mer must be found by a membership probe.
+    counts = Counter()
+    for r in reads:
+        counts.update(canonical_kmers(r, 31).tolist())
+    words = np.array([w for w, c in counts.items() if c >= 3], dtype=np.uint64)
+    h = murmur32_native(words, 31, rec.param.num_hash)
+    idx = h & np.uint32(rec.param.filter_len - 1)
+    bits = np.unpackbits(rec.bits, bitorder="little")
+    assert bits[idx.reshape(-1)].all()

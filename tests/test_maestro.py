@@ -82,6 +82,25 @@ def test_full_run_produces_reference_databases(manifest, data_dir, golden_dir, t
     assert (status == STATUS_DATABASE_SUCCESS).all()
 
 
+def test_device_build_produces_reference_databases(manifest, data_dir, golden_dir, tmp_path):
+    """The TPU ingest path (exact-count thresholding on device) reproduces
+    the golden reference databases byte-for-byte on this corpus: the
+    counting filter is collision-free here, so the reference's
+    approximation and the exact count agree."""
+    _write_inventory(manifest, tmp_path)
+    opt = _options(manifest, tmp_path, device_build=True)
+    m = Maestro(opt, LocalFastaResolver(str(data_dir)))
+    m.restore()
+    m.run()
+
+    assert all(s == STATUS_DATABASE_SUCCESS for s in m.status), m.summary()
+    with open(golden_dir / "e2e" / "digests.json") as f:
+        digests = json.load(f)
+    for gi in range(len(manifest["db_groups"])):
+        got = _sha(tmp_path / "db" / f"sra.{gi}.db")
+        assert got == digests[f"sra.{gi}.db"], f"sra.{gi}.db differs"
+
+
 def test_restart_resumes_and_completes(manifest, data_dir, golden_dir, tmp_path):
     """Interrupt after a few downloads; a fresh Maestro resumes from the
     checkpoint and converges to the same final databases."""
