@@ -4,17 +4,26 @@ search kernel on one chip.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The workload: a 2**22-row signature matrix packed for 2048 filters (the
-reference's MAX_NUM_FILTER_CHUNK per database file, 1 GiB in HBM), batched
-queries of 1024 unique 31-mers each, 5 hash seeds (MAX_NUM_HASH, the most
-expensive legal configuration). One "k-mer query" = 5 slice-row probes +
-an AND-reduce + hit accumulation across all 2048 filters.
+Workload: a 2**22-row signature matrix fused 4 database files wide
+(4 x 2048 filters = 256 uint32 words per slice row, 4 GiB in HBM -- fusing
+same-shape shards amortizes the per-row gather cost, the dominant term),
+batched queries of 1024 unique 31-mers each, 5 hash seeds (MAX_NUM_HASH,
+the most expensive legal configuration). One "k-mer query" = 5 slice-row
+probes + AND across seeds + hit-count accumulation over ONE 2048-filter
+database file (the reference's unit of search work, kwage.cpp:404-433);
+the fused kernel completes 4 of them per gathered row.
+
+Timing is device-chained: N dependent kernel iterations run inside one
+jit (indices perturbed per iteration so nothing hoists), timed by the
+slope between two N values with a final host readback -- dispatch latency
+and the host<->device tunnel never enter the measurement.
 
 ``vs_baseline`` is measured in-run against the host (numpy, single core)
-engine on the same database -- the same algorithm the reference kwage
-binary executes per file with an in-memory matrix (its disk-seek path is
-strictly slower). The reference publishes no absolute numbers
-(BASELINE.md), so the CPU-oracle-equivalent is the denominator.
+engine on the same workload -- the same algorithm the reference kwage
+binary executes per file with an in-memory matrix (its per-(k-mer, seed)
+disk-seek path, kwage.cpp:404-433, is strictly slower). The reference
+publishes no absolute numbers (BASELINE.md), so the CPU-oracle-equivalent
+is the denominator.
 """
 
 from __future__ import annotations
@@ -24,6 +33,11 @@ import time
 
 import numpy as np
 
+LOG2_L = 22
+FILES = 4              # same-shape database files fused side by side
+W = 64 * FILES         # uint32 words per slice row (2048 filters per file)
+NQ, NK, NH = 8, 1024, 5
+
 
 def main() -> None:
     import jax
@@ -31,47 +45,56 @@ def main() -> None:
 
     from kwage_tpu.ops.search import search_counts
 
-    LOG2_L = 22
-    W = 64                 # 2048 filters / 32 bits per word
-    NQ, NK, NH = 8, 1024, 5
-    ITERS = 30
-
-    # Generate the 1 GiB database ON DEVICE: host RNG + the tunnel transfer
-    # cost ~60 s and measure nothing (the real pipeline writes the matrix
-    # once and queries it many times).
+    # Generate the 4 GiB database ON DEVICE: host RNG + the tunnel transfer
+    # would cost minutes and measure nothing (the real pipeline writes the
+    # matrix once and queries it many times).
     key = jax.random.key(0)
     db = jax.jit(
         lambda k: jax.random.bits(k, (1 << LOG2_L, W), dtype=jnp.uint32)
     )(key)
-    db.block_until_ready()
 
     rng = np.random.default_rng(0)
     idx = jnp.asarray(
         rng.integers(0, 1 << LOG2_L, size=(NQ, NK, NH), dtype=np.int32)
     )
     valid = jnp.ones((NQ, NK), dtype=bool)
+    mask = jnp.int32((1 << LOG2_L) - 1)
 
-    fn = jax.jit(search_counts)
-    fn(db, idx, valid).block_until_ready()  # compile + warm
+    @jax.jit
+    def chained(db, idx, valid, n):
+        def body(i, acc):
+            ix = (idx + i) & mask
+            return acc + search_counts(db, ix, valid).sum(dtype=jnp.int32)
+        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(db, idx, valid)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    tpu_rate = NQ * NK * ITERS / dt
+    np.asarray(chained(db, idx, valid, 1))  # compile + warm
 
-    # Host (single-core numpy) baseline on a smaller sample, same reduction.
-    # A 2^19-row host matrix (128 MiB, well past L3) keeps the host gather
-    # memory-bound like the full matrix would be, without the 30 s host-RNG
-    # cost of materializing all 1 GiB on CPU.
-    H_LOG2 = 19
-    db_host = rng.integers(0, 1 << 32, size=(1 << H_LOG2, W), dtype=np.uint32)
+    def measure(n_lo: int, n_hi: int) -> float:
+        res = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(chained(db, idx, valid, n_lo))
+            lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            np.asarray(chained(db, idx, valid, n_hi))
+            hi = time.perf_counter() - t0
+            res.append((hi - lo) / (n_hi - n_lo))
+        return sorted(res)[1]  # median
+
+    per_iter = measure(2, 34)
+    tpu_rate = NQ * NK * FILES / per_iter  # 2048-filter file-equivalents
+
+    # Host (single-core numpy) baseline, same reduction on one 2048-filter
+    # file. A 2^19-row host matrix (128 MiB, well past L3) keeps the host
+    # gather memory-bound like the full matrix would be, without the 30 s
+    # host-RNG cost of materializing gigabytes on CPU.
+    H_LOG2, HW = 19, 64
+    db_host = rng.integers(0, 1 << 32, size=(1 << H_LOG2, HW), dtype=np.uint32)
     h_idx = np.asarray(idx[:1, :256]) & ((1 << H_LOG2) - 1)
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        rows = db_host[h_idx.reshape(-1)].reshape(1, 256, NH, W)
+        rows = db_host[h_idx.reshape(-1)].reshape(1, 256, NH, HW)
         km = rows[:, :, 0, :]
         for h in range(1, NH):
             km = km & rows[:, :, h, :]
@@ -85,7 +108,7 @@ def main() -> None:
             {
                 "metric": "kmer_queries_per_sec_per_chip",
                 "value": round(tpu_rate, 1),
-                "unit": "kmer-queries/s (2048 filters, 5 seeds, 2^22-row matrix)",
+                "unit": "kmer-queries/s (2048-filter files, 5 seeds, 2^22 rows, 4 files fused)",
                 "vs_baseline": round(tpu_rate / cpu_rate, 2),
             }
         )

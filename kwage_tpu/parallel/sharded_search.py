@@ -18,36 +18,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.search import db_bytes_to_words, make_query_batch, unpack_mask
-
-
-def _local_kmer_match(db_local, idx, kmer_valid):
-    rows = db_local[idx.reshape(-1)]
-    nq, nk, nh = idx.shape
-    rows = rows.reshape(nq, nk, nh, -1)
-    km = rows[:, :, 0, :]
-    for h in range(1, nh):
-        km = km & rows[:, :, h, :]
-    return km, (nq, nk)
-
-
-def _counts_kernel(db_local, idx, kmer_valid):
-    km, (nq, nk) = _local_kmer_match(db_local, idx, kmer_valid)
-    km = jnp.where(kmer_valid[:, :, None], km, jnp.uint32(0))
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    bits = ((km[..., None] >> shifts) & jnp.uint32(1)).astype(jnp.int32)
-    return bits.reshape(nq, nk, -1).sum(axis=1)           # [nq_local, W_local*32]
-
-
-def _complete_kernel(db_local, idx, kmer_valid):
-    km, (nq, nk) = _local_kmer_match(db_local, idx, kmer_valid)
-    km = jnp.where(kmer_valid[:, :, None], km, jnp.uint32(0xFFFFFFFF))
-    acc = km[:, 0, :]
-
-    def body(i, a):
-        return a & km[:, i, :]
-
-    return jax.lax.fori_loop(1, nk, body, acc)            # [nq_local, W_local]
+from ..ops.search import (
+    complete_kernel as _complete_kernel,
+    counts_kernel as _counts_kernel,
+    db_bytes_to_words,
+    make_query_batch,
+    unpack_mask,
+)
 
 
 def _sharded(fn, mesh: Mesh):
