@@ -11,6 +11,7 @@ import getopt
 import sys
 
 from ..io.db_file import DBFileReader, NO_COMPRESSION, RLE_COMPRESSION
+from ..io.dbz_file import ZLIB_CHUNKED_COMPRESSION, open_database
 from ._render import cli_errors, hash_func_label, render_annotation
 
 
@@ -52,7 +53,7 @@ def main(argv: list[str] | None = None) -> int:
     out = open(output_filename, "w") if output_filename else sys.stdout
     try:
         for path in inputs:
-            reader = DBFileReader(path)
+            reader = open_database(path)
             h = reader.header
             print(f"Header information for {path}", file=out)
             print(f"\tmagic = {h.magic}", file=out)
@@ -68,9 +69,11 @@ def main(argv: list[str] | None = None) -> int:
                 print("\tcompression = None", file=out)
             elif h.compression == RLE_COMPRESSION:
                 print("\tcompression = RLE", file=out)
+            elif h.compression == ZLIB_CHUNKED_COMPRESSION:
+                print("\tcompression = zlib-chunked", file=out)
             else:
                 print("\tcompression = Invalid", file=out)
-            if h.compression != NO_COMPRESSION:
+            if h.compression not in (NO_COMPRESSION, ZLIB_CHUNKED_COMPRESSION):
                 print("Compressed database files are not currently supported!", file=sys.stderr)
                 return 0
 

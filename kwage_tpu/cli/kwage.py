@@ -22,21 +22,27 @@ OUTPUT_JSON = 1
 
 
 def find_db_files(paths: list[str]) -> list[str]:
-    """Recursive .db discovery under -d paths (options.cpp:130-139).
+    """Recursive .db/.dbz discovery under -d paths (options.cpp:130-139;
+    the reference README promises .dbz but its options.cpp only matches
+    .db -- this engine implements both).
 
     Directory traversal is sorted for determinism (the reference uses
     readdir order, which is filesystem dependent).
     """
+
+    def is_db(name: str) -> bool:
+        return name.endswith(".db") or name.endswith(".dbz")
+
     out: list[str] = []
     for p in paths:
         if os.path.isfile(p):
-            if p.endswith(".db"):
+            if is_db(p):
                 out.append(p)
         elif os.path.isdir(p):
             for root, dirs, files in os.walk(p):
                 dirs.sort()
                 for name in sorted(files):
-                    if name.endswith(".db"):
+                    if is_db(name):
                         out.append(os.path.join(root, name))
     return out
 

@@ -36,7 +36,7 @@ LONG_OPTS = [
     "delay=", "scratch.bloom=", "scratch.database=", "skip=",
     # engine-specific extensions
     "source-dir=", "prefetch", "workers=", "count-len.min=", "count-len.max=",
-    "device-build",
+    "device-build", "compress",
 ]
 
 
@@ -71,6 +71,7 @@ def usage() -> None:
     print("\t[--prefetch (resolve accessions with the SRA toolkit)] (engine extension)", file=e)
     print("\t[--workers <N>] (engine extension, default 4)", file=e)
     print("\t[--device-build (exact-count thresholding on the TPU)] (engine extension)", file=e)
+    print("\t[--compress (write zlib-chunked .dbz database files)] (engine extension)", file=e)
 
 
 @cli_errors
@@ -148,6 +149,8 @@ def main(argv: list[str] | None = None) -> int:
             opt.num_workers = max(1, int(val))
         elif flag == "--device-build":
             opt.device_build = True
+        elif flag == "--compress":
+            opt.compress_db = True
         elif flag == "--count-len.min":
             opt.min_log_2_count_len = abs(int(val))
         elif flag == "--count-len.max":

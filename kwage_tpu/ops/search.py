@@ -156,9 +156,9 @@ class DeviceSearcher:
 
     @classmethod
     def from_file(cls, path: str):
-        from ..io.db_file import DBFileReader
+        from ..io.dbz_file import open_database
 
-        reader = DBFileReader(path)
+        reader = open_database(path)
         return cls(reader.header, reader.read_slices()), reader
 
     def search(self, queries: list[str], threshold: float):

@@ -171,6 +171,8 @@ class MaestroOptions:
     # TPU ingest mode: exact-count thresholding on device instead of the
     # host counting-Bloom (see kwage_tpu.ops.counting).
     device_build: bool = False
+    # Write zlib-chunked .dbz database files (engine extension).
+    compress_db: bool = False
     # counting-filter clamp passthrough (tests shrink it)
     min_log_2_count_len: int = 18
     max_log_2_count_len: int = 32
@@ -302,10 +304,17 @@ class Maestro:
     def _build_database(self, db_index: int, param: BloomParam,
                         members: list[int]) -> tuple[list[int], int, str, float]:
         t0 = time.time()
-        db_path = os.path.join(self.opt.scratch_database_dir, f"sra.{db_index}.db")
+        ext = "dbz" if self.opt.compress_db else "db"
+        db_path = os.path.join(self.opt.scratch_database_dir, f"sra.{db_index}.{ext}")
         ok = False
         try:
-            build_db_from_bloom_files(db_path, param, [self.bloom_path(i) for i in members])
+            blooms = [self.bloom_path(i) for i in members]
+            if self.opt.compress_db:
+                from ..pipeline.build_db import build_dbz_from_bloom_files
+
+                build_dbz_from_bloom_files(db_path, param, blooms)
+            else:
+                build_db_from_bloom_files(db_path, param, blooms)
             ok = True
         except (ValueError, OSError):
             pass

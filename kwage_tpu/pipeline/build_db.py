@@ -116,3 +116,34 @@ def build_db_from_bloom_files(
         infos,
         num_filter=len(bloom_files),
     )
+
+
+def build_dbz_from_bloom_files(
+    out_path: str,
+    param: BloomParam,
+    bloom_files: list[str],
+    chunk_bits: int = DEFAULT_CHUNK_BITS,
+    level: int = 6,
+) -> DBFileHeader:
+    """Transpose .bloom files into a compressed .dbz database file.
+
+    Engine extension (the reference reserves the header field and the
+    .dbz name but never implements compression; see io/dbz_file.py).
+    Searching a .dbz yields hit lists identical to the equivalent .db.
+    """
+    from ..io.dbz_file import write_dbz_file_streaming
+
+    if not bloom_files:
+        raise ValueError("empty Bloom filter inventory")
+    if chunk_bits % 8:
+        raise ValueError("chunk_bits must be byte aligned")
+
+    infos = [read_bloom_file(p, with_bits=False).info for p in bloom_files]
+    return write_dbz_file_streaming(
+        out_path,
+        param,
+        _iter_transposed_chunks(bloom_files, param, chunk_bits),
+        infos,
+        num_filter=len(bloom_files),
+        level=level,
+    )

@@ -121,9 +121,11 @@ def search_database_files(
     descending by num_kmers_found, reproducing the reference's output order
     (output.h:27-32; kwage.cpp:190-201).
     """
+    from ..io.dbz_file import open_database
+
     results: dict[int, list[MatchResult]] = {}
     for path in db_paths:
-        reader = DBFileReader(path)
+        reader = open_database(path)
         slices = reader.read_slices() if in_memory else None
         infos_cache: dict[int, FilterInfo] = {}
         for qid, seq in queries:
