@@ -1,0 +1,114 @@
+"""Scaling harness: k-mer query throughput vs mesh size (BASELINE config 4).
+
+Shards the signature matrix over the "filters" axis of a 1D mesh built
+from the first 1, 2, 4, ... N available devices; the TOTAL database grows
+with the mesh (weak scaling -- each device holds one 2048-filter shard of
+a 2^20-row matrix), so perfect scaling = flat time per step as devices
+double. Prints one JSON line per mesh size with queries/s and efficiency
+vs the single-device point.
+
+Run on real hardware, or on a virtual mesh:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+      python bench_scaling.py
+
+Timing is device-chained (see bench.py): N dependent iterations inside
+one jit, slope between two iteration counts, host readback at the end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+LOG2_L = int(os.environ.get("SCALING_LOG2_L", "20"))
+W_PER_DEV = int(os.environ.get("SCALING_W_PER_DEV", "64"))  # 2048 filters/device
+NQ = int(os.environ.get("SCALING_NQ", "8"))
+NK = int(os.environ.get("SCALING_NK", "512"))
+NH = 5
+
+
+def main() -> None:
+    import os
+
+    import jax
+
+    # This box boots a TPU backend from sitecustomize, which outranks the
+    # JAX_PLATFORMS env var; honor an explicit cpu request via jax.config.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from kwage_tpu.ops.search import counts_kernel
+
+    devices = jax.devices()
+    rng = np.random.default_rng(0)
+    idx_host = rng.integers(0, 1 << LOG2_L, size=(NQ, NK, NH), dtype=np.int32)
+    mask = jnp.int32((1 << LOG2_L) - 1)
+
+    sizes = []
+    n = 1
+    while n <= len(devices):
+        sizes.append(n)
+        n *= 2
+
+    base_rate = None
+    for nd in sizes:
+        mesh = Mesh(np.array(devices[:nd]), ("filters",))
+        sharding = NamedSharding(mesh, P(None, "filters"))
+
+        @jax.jit
+        def make_db(key):
+            return jax.random.bits(key, (1 << LOG2_L, W_PER_DEV * nd), dtype=jnp.uint32)
+
+        db = jax.device_put(make_db(jax.random.key(0)), sharding)
+        idx = jnp.asarray(idx_host)
+        valid = jnp.ones((NQ, NK), dtype=bool)
+
+        sharded = jax.jit(
+            jax.shard_map(
+                counts_kernel,
+                mesh=mesh,
+                in_specs=(P(None, "filters"), P(None, None, None), P(None, None)),
+                out_specs=P(None, "filters"),
+            )
+        )
+
+        @jax.jit
+        def chained(db, idx, valid, n):
+            def body(i, acc):
+                ix = (idx + i) & mask
+                return acc + sharded(db, ix, valid).sum(dtype=jnp.int32)
+            return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+        np.asarray(chained(db, idx, valid, 1))
+        res = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(chained(db, idx, valid, 2))
+            lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            np.asarray(chained(db, idx, valid, 18))
+            hi = time.perf_counter() - t0
+            res.append((hi - lo) / 16)
+        per_iter = sorted(res)[1]
+        rate = NQ * NK * nd / per_iter        # 2048-filter file-equivalents
+        if base_rate is None:
+            base_rate = rate
+        print(
+            json.dumps(
+                {
+                    "devices": nd,
+                    "kmer_queries_per_sec": round(rate, 1),
+                    "scaling_efficiency": round(rate / (base_rate * nd), 3),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
