@@ -55,6 +55,7 @@ def usage(out=sys.stderr) -> None:
     print("\t-d <database search path> (can be repeated)", file=out)
     print("\t[-i <input sequence file>] (can be repeated)", file=out)
     print("\t[<DNA sequence>] (can be repeated)", file=out)
+    print("\t[--device (run the search on the TPU)] (engine extension)", file=out)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -66,9 +67,10 @@ def main(argv: list[str] | None = None) -> int:
     threshold = DEFAULT_SEARCH_THRESHOLD
     db_paths: list[str] = []
     query_files: list[str] = []
+    use_device = False
 
     try:
-        opts, args = getopt.gnu_getopt(argv, "o:d:i:t:h?", ["o.csv", "o.json"])
+        opts, args = getopt.gnu_getopt(argv, "o:d:i:t:h?", ["o.csv", "o.json", "device"])
     except getopt.GetoptError as e:
         print(e, file=sys.stderr)
         usage()
@@ -94,6 +96,8 @@ def main(argv: list[str] | None = None) -> int:
             output_format = OUTPUT_CSV
         elif flag == "--o.json":
             output_format = OUTPUT_JSON
+        elif flag == "--device":
+            use_device = True
 
     query_seqs = list(args)
 
@@ -128,8 +132,12 @@ def main(argv: list[str] | None = None) -> int:
             file_deflines[qid] = defline
             qid += 1
 
-    cmd_results = search_database_files(subject_files, cmd_queries, threshold)
-    file_results = search_database_files(subject_files, file_queries, threshold)
+    if use_device:
+        from ..ops.search import search_files_device as _search
+    else:
+        _search = search_database_files
+    cmd_results = _search(subject_files, cmd_queries, threshold)
+    file_results = _search(subject_files, file_queries, threshold)
 
     ordered: list[tuple[str, list]] = []
     for i in sorted(cmd_results):

@@ -144,6 +144,87 @@ def unpack_mask(mask_words: np.ndarray, num_filter: int) -> np.ndarray:
     return bits[:, :num_filter].astype(bool)
 
 
+def search_files_device(
+    db_paths: list[str],
+    queries: list[tuple[int, str]],
+    threshold: float,
+):
+    """Device search over many database files -> {query_id: [MatchResult]}.
+
+    Files with the same BloomParam are FUSED side by side into one wide
+    signature matrix (each file's filters are byte-padded, so per-file
+    column ranges stay word-aligned): wider gather rows amortize the
+    per-row HBM cost that dominates this kernel. Hit lists are identical
+    to the host engine / reference binary, including accumulation order
+    (file order, then filter index) and the descending result sort.
+    """
+    from ..io.dbz_file import open_database
+    from ..search.engine import MatchResult, query_threshold_count
+
+    if not queries:
+        return {}
+    readers = [open_database(p) for p in db_paths]
+    groups: dict = {}
+    for fi, r in enumerate(readers):
+        groups.setdefault(r.header.param, []).append(fi)
+
+    results: dict[int, list] = {}
+    buckets: dict[int, dict[int, list]] = {}  # qid -> file index -> hits
+
+    for param, file_idxs in groups.items():
+        words = []
+        spans = []  # (file_idx, word_lo, word_hi)
+        w0 = 0
+        for fi in file_idxs:
+            w = db_bytes_to_words(readers[fi].read_slices())
+            words.append(w)
+            spans.append((fi, w0, w0 + w.shape[1]))
+            w0 += w.shape[1]
+        db = jnp.asarray(np.hstack(words))
+        del words
+
+        idx, valid, nk = make_query_batch(
+            [q for _, q in queries], param.kmer_len, param.num_hash,
+            param.log_2_filter_len,
+        )
+        idx_d, valid_d = jnp.asarray(idx), jnp.asarray(valid)
+        if threshold == 1.0:
+            mask_words = np.asarray(search_complete(db, idx_d, valid_d))
+        else:
+            counts = np.asarray(search_counts(db, idx_d, valid_d))
+
+        for qi, (qid, _q) in enumerate(queries):
+            if nk[qi] == 0:
+                continue
+            for fi, lo, hi in spans:
+                nf = readers[fi].header.num_filter
+                if threshold == 1.0:
+                    hits_mask = unpack_mask(mask_words[qi : qi + 1, lo:hi], nf)[0]
+                    hits = [(int(f), int(nk[qi])) for f in np.nonzero(hits_mask)[0]]
+                else:
+                    c = counts[qi, 32 * lo : 32 * hi][:nf]
+                    qt = query_threshold_count(threshold, int(nk[qi]))
+                    hits = [(int(f), int(c[f])) for f in np.nonzero(c >= qt)[0]]
+                if hits:
+                    buckets.setdefault(qid, {}).setdefault(fi, []).extend(
+                        (f, nm, int(nk[qi])) for f, nm in hits
+                    )
+
+    info_cache: dict[tuple[int, int], object] = {}
+    for qid, per_file in buckets.items():
+        out = []
+        for fi in sorted(per_file):  # file order == path order (kwage.cpp:86)
+            for f, nm, n in per_file[fi]:
+                info = info_cache.get((fi, f))
+                if info is None:
+                    info = readers[fi].read_filter_info(f)
+                    info_cache[(fi, f)] = info
+                out.append(MatchResult(nm, n, info))
+        out.sort(key=lambda m: -m.num_kmers_found)
+        results[qid] = out
+    return results
+
+
 class DeviceSearcher:
     """A database file resident on device, searchable in query batches.
 

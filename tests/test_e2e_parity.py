@@ -115,3 +115,9 @@ def test_search_output_byte_identical(
     with open(out_file) as f:
         got = f.read()
     assert got == want, f"{case}: output differs"
+
+    # The fused device search path (--device) must produce the same bytes.
+    dev_file = tmp_path / f"{case}.dev.out"
+    assert kwage_main(args[:-2] + ["-o", str(dev_file), "--device"]) == 0
+    with open(dev_file) as f:
+        assert f.read() == want, f"{case}: device output differs"
