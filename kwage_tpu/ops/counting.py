@@ -65,12 +65,14 @@ def _sort_words(hi, lo, valid):
 def count_and_threshold(hi, lo, valid, min_count: int):
     """Exact multiset thresholding of canonical k-mer words.
 
-    Returns (hi_s, lo_s, selected, num_valid):
-      - hi_s/lo_s: the words, sorted;
+    Returns (hi_s, lo_s, selected, num_valid, num_windows):
+      - hi_s/lo_s: the words, sorted (invalid/padding sink to the end);
       - selected[i] is True iff position i is the FIRST occurrence of a
         valid word whose total count >= min_count;
       - num_valid: number of distinct thresholded words (the quantity the
-        adaptive Bloom sizing consumes, make_bloom.cpp:330).
+        adaptive Bloom sizing consumes, make_bloom.cpp:330);
+      - num_windows: total count of valid windows (duplicates included) --
+        equivalently, where the valid prefix of the sorted arrays ends.
     """
     hi_s, lo_s, val_s = _sort_words(hi, lo, valid)
     n = hi_s.shape[0]
@@ -87,7 +89,13 @@ def count_and_threshold(hi, lo, valid, min_count: int):
         val_s.astype(jnp.int32), jnp.maximum(seg_id, 0), num_segments=n
     )
     selected = is_start & (seg_sizes[jnp.maximum(seg_id, 0)] >= min_count)
-    return hi_s, lo_s, selected, jnp.sum(selected.astype(jnp.int32))
+    return (
+        hi_s,
+        lo_s,
+        selected,
+        jnp.sum(selected.astype(jnp.int32)),
+        jnp.sum(val_s.astype(jnp.int32)),
+    )
 
 
 @partial(jax.jit, static_argnames=("k", "num_hash", "log2_filter_len"))
@@ -135,5 +143,5 @@ def build_filter_device(
     For adaptive sizing call count_kmers_device first, solve
     optimal_bloom_param from num_valid on the host, then set_filter_bits.
     """
-    hi_s, lo_s, selected, _ = count_kmers_device(reads_ascii, k, min_count)
+    hi_s, lo_s, selected, _, _ = count_kmers_device(reads_ascii, k, min_count)
     return set_filter_bits(hi_s, lo_s, selected, k, num_hash, log2_filter_len)

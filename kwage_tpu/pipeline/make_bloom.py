@@ -143,10 +143,30 @@ def _pad_reads_to_batch(sequences: list[str], k: int) -> "np.ndarray":
     return batch
 
 
+def _merge_sorted_counts(
+    words_a: "np.ndarray", counts_a: "np.ndarray",
+    words_b: "np.ndarray", counts_b: "np.ndarray",
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """Merge two sorted (unique word, count) runs into one (host, vectorized)."""
+    words = np.concatenate([words_a, words_b])
+    counts = np.concatenate([counts_a, counts_b])
+    order = np.argsort(words, kind="stable")
+    words = words[order]
+    counts = counts[order]
+    is_start = np.empty(words.shape[0], dtype=bool)
+    is_start[0] = True
+    np.not_equal(words[1:], words[:-1], out=is_start[1:])
+    seg = np.cumsum(is_start) - 1
+    merged_counts = np.zeros(int(seg[-1]) + 1, dtype=np.int64)
+    np.add.at(merged_counts, seg, counts)
+    return words[is_start], merged_counts
+
+
 def build_bloom_device(
     sequences: Iterable[str],
     opts: BuildOptions,
     info: FilterInfo,
+    chunk_bp: int = 8_000_000,
 ) -> BloomFilterRecord:
     """TPU-path Bloom construction: exact-count thresholding on device.
 
@@ -155,21 +175,25 @@ def build_bloom_device(
     is bit-identical to build_bloom_from_sequences whenever the counting
     filter is collision-free over the input, and is the exact ground
     truth otherwise (no counting-filter false promotions/suppressions).
+
+    Streams in ~chunk_bp-base chunks: each chunk is k-merized, sorted and
+    counted on device; sorted unique (word, count) runs merge on the host
+    (KMC-style external counting, RAM bounded by the distinct-k-mer set,
+    device memory by the chunk).
     """
     import jax.numpy as jnp
 
-    from ..ops.counting import count_kmers_device, filter_words_to_bytes, set_filter_bits
-
-    sequences = [s for s in sequences if len(s) >= opts.kmer_len]
-    if not sequences:
-        raise BloomInvalid("no reads of length >= k")
-    num_bp = sum(len(s) for s in sequences)
-    batch = jnp.asarray(_pad_reads_to_batch(sequences, opts.kmer_len))
-
-    hi_s, lo_s, selected, num_valid = count_kmers_device(
-        batch, opts.kmer_len, opts.min_kmer_count
+    from ..ops.counting import (
+        count_kmers_device,
+        filter_words_to_bytes,
+        set_filter_bits,
     )
-    num_valid = int(num_valid)
+    from ..ops.kmers import u64_to_words, words_to_u64
+
+    num_bp = 0
+    num_spots = 0
+    acc_words = np.empty(0, dtype=np.uint64)
+    acc_counts = np.empty(0, dtype=np.int64)
 
     max_kmers = approximate_max_kmers(
         opts.false_positive_probability,
@@ -177,6 +201,55 @@ def build_bloom_device(
         opts.min_log_2_filter_len,
         opts.max_log_2_filter_len,
     )
+
+    def digest(chunk: list[str]) -> None:
+        nonlocal acc_words, acc_counts
+        batch = jnp.asarray(_pad_reads_to_batch(chunk, opts.kmer_len))
+        # min_count=1 here: per-chunk counts must stay exact for the merge.
+        hi_s, lo_s, selected, _, num_windows = count_kmers_device(
+            batch, opts.kmer_len, 1
+        )
+        hi_s, lo_s, selected = np.asarray(hi_s), np.asarray(lo_s), np.asarray(selected)
+        starts = np.nonzero(selected)[0]
+        if starts.size == 0:
+            return
+        words = words_to_u64(hi_s[starts], lo_s[starts])
+        # Per-chunk counts: each sorted segment runs to the next start; the
+        # last one ends where the valid prefix ends (padding sorts last).
+        bounds = np.append(starts[1:], int(num_windows))
+        counts = bounds - starts
+        if acc_words.size:
+            acc_words, acc_counts = _merge_sorted_counts(
+                acc_words, acc_counts, words, counts.astype(np.int64)
+            )
+        else:
+            acc_words, acc_counts = words, counts.astype(np.int64)
+        if acc_words.size > max_kmers:
+            raise BloomInvalid(
+                f"k-mer count {acc_words.size} exceeds feasible maximum {max_kmers}"
+            )
+
+    chunk: list[str] = []
+    chunk_bases = 0
+    any_long_read = False
+    for s in sequences:
+        num_spots += 1
+        num_bp += len(s)
+        if len(s) < opts.kmer_len:
+            continue
+        any_long_read = True
+        chunk.append(s)
+        chunk_bases += len(s)
+        if chunk_bases >= chunk_bp:
+            digest(chunk)
+            chunk, chunk_bases = [], 0
+    if chunk:
+        digest(chunk)
+    if not any_long_read:
+        raise BloomInvalid("no reads of length >= k")
+
+    thresholded = acc_words[acc_counts >= opts.min_kmer_count]
+    num_valid = int(thresholded.size)
     if num_valid > max_kmers:
         raise BloomInvalid(
             f"k-mer count {num_valid} exceeds feasible maximum {max_kmers}"
@@ -193,13 +266,16 @@ def build_bloom_device(
     except ValueError as e:
         raise BloomInvalid(str(e)) from e
 
+    hi, lo = u64_to_words(thresholded)
+    selected = np.ones(thresholded.size, dtype=bool)
     words = set_filter_bits(
-        hi_s, lo_s, selected, opts.kmer_len, param.num_hash, param.log_2_filter_len
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(selected),
+        opts.kmer_len, param.num_hash, param.log_2_filter_len,
     )
     bits = filter_words_to_bytes(words)
 
     info.number_of_bases = info.number_of_bases or num_bp
-    info.number_of_spots = info.number_of_spots or len(sequences)
+    info.number_of_spots = info.number_of_spots or num_spots
     return BloomFilterRecord(
         param=param,
         crc32=zlib.crc32(bits.tobytes()) & 0xFFFFFFFF,

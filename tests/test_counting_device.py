@@ -74,6 +74,15 @@ def test_device_matches_host_parity_path(reads):
     assert dev.bits.tobytes() == host.bits.tobytes()
 
 
+def test_streaming_chunks_merge_counts_across_batches(reads):
+    # Force many tiny device chunks: duplicate reads land in DIFFERENT
+    # chunks, so min_count=3 survivors exist only if counts merge globally.
+    whole = build_bloom_device(iter(reads), _opts(3), FilterInfo())
+    chunked = build_bloom_device(iter(reads), _opts(3), FilterInfo(), chunk_bp=700)
+    assert whole.param == chunked.param
+    assert whole.bits.tobytes() == chunked.bits.tobytes()
+
+
 def test_device_min_count_filters_noise(reads):
     # min_count=3: only the 3x-repeated reads' k-mers survive.
     rec = build_bloom_device(iter(reads), _opts(3), FilterInfo())
