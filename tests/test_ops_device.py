@@ -127,3 +127,21 @@ def test_device_searcher_matches_host_engine(tmp_path):
         for qi, q in enumerate(queries):
             host = search_database(reader, q, threshold, slices=slices)
             assert dev[qi] == host, (qi, threshold)
+
+
+def test_packed_bit_transpose_matches_unpack_oracle():
+    from kwage_tpu.ops.transpose import packed_bit_transpose, pack_filters_to_words
+
+    rng = np.random.default_rng(3)
+    for F, B in ((32, 4), (64, 16), (256, 128), (96, 20)):
+        filters = rng.integers(0, 256, size=(F, B), dtype=np.uint8)
+        words = pack_filters_to_words(filters)
+        got = np.asarray(packed_bit_transpose(jnp.asarray(words)))
+        want_bits = np.unpackbits(filters, axis=1, bitorder="little").T  # [L, F]
+        Lp = words.shape[1] * 32
+        if Lp > want_bits.shape[0]:
+            want_bits = np.pad(want_bits, ((0, Lp - want_bits.shape[0]), (0, 0)))
+        want = np.ascontiguousarray(
+            np.packbits(want_bits, axis=1, bitorder="little")
+        ).reshape(Lp, -1, 4).view(np.uint32).reshape(Lp, -1)
+        assert np.array_equal(got, want), (F, B)
