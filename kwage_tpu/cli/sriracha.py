@@ -165,7 +165,33 @@ def main(argv: list[str] | None = None) -> int:
             t0 = time.time()
             stats = StreamStats()
             try:
-                results = search_accession(acc, subject_kmers, opt, stats)
+                # Non-local accessions resolve through the SRA toolkit;
+                # network-classed failures retry like the reference's
+                # per-rank loop (SriRachA/main.cpp:400-445).
+                from ..sriracha.sra_source import (
+                    DownloadError,
+                    is_local_source,
+                    is_retryable,
+                    resolve_accession,
+                )
+
+                src = acc
+                if not is_local_source(acc):
+                    attempt = 0
+                    while True:
+                        try:
+                            src = resolve_accession(acc)
+                            break
+                        except DownloadError as e:
+                            attempt += 1
+                            if not (is_retryable(e.status) and attempt <= opt.max_retry):
+                                raise
+                            print(
+                                f"retrying {acc} after network failure "
+                                f"(attempt {attempt})",
+                                file=sys.stderr,
+                            )
+                results = search_accession(src, subject_kmers, opt, stats)
             except OSError as e:
                 print(f"Unable to download SRA accession: {acc} ({e})", file=sys.stderr)
                 out.write(f"{acc}\tNA\t0\tDownload failed\n")

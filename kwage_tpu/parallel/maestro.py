@@ -173,6 +173,9 @@ class MaestroOptions:
     device_build: bool = False
     # Write zlib-chunked .dbz database files (engine extension).
     compress_db: bool = False
+    # Seconds between status-histogram displays (reference: 15 min,
+    # maestro_main.cpp:63).
+    status_display_sec: float = 900.0
     # counting-filter clamp passthrough (tests shrink it)
     min_log_2_count_len: int = 18
     max_log_2_count_len: int = 32
@@ -218,6 +221,10 @@ class Maestro:
         self._last_checkpoint = 0.0
         self._last_download = 0.0
         self._num_downloads = 0
+        self._start_time = time.time()
+        self._last_display = time.time()
+        self._total_bp = 0
+        self._total_filter_bytes = 0
         self._log = (lambda *a: print(*a)) if opt.verbose else (lambda *a: None)
 
         os.makedirs(opt.scratch_bloom_dir, exist_ok=True)
@@ -268,6 +275,27 @@ class Maestro:
         if force or now - self._last_checkpoint >= CHECKPOINT_EVERY_SEC:
             write_status_file(self.opt.status_file, self.status, self.database_index)
             self._last_checkpoint = now
+
+    def display_status(self, force: bool = False) -> None:
+        """Periodic status histogram + cumulative throughput, the analog of
+        the reference's 15-minute display (maestro_main.cpp:359-374,
+        485-616, 961-984)."""
+        now = time.time()
+        if not force and now - self._last_display < self.opt.status_display_sec:
+            return
+        self._last_display = now
+        elapsed = max(now - self._start_time, 1e-9)
+        total = len(self.status)
+        self._log(f"[maestro] status after {elapsed:.0f} sec:")
+        for name, count in sorted(self.summary().items()):
+            self._log(f"[maestro]   {name}: {count} ({100.0 * count / total:.1f}%)")
+        if self._total_bp:
+            # Deflation = filter bytes per 2 bits of input sequence
+            # (maestro_main.cpp:505-510).
+            self._log(
+                f"[maestro]   throughput {self._total_bp / elapsed / 1.0e6:.2f} Mbp/sec; "
+                f"deflation {self._total_filter_bytes / (2.0 * self._total_bp):.4f}"
+            )
 
     # -- work items ------------------------------------------------------
 
@@ -435,10 +463,14 @@ class Maestro:
                         in_flight_bloom.discard(idx)
                         if status == STATUS_BLOOM_SUCCESS:
                             self.status[idx] = STATUS_BLOOM_SUCCESS
+                            bp = self.infos[idx].number_of_bases or 0
+                            self._total_bp += bp
+                            self._total_filter_bytes += param.filter_len // 8
                             self._log(
                                 f"[maestro] bloom {self.accessions[idx]} ok "
                                 f"(L={param.log_2_filter_len}, h={param.num_hash}) "
-                                f"in {dt:.2f}s (mem {100.0 * memory_usage():.1f}%)"
+                                f"in {dt:.2f}s ({bp / max(dt, 1e-9) / 1.0e6:.2f} Mbp/sec; "
+                                f"mem {100.0 * memory_usage():.1f}%)"
                             )
                         elif status == STATUS_BLOOM_INVALID:
                             self.status[idx] = STATUS_BLOOM_INVALID
@@ -470,8 +502,10 @@ class Maestro:
                             self.checkpoint(force=True)
 
                 self.checkpoint()
+                self.display_status()
 
         self.checkpoint(force=True)
+        self.display_status(force=True)
 
     def summary(self) -> dict[str, int]:
         out: dict[str, int] = {}

@@ -1,0 +1,107 @@
+"""SRA accession resolution + download-status vocabulary for sriracha.
+
+The reference streams accessions through the NCBI VDB C API and
+classifies failures with a 15-value SRADownloadStatus enum
+(SriRachA/sra_stream.h:6-22); network-classed failures are retried up to
+--retry times per rank (SriRachA/main.cpp:400-445). libncbi-vdb is not
+available in this environment, so this engine resolves non-local
+accessions through the SRA toolkit (``prefetch`` + ``fasterq-dump``)
+when installed, with the same status vocabulary and retry
+classification. Local FASTA/FASTQ paths bypass resolution entirely.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import tempfile
+
+# SRADownloadStatus (sra_stream.h:6-22). Success must stay the smallest
+# value: the reference reconciles ranks with Allreduce(MAX).
+SRA_DOWNLOAD_SUCCESS = 0
+SRA_DOWNLOAD_NETWORK_FAILURE = 1
+SRA_DOWNLOAD_CONTROLLED_ACCESS = 2
+SRA_DOWNLOAD_VDB_ERROR = 3
+SRA_DOWNLOAD_LIST_TABLE_ERROR = 4
+SRA_DOWNLOAD_READ_LENGTH_ERROR = 5
+SRA_DOWNLOAD_CELL_DATA_ERROR = 6
+SRA_DOWNLOAD_NAME_LIST_ERROR = 7
+SRA_DOWNLOAD_ADD_COLUMN_READ_ERROR = 8
+SRA_DOWNLOAD_ADD_COLUMN_READ_LEN_ERROR = 9
+SRA_DOWNLOAD_CURSOR_OPEN_ERROR = 10
+SRA_DOWNLOAD_READ_FORMAT_ERROR = 11
+SRA_DOWNLOAD_CREATE_CURSOR_ERROR = 12
+SRA_DOWNLOAD_DIR_ERROR = 13
+SRA_DOWNLOAD_FILE_READ_ERROR = 14
+
+STATUS_NAMES = {
+    SRA_DOWNLOAD_SUCCESS: "success",
+    SRA_DOWNLOAD_NETWORK_FAILURE: "network failure",
+    SRA_DOWNLOAD_CONTROLLED_ACCESS: "controlled access",
+    SRA_DOWNLOAD_VDB_ERROR: "VDB error",
+    SRA_DOWNLOAD_DIR_ERROR: "directory error",
+    SRA_DOWNLOAD_FILE_READ_ERROR: "file read error",
+    SRA_DOWNLOAD_READ_FORMAT_ERROR: "read format error",
+}
+
+
+def is_retryable(status: int) -> bool:
+    """Only network-classed failures retry (SriRachA/main.cpp:400-445)."""
+    return status == SRA_DOWNLOAD_NETWORK_FAILURE
+
+
+class DownloadError(OSError):
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+
+
+_SEQ_EXT = (
+    ".fasta", ".fa", ".fna", ".fastq", ".fq",
+    ".fasta.gz", ".fa.gz", ".fna.gz", ".fastq.gz", ".fq.gz",
+)
+
+
+def is_local_source(path: str) -> bool:
+    return os.path.exists(path)
+
+
+def resolve_accession(accession: str, scratch: str | None = None) -> str:
+    """Materialize an SRA accession as a local FASTQ via the SRA toolkit.
+
+    Returns the path of the downloaded sequence file. Raises
+    DownloadError with a classified status when the toolkit is missing
+    or the fetch fails (errors whose stderr smells like connectivity are
+    classed network failures so the caller's retry loop engages).
+    """
+    fasterq = shutil.which("fasterq-dump")
+    if fasterq is None:
+        raise DownloadError(
+            SRA_DOWNLOAD_VDB_ERROR,
+            "SRA toolkit (fasterq-dump) not found: provide local sequence "
+            "files or install the toolkit",
+        )
+    scratch = scratch or tempfile.mkdtemp(prefix=f"sriracha.{accession}.")
+    os.makedirs(scratch, exist_ok=True)
+    proc = subprocess.run(
+        [fasterq, "--concatenate-reads", "-O", scratch, accession],
+        capture_output=True,
+        text=True,
+        timeout=24 * 3600,
+    )
+    if proc.returncode != 0:
+        err = (proc.stderr or "").lower()
+        if any(s in err for s in ("timeout", "connection", "network", "resolve")):
+            status = SRA_DOWNLOAD_NETWORK_FAILURE
+        elif "access" in err and ("denied" in err or "controlled" in err):
+            status = SRA_DOWNLOAD_CONTROLLED_ACCESS
+        else:
+            status = SRA_DOWNLOAD_VDB_ERROR
+        raise DownloadError(status, proc.stderr.strip() or "fasterq-dump failed")
+    for name in sorted(os.listdir(scratch)):
+        if name.startswith(accession) and name.endswith((".fastq", ".fasta")):
+            return os.path.join(scratch, name)
+    raise DownloadError(
+        SRA_DOWNLOAD_FILE_READ_ERROR, f"no sequence output for {accession}"
+    )

@@ -81,3 +81,28 @@ def test_slices_cover_full_range(data_dir, golden_dir, tmp_path):
     for p in parts:
         part_lines |= set(l for l in p.splitlines() if l != "//")
     assert part_lines == full_lines
+
+
+def test_sra_source_status_vocabulary():
+    from kwage_tpu.sriracha import sra_source as ss
+
+    # Success must be the smallest value (rank reconciliation via MAX).
+    assert ss.SRA_DOWNLOAD_SUCCESS == 0
+    assert ss.SRA_DOWNLOAD_FILE_READ_ERROR == 14
+    assert ss.is_retryable(ss.SRA_DOWNLOAD_NETWORK_FAILURE)
+    assert not ss.is_retryable(ss.SRA_DOWNLOAD_CONTROLLED_ACCESS)
+
+
+def test_sriracha_cli_download_failure_line(tmp_path, capsys):
+    """A non-local accession without the SRA toolkit produces the
+    reference's failure line and suppresses the // terminator."""
+    from kwage_tpu.cli.sriracha import main as sriracha_main
+
+    q = tmp_path / "q.fasta"
+    q.write_text(">q\nACGTACGTACGTACGTACGT\n")
+    out_file = tmp_path / "out.tsv"
+    rc = sriracha_main(["-i", str(q), "-o", str(out_file), "SRR99999999"])
+    assert rc == 0
+    text = out_file.read_text()
+    assert "SRR99999999\tNA\t0\tDownload failed" in text
+    assert "//" not in text
