@@ -39,14 +39,16 @@ def _iter_fasta(f: TextIO) -> Iterator[tuple[str, str]]:
     chunks: list[str] = []
     for line in f:
         if ">" in line:
-            if chunks:
-                yield defline, "".join(chunks)
-                chunks = []
+            seq = "".join(chunks)
+            if seq:  # empty records are skipped, like the FASTQ path
+                yield defline, seq
+            chunks = []
             defline = line.strip().lstrip(">").lstrip()
         else:
             chunks.append("".join(line.split()).upper())
-    if chunks:
-        yield defline, "".join(chunks)
+    seq = "".join(chunks)
+    if seq:
+        yield defline, seq
 
 
 def _iter_fastq(f: TextIO) -> Iterator[tuple[str, str]]:

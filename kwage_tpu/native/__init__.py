@@ -35,7 +35,7 @@ def _build() -> str:
         return so_path
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-o", so_path + ".tmp", _SRC,
+        "-o", so_path + ".tmp", _SRC, "-lz",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
     os.rename(so_path + ".tmp", so_path)
@@ -54,6 +54,10 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.kn_num_bp.argtypes = [ctypes.c_void_p]
     lib.kn_add_seq.argtypes = [ctypes.c_void_p, ctypes.c_char_p, u64]
     lib.kn_fold.argtypes = [ctypes.c_void_p, u32, u32, u8p]
+    lib.kn_digest_file.restype = ctypes.c_int
+    lib.kn_digest_file.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64)]
     lib.kn_canonical_kmers.restype = u64
     lib.kn_canonical_kmers.argtypes = [
         ctypes.c_char_p, u64, u32, ctypes.POINTER(ctypes.c_uint64)]
@@ -136,6 +140,21 @@ class CountingBuilder:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
         return out
 
+    def digest_file(self, path: str, file_format: int) -> tuple[int, int]:
+        """Stream a FASTA(0)/FASTQ(1) file (.gz ok) through the counter in
+        native code; returns (num_spots, num_bp). Raises on parse errors.
+        Falls back to the Python reader when the native library is absent."""
+        if self._ptr is None:
+            from ..io.sequence import iter_sequences
+
+            spots = bp = 0
+            for _, seq in iter_sequences(path):
+                self._impl.add_sequence(seq)
+                spots += 1
+                bp += len(seq)
+            return spots, bp
+        return _digest_file(self._lib, self._ptr, path, file_format)
+
     def close(self) -> None:
         if self._ptr is not None:
             self._lib.kn_free(self._ptr)
@@ -146,6 +165,36 @@ class CountingBuilder:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def _digest_file(lib, ptr, path: str, file_format: int) -> tuple[int, int]:
+    spots = ctypes.c_uint64(0)
+    bp = ctypes.c_uint64(0)
+    rc = lib.kn_digest_file(
+        ptr, path.encode(), file_format, ctypes.byref(spots), ctypes.byref(bp)
+    )
+    if rc == -1:
+        raise FileNotFoundError(path)
+    if rc == -2:
+        raise ValueError(f"truncated FASTQ record in {path}")
+    if rc != 0:
+        raise OSError(f"error reading {path} (code {rc})")
+    return spots.value, bp.value
+
+
+def scan_file_native(path: str, file_format: int) -> tuple[int, int]:
+    """(num_spots, num_bp) of a sequence file via the native parser;
+    returns None-equivalent fallback via the Python reader when absent."""
+    lib = get_lib()
+    if lib is None:
+        from ..io.sequence import iter_sequences
+
+        spots = bp = 0
+        for _, seq in iter_sequences(path):
+            spots += 1
+            bp += len(seq)
+        return spots, bp
+    return _digest_file(lib, None, path, file_format)
 
 
 def canonical_kmers_native(seq: str | bytes, k: int) -> np.ndarray:

@@ -18,6 +18,8 @@
 #include <immintrin.h>
 #endif
 
+#include <zlib.h>
+
 namespace {
 
 constexpr uint32_t kMaxPlanes = 5;   // MAX_NUM_HASH planes of valid bits
@@ -326,6 +328,107 @@ void kn_fold(const KnBuilder* b, uint32_t log2_filter_len, uint32_t num_hash,
       for (uint64_t j = 0; j < dst_bytes; ++j) out[j] |= src[i + j];
     }
   }
+}
+
+// ---------------------------------------------------------------------------
+// Native data loader: stream a FASTA/FASTQ(.gz) file straight into the
+// counting builder (no per-read Python in the ingest loop). Record
+// segmentation matches the engine's Python reader (io/sequence.py) and
+// the reference's parse_sequence.cpp: FASTA records split on '>'-lines
+// with whitespace stripped from the sequence; FASTQ is 4-line records;
+// empty sequences are skipped.
+// ---------------------------------------------------------------------------
+
+struct KnRecordBuf {
+  char* data = nullptr;
+  uint64_t len = 0;
+  uint64_t cap = 0;
+  void push(char c) {
+    if (len == cap) {
+      cap = cap ? cap * 2 : 1 << 20;
+      data = static_cast<char*>(realloc(data, cap));
+    }
+    data[len++] = c;
+  }
+  ~KnRecordBuf() { free(data); }
+};
+
+// format: 0 = FASTA, 1 = FASTQ. b may be null (pass 1: just count).
+// Returns 0 on success, -1 open failure, -2 truncated FASTQ, -3 read error.
+int kn_digest_file(KnBuilder* b, const char* path, int format,
+                   uint64_t* out_spots, uint64_t* out_bp) {
+  gzFile f = gzopen(path, "rb");
+  if (!f) return -1;
+
+  const uint64_t kBuf = 1 << 20;
+  char* buf = static_cast<char*>(malloc(kBuf));
+  KnRecordBuf rec;
+  uint64_t spots = 0, bp = 0;
+  int rc = 0;
+
+  auto flush_record = [&]() {
+    if (rec.len == 0) return;
+    ++spots;
+    bp += rec.len;
+    if (b) kn_add_seq(b, rec.data, rec.len);
+    rec.len = 0;
+  };
+
+  // fastq_line: 0 header, 1 sequence, 2 '+', 3 quality
+  int fastq_line = 0;
+  bool fasta_defline = false;
+  uint64_t line_start_len = 0;  // rec.len at the start of the current line
+
+  for (;;) {
+    int n = gzread(f, buf, kBuf);
+    if (n < 0) { rc = -3; break; }
+    if (n == 0) break;
+    for (int i = 0; i < n; ++i) {
+      const char c = buf[i];
+      if (c == '\n') {
+        if (format == 1) {
+          if (fastq_line == 1) flush_record();
+          fastq_line = (fastq_line + 1) & 3;
+        } else {
+          fasta_defline = false;
+          line_start_len = rec.len;
+        }
+        continue;
+      }
+      if (format == 0) {
+        // A line CONTAINING '>' anywhere is a defline (parse_sequence.cpp:
+        // 86 uses strchr): drop this line's chars, flush the prior record.
+        if (c == '>' && !fasta_defline) {
+          rec.len = line_start_len;
+          flush_record();
+          line_start_len = 0;
+          fasta_defline = true;
+        } else if (!fasta_defline && c != ' ' && c != '\t' && c != '\r') {
+          rec.push(c);
+        }
+      } else {
+        if (fastq_line == 1 && c != ' ' && c != '\t' && c != '\r') {
+          rec.push(c);
+        }
+      }
+    }
+  }
+  if (rc == 0) {
+    if (format == 0) {
+      flush_record();
+    } else if (fastq_line == 3) {
+      // Quality line present but no trailing newline: record is complete.
+      // (The sequence flushed when its line ended; lines 1/2 cut short
+      // mean a truncated record, matching the Python/reference readers.)
+    } else if (fastq_line != 0) {
+      rc = -2;
+    }
+  }
+  free(buf);
+  gzclose(f);
+  if (out_spots) *out_spots = spots;
+  if (out_bp) *out_bp = bp;
+  return rc;
 }
 
 // ---------------------------------------------------------------------------

@@ -109,21 +109,28 @@ def build_bloom_from_sequences(
                 raise BloomInvalid(
                     f"k-mer count {builder.num_valid_kmer} exceeds feasible maximum {max_kmers}"
                 )
+        return _finish_build(builder, opts, info, max_kmers)
 
-        try:
-            param = optimal_bloom_param(
-                opts.kmer_len,
-                builder.num_valid_kmer,
-                opts.false_positive_probability,
-                opts.hash_func,
-                opts.min_log_2_filter_len,
-                opts.max_log_2_filter_len,
-            )
-        except ValueError as e:
-            raise BloomInvalid(str(e)) from e
 
-        bits = builder.fold(param.log_2_filter_len, param.num_hash)
+def _finish_build(builder, opts: BuildOptions, info: FilterInfo, max_kmers: int) -> BloomFilterRecord:
+    """Solve the adaptive shape from the observed count and fold the planes."""
+    if builder.num_valid_kmer > max_kmers:
+        raise BloomInvalid(
+            f"k-mer count {builder.num_valid_kmer} exceeds feasible maximum {max_kmers}"
+        )
+    try:
+        param = optimal_bloom_param(
+            opts.kmer_len,
+            builder.num_valid_kmer,
+            opts.false_positive_probability,
+            opts.hash_func,
+            opts.min_log_2_filter_len,
+            opts.max_log_2_filter_len,
+        )
+    except ValueError as e:
+        raise BloomInvalid(str(e)) from e
 
+    bits = builder.fold(param.log_2_filter_len, param.num_hash)
     return BloomFilterRecord(
         param=param,
         crc32=zlib.crc32(bits.tobytes()) & 0xFFFFFFFF,
@@ -290,19 +297,45 @@ def build_bloom_from_file(
     """Build a Bloom filter from a FASTA/FASTQ(.gz) file (two streaming passes).
 
     Pass 1 measures the base/spot counts (the metadata the reference reads
-    from the SRA record); pass 2 digests the reads.
+    from the SRA record); pass 2 digests the reads. Both passes run fully
+    in native code when the library is available (parser + counting loop,
+    no Python per read); the Python reader is the fallback and the oracle.
     """
-    num_bp = 0
-    num_spots = 0
-    for _, seq in iter_sequences(path):
-        num_bp += len(seq)
-        num_spots += 1
+    from ..io.sequence import FASTA, FASTQ, get_file_type
+    from ..native import available as native_available, scan_file_native
 
     if info is None:
         info = FilterInfo()
+
+    ftype = get_file_type(path)
+    use_native = native_available() and ftype in (FASTA, FASTQ)
+
+    if use_native:
+        num_spots, num_bp = scan_file_native(path, ftype)
+    else:
+        num_bp = 0
+        num_spots = 0
+        for _, seq in iter_sequences(path):
+            num_bp += len(seq)
+            num_spots += 1
+
     info.number_of_bases = num_bp
     info.number_of_spots = num_spots
 
-    return build_bloom_from_sequences(
-        (seq for _, seq in iter_sequences(path)), opts, info, num_bp_hint=num_bp
+    if not use_native:
+        return build_bloom_from_sequences(
+            (seq for _, seq in iter_sequences(path)), opts, info, num_bp_hint=num_bp
+        )
+
+    log2_count = counting_filter_log2_len(num_bp, opts)
+    max_kmers = approximate_max_kmers(
+        opts.false_positive_probability,
+        opts.hash_func,
+        opts.min_log_2_filter_len,
+        opts.max_log_2_filter_len,
     )
+    with CountingBuilder(
+        opts.kmer_len, opts.min_kmer_count, log2_count, opts.max_log_2_filter_len
+    ) as builder:
+        builder.digest_file(path, ftype)
+        return _finish_build(builder, opts, info, max_kmers)

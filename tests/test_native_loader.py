@@ -1,0 +1,103 @@
+"""Native file digester vs the Python reader: identical records, counts,
+and .bloom bits on FASTA/FASTQ, gzipped or plain, including parser quirks."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from kwage_tpu.core import FilterInfo
+from kwage_tpu.io.sequence import FASTA, FASTQ, iter_sequences
+from kwage_tpu.native import CountingBuilder, available, scan_file_native
+from kwage_tpu.pipeline import BuildOptions, build_bloom_from_file, build_bloom_from_sequences
+
+pytestmark = pytest.mark.skipif(not available(), reason="native library unavailable")
+
+
+def _python_build(path, opts):
+    seqs = [s for _, s in iter_sequences(path)]
+    info = FilterInfo()
+    info.number_of_bases = sum(len(s) for s in seqs)
+    info.number_of_spots = len(seqs)
+    return build_bloom_from_sequences(iter(seqs), opts, info, num_bp_hint=info.number_of_bases)
+
+
+OPTS = BuildOptions(
+    kmer_len=31, min_kmer_count=1, min_log_2_filter_len=12,
+    max_log_2_filter_len=18, min_log_2_count_len=12, max_log_2_count_len=18,
+)
+
+
+@pytest.fixture()
+def seqs():
+    rng = np.random.default_rng(21)
+    return ["".join(rng.choice(list("ACGT"), size=200)) for _ in range(20)]
+
+
+def test_fasta_plain_and_gz(tmp_path, seqs):
+    body = ""
+    for i, s in enumerate(seqs):
+        # multi-line records with whitespace and lowercase mixed in
+        body += f">read {i}\n{s[:80].lower()}\n {s[80:]}\n"
+    plain = tmp_path / "x.fasta"
+    plain.write_text(body)
+    gz = tmp_path / "x.fasta.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write(body)
+
+    for path in (plain, gz):
+        assert scan_file_native(str(path), FASTA) == (20, 200 * 20)
+        nat = build_bloom_from_file(str(path), OPTS)
+        ref = _python_build(str(path), OPTS)
+        assert nat.param == ref.param
+        assert nat.bits.tobytes() == ref.bits.tobytes()
+        assert nat.info.number_of_spots == 20
+
+
+def test_fasta_midline_defline_quirk(tmp_path, seqs):
+    # The reference treats any line CONTAINING '>' as a defline
+    # (parse_sequence.cpp:86); both readers must agree.
+    body = f">a\n{seqs[0]}\nxx>weird defline\n{seqs[1]}\n"
+    path = tmp_path / "q.fasta"
+    path.write_text(body)
+    py = [s for _, s in iter_sequences(str(path))]
+    assert py == [seqs[0], seqs[1]]
+    assert scan_file_native(str(path), FASTA) == (2, len(seqs[0]) + len(seqs[1]))
+
+
+def test_fastq_plain_and_gz(tmp_path, seqs):
+    body = ""
+    for i, s in enumerate(seqs):
+        body += f"@r{i}\n{s}\n+\n{'I' * len(s)}\n"
+    plain = tmp_path / "x.fastq"
+    plain.write_text(body)
+    gz = tmp_path / "x.fastq.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write(body)
+    for path in (plain, gz):
+        assert scan_file_native(str(path), FASTQ) == (20, 200 * 20)
+        nat = build_bloom_from_file(str(path), OPTS)
+        ref = _python_build(str(path), OPTS)
+        assert nat.bits.tobytes() == ref.bits.tobytes()
+
+
+def test_fastq_no_trailing_newline(tmp_path, seqs):
+    path = tmp_path / "x.fastq"
+    path.write_text(f"@r0\n{seqs[0]}\n+\n{'I' * 200}")  # qual line unterminated
+    assert scan_file_native(str(path), FASTQ) == (1, 200)
+
+
+def test_fastq_truncated_raises(tmp_path, seqs):
+    path = tmp_path / "x.fastq"
+    path.write_text(f"@r0\n{seqs[0]}\n+\n{'I'*200}\n@r1\n{seqs[1]}\n")
+    with pytest.raises(ValueError):
+        scan_file_native(str(path), FASTQ)
+    with pytest.raises(ValueError):
+        list(iter_sequences(str(path)))  # the Python reader agrees
+
+
+def test_empty_records_skipped(tmp_path, seqs):
+    path = tmp_path / "x.fasta"
+    path.write_text(f">a\n\n>b\n{seqs[0]}\n>c\n")
+    assert [s for _, s in iter_sequences(str(path))] == [seqs[0]]
+    assert scan_file_native(str(path), FASTA) == (1, 200)
