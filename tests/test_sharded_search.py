@@ -57,3 +57,21 @@ def test_sharded_matches_single_device(corpus, mesh_shape):
     got_mask, _ = sdb.search_complete(queries)
     np.testing.assert_array_equal(got_counts, want_counts)
     np.testing.assert_array_equal(got_mask, want_mask)
+
+
+def test_global_mesh_and_inventory_sharding():
+    import jax
+
+    from kwage_tpu.parallel import make_global_search_mesh, shard_inventory
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs a multi-device mesh")
+    mesh = make_global_search_mesh()
+    assert set(mesh.axis_names) == {"data", "filters"}
+    assert mesh.devices.size == len(jax.devices())
+
+    # Equal chunks, remainder to the last host (sra_stream.cpp:525-543).
+    spans = [shard_inventory(10, r, 3) for r in range(3)]
+    assert spans == [(0, 3), (3, 6), (6, 10)]
