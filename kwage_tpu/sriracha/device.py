@@ -6,8 +6,13 @@ the query k-mer sets entirely on device; the scalar gates, thresholding,
 perfect-match culling and ordering are applied on host from the returned
 integer counts so results are bit-identical to the sequential engine.
 
-K-mers fit a single uint32 lane for k <= 15 (sriracha's domain: the
-default confirmation k is 11); longer k falls back to the host engine.
+Intersection strategy: sriracha's confirmation k is small (default 11,
+SriRachA/options.cpp), so the whole 4^k k-mer space fits a dense lookup
+table of per-subject membership bitmasks -- ONE gather per read k-mer
+replaces a binary search whose log(n) dependent gathers are pathologically
+latency-bound on TPU (measured ~450x slower). k <= 13 uses the table
+(<= 256 MiB HBM); k = 14..15 falls back to vmapped searchsorted; longer
+k falls back to the host engine.
 """
 
 from __future__ import annotations
@@ -83,6 +88,72 @@ def _read_batch_kernel(reads: jax.Array, lengths: jax.Array, subjects: jax.Array
     return counts.T, num_kmer, num_unique
 
 
+MAX_TABLE_K = 13  # 4^13 * 4 B = 256 MiB membership table ceiling
+
+
+@partial(jax.jit, static_argnames=("k",))
+def build_subject_table(subjects: jax.Array, k: int) -> jax.Array:
+    """Dense membership LUT uint32 [4^k]: bit s set iff k-mer in subject s.
+
+    ``subjects`` is uint32 [NS, Smax] padded with the sentinel (out of the
+    4^k range, so padding scatters are dropped). NS <= 32.
+    """
+    size = 1 << (2 * k)
+    ns = subjects.shape[0]
+    table = jnp.zeros(size, jnp.uint32)
+    for s in range(ns):
+        # Sentinel-padded entries clamp to `size` and drop in the scatter.
+        idx = jnp.where(subjects[s] >= size, jnp.uint32(size), subjects[s]).astype(jnp.int32)
+        bit = jnp.full(subjects.shape[1], jnp.uint32(1 << s))
+        table = table | jnp.zeros(size, jnp.uint32).at[idx].set(bit, mode="drop")
+    return table
+
+
+@partial(jax.jit, static_argnames=("k", "ns"))
+def _read_batch_kernel_table(
+    reads: jax.Array, lengths: jax.Array, table: jax.Array, k: int, ns: int
+):
+    """Dense-LUT variant of _read_batch_kernel: one gather per read k-mer."""
+    B, L = reads.shape
+    nwin = L - k + 1
+    codes, base_valid = _encode(reads)
+    comp = jnp.uint32(3) - codes
+
+    pos = jnp.arange(L)
+    base_valid = base_valid & (pos[None, :] < lengths[:, None])
+    iv = (~base_valid).astype(jnp.int32)
+    cs = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), jnp.cumsum(iv, axis=1)], axis=1)
+    win_valid = (cs[:, k:] - cs[:, :-k]) == 0
+    win_valid = win_valid & (jnp.arange(nwin)[None, :] + k <= lengths[:, None])
+
+    sense = jnp.zeros((B, nwin), jnp.uint32)
+    anti = jnp.zeros((B, nwin), jnp.uint32)
+    top = 2 * (k - 1)
+    for j in range(k):
+        cj = jax.lax.dynamic_slice_in_dim(codes, j, nwin, axis=1)
+        pj = jax.lax.dynamic_slice_in_dim(comp, j, nwin, axis=1)
+        sense = (sense << 2) | cj
+        anti = (anti >> 2) | (pj << top)
+    sense = sense & jnp.uint32((1 << (2 * k)) - 1)
+    canon = jnp.minimum(sense, anti)
+
+    canon = jnp.where(win_valid, canon, _SENTINEL)
+    sorted_k = jnp.sort(canon, axis=1)
+    s_valid = sorted_k != _SENTINEL
+    prev = jnp.concatenate([jnp.full((B, 1), _SENTINEL), sorted_k[:, :-1]], axis=1)
+    uniq_mask = s_valid & (sorted_k != prev)
+
+    num_kmer = win_valid.sum(axis=1).astype(jnp.int32)
+    num_unique = uniq_mask.sum(axis=1).astype(jnp.int32)
+
+    masks = jnp.take(table, sorted_k.astype(jnp.int32), mode="fill", fill_value=0)
+    masks = jnp.where(uniq_mask, masks, jnp.uint32(0))
+    shifts = jnp.arange(ns, dtype=jnp.uint32)
+    bits = ((masks[..., None] >> shifts) & jnp.uint32(1)).astype(jnp.int32)
+    counts = bits.sum(axis=1)                         # [B, NS]
+    return counts, num_kmer, num_unique
+
+
 def search_reads_device(
     read_iter,
     subject_kmers: list[tuple[str, np.ndarray]],
@@ -102,6 +173,27 @@ def search_reads_device(
     for i, (_, s) in enumerate(subject_kmers):
         subjects[i, : s.size] = s.astype(np.uint32)
     subjects_dev = jnp.asarray(subjects)
+
+    # Dense-LUT fast path: one membership table per group of <= 32 subjects.
+    use_table = opt.kmer_len <= MAX_TABLE_K
+    if use_table:
+        tables = [
+            build_subject_table(subjects_dev[g : g + 32], opt.kmer_len)
+            for g in range(0, ns, 32)
+        ]
+
+    def run_batch(block, lengths):
+        if not use_table:
+            return _read_batch_kernel(block, lengths, subjects_dev, opt.kmer_len)
+        parts = []
+        nk_ = nu_ = None
+        for gi, table in enumerate(tables):
+            g_ns = min(32, ns - 32 * gi)
+            c, nk_, nu_ = _read_batch_kernel_table(
+                block, lengths, table, opt.kmer_len, g_ns
+            )
+            parts.append(c)
+        return jnp.concatenate(parts, axis=1), nk_, nu_
 
     reads = list(read_iter)
     results: list[list[SearchMatch]] = [[] for _ in range(ns)]
@@ -136,9 +228,7 @@ def search_reads_device(
                 seq = reads[i][0]
                 block[r, : len(seq)] = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
                 lengths[r] = len(seq)
-            c, k_, u_ = _read_batch_kernel(
-                jnp.asarray(block), jnp.asarray(lengths), subjects_dev, opt.kmer_len
-            )
+            c, k_, u_ = run_batch(jnp.asarray(block), jnp.asarray(lengths))
             counts[chunk] = np.asarray(c)
             nk[chunk] = np.asarray(k_)
             nu[chunk] = np.asarray(u_)
