@@ -30,18 +30,29 @@ is the denominator.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
-LOG2_L = 22
-FILES = 8              # same-shape database files fused side by side
+# Env overrides exist for small-scale smoke runs (tests); defaults are the
+# headline configuration.
+LOG2_L = int(os.environ.get("BENCH_LOG2_L", "22"))
+FILES = int(os.environ.get("BENCH_FILES", "8"))  # same-shape files fused
 W = 64 * FILES         # uint32 words per slice row (2048 filters per file)
-NQ, NK, NH = 8, 1024, 5
+NQ = int(os.environ.get("BENCH_NQ", "8"))
+NK = int(os.environ.get("BENCH_NK", "1024"))
+NH = 5
 
 
 def main() -> None:
     import jax
+
+    # This box boots a TPU backend from sitecustomize, which outranks the
+    # JAX_PLATFORMS env var; honor an explicit request via jax.config.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     import jax.numpy as jnp
 
     from kwage_tpu.ops.search import search_counts
@@ -89,20 +100,21 @@ def main() -> None:
     # file. A 2^19-row host matrix (128 MiB, well past L3) keeps the host
     # gather memory-bound like the full matrix would be, without the 30 s
     # host-RNG cost of materializing gigabytes on CPU.
-    H_LOG2, HW = 19, 64
+    H_LOG2, HW = min(19, LOG2_L), 64
+    HK = min(256, NK)
     db_host = rng.integers(0, 1 << 32, size=(1 << H_LOG2, HW), dtype=np.uint32)
-    h_idx = np.asarray(idx[:1, :256]) & ((1 << H_LOG2) - 1)
+    h_idx = np.asarray(idx[:1, :HK]) & ((1 << H_LOG2) - 1)
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        rows = db_host[h_idx.reshape(-1)].reshape(1, 256, NH, HW)
+        rows = db_host[h_idx.reshape(-1)].reshape(1, HK, NH, HW)
         km = rows[:, :, 0, :]
         for h in range(1, NH):
             km = km & rows[:, :, h, :]
         bits = np.unpackbits(km.view(np.uint8), axis=-1, bitorder="little")
-        _ = bits.reshape(1, 256, -1).sum(axis=1)
+        _ = bits.reshape(1, HK, -1).sum(axis=1)
     cpu_dt = time.perf_counter() - t0
-    cpu_rate = 256 * reps / cpu_dt
+    cpu_rate = HK * reps / cpu_dt
 
     print(
         json.dumps(

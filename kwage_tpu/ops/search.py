@@ -171,10 +171,27 @@ def search_files_device(
     for fi, r in enumerate(readers):
         groups.setdefault(r.header.param, []).append(fi)
 
+    # Cap each fused matrix so huge corpora stream through HBM in waves.
+    budget = 8 << 30
+    chunked_groups: list[tuple[object, list[int]]] = []
+    for param, file_idxs in groups.items():
+        chunk: list[int] = []
+        used = 0
+        for fi in file_idxs:
+            h = readers[fi].header
+            sz = h.filter_len * ((h.slice_size + 3) // 4) * 4
+            if chunk and used + sz > budget:
+                chunked_groups.append((param, chunk))
+                chunk, used = [], 0
+            chunk.append(fi)
+            used += sz
+        if chunk:
+            chunked_groups.append((param, chunk))
+
     results: dict[int, list] = {}
     buckets: dict[int, dict[int, list]] = {}  # qid -> file index -> hits
 
-    for param, file_idxs in groups.items():
+    for param, file_idxs in chunked_groups:
         words = []
         spans = []  # (file_idx, word_lo, word_hi)
         w0 = 0
