@@ -73,3 +73,25 @@ def test_memory_usage_bounds():
     m = memory_usage()
     assert 0.0 <= m <= 1.0
     assert m > 0.0  # this process alone uses some RAM
+
+
+def test_profiling_scopes():
+    from kwage_tpu.utils import report, reset, scope
+
+    reset()
+    with scope("unit"):
+        pass
+    with scope("unit"):
+        pass
+    r = report()
+    assert r["unit"]["count"] == 2
+    assert r["unit"]["total_sec"] >= 0.0
+
+
+def test_device_trace_noop_without_env(monkeypatch):
+    from kwage_tpu.utils import device_trace
+
+    monkeypatch.delenv("KWAGE_TRACE_DIR", raising=False)
+    with device_trace():
+        x = 1
+    assert x == 1
