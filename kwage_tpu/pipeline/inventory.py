@@ -33,9 +33,13 @@ def sra_file_type(filename: str) -> int:
         return SAMPLE_XML
     if filename.endswith(".study.xml"):
         return STUDY_XML
-    if filename.endswith("SRA_Accessions") or filename.endswith("SRA_Accessions.tab"):
+    # Exact-suffix matches, like the reference's find_extension
+    # (sra_inventory.cpp:1100-1137): the NCBI archive member is named
+    # "SRA_Accessions" with no extension; "SRA_Accessions.tab" must NOT
+    # match (the reference skips it).
+    if filename.endswith("SRA_Accessions"):
         return SRA_ACCESSIONS
-    if filename.endswith("SRA_Run_Members") or filename.endswith("SRA_Run_Members.tab"):
+    if filename.endswith("SRA_Run_Members"):
         return SRA_RUN_MEMBERS
     return UNKNOWN
 

@@ -93,7 +93,7 @@ def metadata_tar(tmp_path):
 </STUDY_SET>
 """
     with tarfile.open(path, "w:gz") as tf:
-        _add(tf, "SRA_Accessions.tab", tab)
+        _add(tf, "SRA_Accessions", tab)
         _add(tf, "SUB1/SUB1.experiment.xml", exp_xml)
         _add(tf, "SUB1/SUB1.sample.xml", sample_xml)
         _add(tf, "SUB1/SUB1.study.xml", study_xml)
@@ -222,3 +222,32 @@ def test_bff(tmp_path, data_dir, golden_dir, capsys):
     assert (tmp_path / f"{acc}.bloom").exists()
     err = capsys.readouterr().err
     assert "L=13" in err and "crc32=237c27cb" in err
+
+
+def test_inventory_matches_reference_binary(metadata_tar, tmp_path, golden_dir):
+    """Byte-level oracle check: tests/golden/inventory/oracle_inv.bin was
+    produced by the reference sra_inventory binary (MPI-stubbed build, see
+    tests/golden/README.md) on this exact fixture tar. Every field must
+    match; sample_attributes compare as dicts because the reference
+    serializes a std::unordered_map, whose element ORDER is incidental
+    hash-bucket iteration (bloom.h:17), not part of the format contract."""
+    from kwage_tpu.pipeline.inventory import InventoryFilters, build_inventory
+
+    out = tmp_path / "inv.bin"
+    build_inventory(metadata_tar, str(out), InventoryFilters(), verbose=False)
+
+    ours = read_inventory(str(out))
+    oracle = read_inventory(str(golden_dir / "inventory" / "oracle_inv.bin"))
+    assert len(ours) == len(oracle) == 2
+    for a, b in zip(ours, oracle):
+        for field in (
+            "run_accession", "experiment_accession", "sample_accession",
+            "study_accession", "experiment_title", "experiment_design_description",
+            "experiment_library_name", "experiment_library_strategy",
+            "experiment_library_source", "experiment_library_selection",
+            "experiment_instrument_model", "sample_taxa", "study_title",
+            "study_abstract", "number_of_spots", "number_of_bases",
+            "date_received",
+        ):
+            assert getattr(a, field) == getattr(b, field), field
+        assert dict(a.sample_attributes) == dict(b.sample_attributes)
