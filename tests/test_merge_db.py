@@ -107,3 +107,49 @@ def test_merge_remainder_spill(split_dbs, tmp_path):
     merged_out = run([str(ca), str(cb)])
     orig_out = run([a, b])
     assert merged_out == orig_out
+
+
+def test_merge_matches_reference_binary_digest(tmp_path):
+    """Live-oracle golden: the reference merge_db binary (MPI-stubbed
+    build), run on this exact deterministic input set, consolidated all
+    17 filters into sra.2.db with the sha256 below and deleted the
+    consumed files. Our defragmenter must reproduce those bytes."""
+    import hashlib
+    import zlib
+
+    import numpy as np
+
+    from kwage_tpu.cli.merge_db import main as merge_main
+    from kwage_tpu.core import FilterInfo, str_to_accession
+    from kwage_tpu.core.params import BloomParam
+    from kwage_tpu.io.bloom_file import BloomFilterRecord, write_bloom_file
+    from kwage_tpu.pipeline import build_db_from_bloom_files
+
+    rng = np.random.default_rng(5)
+    param = BloomParam(kmer_len=31, log_2_filter_len=18, num_hash=3, hash_func=0)
+    nb = param.filter_len // 8
+
+    def mkdb(dbname, accs):
+        paths = []
+        for acc in accs:
+            bits = rng.integers(0, 256, size=nb, dtype=np.uint8)
+            rec = BloomFilterRecord(
+                param=param,
+                crc32=zlib.crc32(bits.tobytes()) & 0xFFFFFFFF,
+                info=FilterInfo(run_accession=str_to_accession(acc)),
+                bits=bits,
+            )
+            p = tmp_path / f"{acc}.bloom"
+            write_bloom_file(str(p), rec)
+            paths.append(str(p))
+        build_db_from_bloom_files(str(tmp_path / dbname), param, paths)
+
+    mkdb("sra.0.db", [f"SRR{i}" for i in range(1, 6)])
+    mkdb("sra.1.db", [f"SRR{i}" for i in range(6, 9)])
+    mkdb("sra.2.db", [f"SRR{i}" for i in range(9, 18)])
+
+    assert merge_main([str(tmp_path / f"sra.{i}.db") for i in range(3)]) == 0
+    assert not (tmp_path / "sra.0.db").exists()
+    assert not (tmp_path / "sra.1.db").exists()
+    digest = hashlib.sha256((tmp_path / "sra.2.db").read_bytes()).hexdigest()
+    assert digest == "5ebe26db340142d96858559da62434093f86c7a0bba49003c4fa553af99136bb"
