@@ -1,0 +1,112 @@
+"""Live differential tests against the reference binaries.
+
+These run only where the MPI-stubbed oracle build exists (/tmp/oracle,
+recipe in tests/golden/README.md) -- on a clean machine they self-skip.
+The golden suite covers the same surfaces with stored artifacts; this
+adds randomized coverage whenever the oracle is on hand.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+ORACLE = "/tmp/oracle"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(ORACLE, "kwage")),
+    reason="reference oracle binaries not built",
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    from kwage_tpu.core import FilterInfo, str_to_accession
+    from kwage_tpu.io.bloom_file import write_bloom_file
+    from kwage_tpu.pipeline import (
+        BuildOptions,
+        build_bloom_from_file,
+        build_db_from_bloom_files,
+    )
+
+    work = tmp_path_factory.mktemp("oracle_live")
+    rng = np.random.default_rng(99)
+    opts = BuildOptions(
+        kmer_len=31, min_kmer_count=1, min_log_2_filter_len=12,
+        max_log_2_filter_len=20, min_log_2_count_len=12, max_log_2_count_len=20,
+    )
+    groups = {}
+    seqs = {}
+    for i in range(8):
+        acc = f"SRR77{i:04d}"
+        n = int(rng.integers(100, 3000))
+        s = "".join(rng.choice(list("ACGTN"), p=[0.24, 0.24, 0.24, 0.24, 0.04], size=n))
+        seqs[acc] = s
+        fa = work / f"{acc}.fasta"
+        fa.write_text(f">{acc}\n{s}\n")
+        rec = build_bloom_from_file(str(fa), opts, FilterInfo(run_accession=str_to_accession(acc)))
+        bl = work / f"{acc}.bloom"
+        write_bloom_file(str(bl), rec)
+        groups.setdefault(rec.param, []).append(str(bl))
+    dbs = []
+    for gi, (param, paths) in enumerate(sorted(groups.items())):
+        db = work / f"sra.{gi}.db"
+        build_db_from_bloom_files(str(db), param, paths)
+        dbs.append(str(db))
+
+    queries = []
+    accs = list(seqs)
+    for j in range(8):
+        s = seqs[accs[int(rng.integers(0, len(accs)))]]
+        st = int(rng.integers(0, max(1, len(s) - 120)))
+        q = s[st : st + int(rng.integers(40, 120))]
+        if j % 3 == 1:
+            q = list(q)
+            for _ in range(int(rng.integers(1, 6))):
+                q[int(rng.integers(0, len(q)))] = "ACGT"[int(rng.integers(0, 4))]
+            q = "".join(q)
+        queries.append(q)
+    qfile = work / "q.fasta"
+    qfile.write_text("".join(f">q{i}\n{q}\n" for i, q in enumerate(queries)))
+    return work, dbs, str(qfile)
+
+
+@pytest.mark.parametrize("threshold", ["1", "0.75", "0.33", "0.01"])
+@pytest.mark.parametrize("fmt", ["o.json", "o.csv"])
+def test_kwage_differential(corpus, tmp_path, threshold, fmt):
+    from kwage_tpu.cli.kwage import main as kwage_main
+
+    work, dbs, qfile = corpus
+    dargs = []
+    for d in dbs:
+        dargs += ["-d", d]
+    base = dargs + ["-i", qfile, "-t", threshold, f"--{fmt}"]
+
+    oracle_out = tmp_path / "oracle.out"
+    subprocess.run(
+        [os.path.join(ORACLE, "kwage")] + base + ["-o", str(oracle_out)],
+        check=True, capture_output=True,
+    )
+    for extra in ([], ["--device"]):
+        ours = tmp_path / f"ours{len(extra)}.out"
+        assert kwage_main(base + ["-o", str(ours)] + extra) == 0
+        assert ours.read_bytes() == oracle_out.read_bytes(), (threshold, fmt, extra)
+
+
+def test_dump_tools_differential(corpus, tmp_path):
+    # Compare stdout to stdout: the reference prints two informational
+    # lines with cout unconditionally (dump_db.cpp:193-195), so the -o
+    # file is NOT the full transcript on either implementation.
+    work, dbs, _ = corpus
+    for db in dbs:
+        oracle = subprocess.run(
+            [os.path.join(ORACLE, "dump_db"), "-i", db],
+            check=True, capture_output=True, text=True,
+        ).stdout
+        ours = subprocess.run(
+            [sys.executable, "-m", "kwage_tpu.cli.dump_db", "-i", db],
+            check=True, capture_output=True, text=True,
+        ).stdout
+        assert ours == oracle
