@@ -161,6 +161,9 @@ def transpose_chunks_device(
         stop = min(start + chunk_bytes, nbytes)
         words = pack_filters_to_words(filter_bytes[:, start:stop])
         res = packed_bit_transpose(jnp.asarray(words))
-        res_bytes = np.asarray(res).astype("<u4").view(np.uint8).reshape(res.shape[0], -1)
+        # The padded Pallas path returns a sliced (non-contiguous) array;
+        # force C-order before the byte view.
+        res_host = np.ascontiguousarray(np.asarray(res), dtype="<u4")
+        res_bytes = res_host.view(np.uint8).reshape(res_host.shape[0], -1)
         out[start * 8 : stop * 8] = res_bytes[: (stop - start) * 8, :width]
     return out
