@@ -52,6 +52,12 @@ def main() -> None:
     # JAX_PLATFORMS env var; honor an explicit request via jax.config.
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # Persistent compile cache: repeat runs skip the 20-40 s first compile.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/kwage_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     import jax.numpy as jnp
 
