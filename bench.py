@@ -63,7 +63,7 @@ def main() -> None:
 
     from kwage_tpu.ops.search import search_counts
 
-    # Generate the 4 GiB database ON DEVICE: host RNG + the tunnel transfer
+    # Generate the multi-GiB database ON DEVICE: host RNG + the tunnel transfer
     # would cost minutes and measure nothing (the real pipeline writes the
     # matrix once and queries it many times).
     key = jax.random.key(0)

@@ -18,6 +18,7 @@ is both faster and result-identical.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -211,8 +212,9 @@ def search_files_device(
     for fi, r in enumerate(readers):
         groups.setdefault(r.header.param, []).append(fi)
 
-    # Cap each fused matrix so huge corpora stream through HBM in waves.
-    budget = 8 << 30
+    # Cap each fused matrix so huge corpora stream through HBM in waves
+    # (env-tunable; tests shrink it to exercise the multi-chunk path).
+    budget = int(os.environ.get("KWAGE_FUSION_BUDGET_BYTES", 8 << 30))
     chunked_groups: list[tuple[object, list[int]]] = []
     for param, file_idxs in groups.items():
         chunk: list[int] = []
@@ -230,6 +232,7 @@ def search_files_device(
 
     results: dict[int, list] = {}
     buckets: dict[int, dict[int, list]] = {}  # qid -> file index -> hits
+    batch_cache: dict = {}  # param -> (idx, valid, nk); shared across chunks
 
     for param, file_idxs in chunked_groups:
         words = []
@@ -243,10 +246,12 @@ def search_files_device(
         db = jnp.asarray(np.hstack(words))
         del words
 
-        idx, valid, nk = make_query_batch(
-            [q for _, q in queries], param.kmer_len, param.num_hash,
-            param.log_2_filter_len,
-        )
+        if param not in batch_cache:
+            batch_cache[param] = make_query_batch(
+                [q for _, q in queries], param.kmer_len, param.num_hash,
+                param.log_2_filter_len,
+            )
+        idx, valid, nk = batch_cache[param]
         idx_d, valid_d = jnp.asarray(idx), jnp.asarray(valid)
         if threshold == 1.0:
             mask_words = np.asarray(search_complete(db, idx_d, valid_d))
@@ -306,6 +311,8 @@ class DeviceSearcher:
         """Returns per-query [(filter_idx, num_found, num_kmers), ...] lists."""
         from ..search.engine import query_threshold_count
 
+        if not queries:
+            return []
         hdr = self.header
         idx, valid, nk = make_query_batch(
             queries, hdr.kmer_len, hdr.num_hash, hdr.log_2_filter_len

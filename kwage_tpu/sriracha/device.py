@@ -40,11 +40,12 @@ def _encode(ascii_u8):
     return code.astype(jnp.uint32), valid
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _read_batch_kernel(reads: jax.Array, lengths: jax.Array, subjects: jax.Array, k: int):
-    """reads uint8 [B, L]; lengths int32 [B]; subjects uint32 [NS, Smax] padded
-    with the sentinel. Returns (counts int32 [B, NS], num_kmer int32 [B],
-    num_unique int32 [B])."""
+def _kmerize_batch(reads: jax.Array, lengths: jax.Array, k: int):
+    """Shared per-batch prefix: canonical k-mers, per-read sort + dedup.
+
+    Returns (sorted_k uint32 [B, nwin] with sentinel padding, uniq_mask
+    bool [B, nwin], num_kmer int32 [B], num_unique int32 [B]).
+    """
     B, L = reads.shape
     nwin = L - k + 1
     codes, base_valid = _encode(reads)
@@ -77,6 +78,15 @@ def _read_batch_kernel(reads: jax.Array, lengths: jax.Array, subjects: jax.Array
 
     num_kmer = win_valid.sum(axis=1).astype(jnp.int32)
     num_unique = uniq_mask.sum(axis=1).astype(jnp.int32)
+    return sorted_k, uniq_mask, num_kmer, num_unique
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _read_batch_kernel(reads: jax.Array, lengths: jax.Array, subjects: jax.Array, k: int):
+    """reads uint8 [B, L]; lengths int32 [B]; subjects uint32 [NS, Smax] padded
+    with the sentinel. Returns (counts int32 [B, NS], num_kmer int32 [B],
+    num_unique int32 [B])."""
+    sorted_k, uniq_mask, num_kmer, num_unique = _kmerize_batch(reads, lengths, k)
 
     def per_subject(subject):
         pos = jnp.searchsorted(subject, sorted_k)
@@ -96,62 +106,41 @@ def build_subject_table(subjects: jax.Array, k: int) -> jax.Array:
     """Dense membership LUT uint32 [4^k]: bit s set iff k-mer in subject s.
 
     ``subjects`` is uint32 [NS, Smax] padded with the sentinel (out of the
-    4^k range, so padding scatters are dropped). NS <= 32.
+    4^k range, so padding scatters drop). NS <= 32. One scatter-add over
+    the flattened (index, 1 << s) pairs builds the table in a single pass;
+    addition is OR-equivalent here because each subject's k-mer list is
+    sorted-unique (load_subject_kmers), so no (index, s) pair repeats.
     """
     size = 1 << (2 * k)
-    ns = subjects.shape[0]
-    table = jnp.zeros(size, jnp.uint32)
-    for s in range(ns):
-        # Sentinel-padded entries clamp to `size` and drop in the scatter.
-        idx = jnp.where(subjects[s] >= size, jnp.uint32(size), subjects[s]).astype(jnp.int32)
-        bit = jnp.full(subjects.shape[1], jnp.uint32(1 << s))
-        table = table | jnp.zeros(size, jnp.uint32).at[idx].set(bit, mode="drop")
-    return table
+    ns, smax = subjects.shape
+    idx = jnp.where(subjects >= size, jnp.uint32(size), subjects).astype(jnp.int32)
+    bits = jnp.broadcast_to(
+        (jnp.uint32(1) << jnp.arange(ns, dtype=jnp.uint32))[:, None], (ns, smax)
+    )
+    return (
+        jnp.zeros(size, jnp.uint32)
+        .at[idx.reshape(-1)]
+        .add(bits.reshape(-1), mode="drop")
+    )
 
 
-@partial(jax.jit, static_argnames=("k", "ns"))
-def _read_batch_kernel_table(
-    reads: jax.Array, lengths: jax.Array, table: jax.Array, k: int, ns: int
+@partial(jax.jit, static_argnames=("k", "ns_groups"))
+def _read_batch_kernel_tables(
+    reads: jax.Array, lengths: jax.Array, tables: tuple, k: int, ns_groups: tuple
 ):
-    """Dense-LUT variant of _read_batch_kernel: one gather per read k-mer."""
-    B, L = reads.shape
-    nwin = L - k + 1
-    codes, base_valid = _encode(reads)
-    comp = jnp.uint32(3) - codes
+    """Dense-LUT variant: the shared k-merize/sort/dedup runs ONCE, then one
+    table gather per 32-subject group. ``ns_groups[i]`` = subjects in
+    tables[i]."""
+    sorted_k, uniq_mask, num_kmer, num_unique = _kmerize_batch(reads, lengths, k)
 
-    pos = jnp.arange(L)
-    base_valid = base_valid & (pos[None, :] < lengths[:, None])
-    iv = (~base_valid).astype(jnp.int32)
-    cs = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), jnp.cumsum(iv, axis=1)], axis=1)
-    win_valid = (cs[:, k:] - cs[:, :-k]) == 0
-    win_valid = win_valid & (jnp.arange(nwin)[None, :] + k <= lengths[:, None])
-
-    sense = jnp.zeros((B, nwin), jnp.uint32)
-    anti = jnp.zeros((B, nwin), jnp.uint32)
-    top = 2 * (k - 1)
-    for j in range(k):
-        cj = jax.lax.dynamic_slice_in_dim(codes, j, nwin, axis=1)
-        pj = jax.lax.dynamic_slice_in_dim(comp, j, nwin, axis=1)
-        sense = (sense << 2) | cj
-        anti = (anti >> 2) | (pj << top)
-    sense = sense & jnp.uint32((1 << (2 * k)) - 1)
-    canon = jnp.minimum(sense, anti)
-
-    canon = jnp.where(win_valid, canon, _SENTINEL)
-    sorted_k = jnp.sort(canon, axis=1)
-    s_valid = sorted_k != _SENTINEL
-    prev = jnp.concatenate([jnp.full((B, 1), _SENTINEL), sorted_k[:, :-1]], axis=1)
-    uniq_mask = s_valid & (sorted_k != prev)
-
-    num_kmer = win_valid.sum(axis=1).astype(jnp.int32)
-    num_unique = uniq_mask.sum(axis=1).astype(jnp.int32)
-
-    masks = jnp.take(table, sorted_k.astype(jnp.int32), mode="fill", fill_value=0)
-    masks = jnp.where(uniq_mask, masks, jnp.uint32(0))
-    shifts = jnp.arange(ns, dtype=jnp.uint32)
-    bits = ((masks[..., None] >> shifts) & jnp.uint32(1)).astype(jnp.int32)
-    counts = bits.sum(axis=1)                         # [B, NS]
-    return counts, num_kmer, num_unique
+    parts = []
+    for table, ns in zip(tables, ns_groups):
+        masks = jnp.take(table, sorted_k.astype(jnp.int32), mode="fill", fill_value=0)
+        masks = jnp.where(uniq_mask, masks, jnp.uint32(0))
+        shifts = jnp.arange(ns, dtype=jnp.uint32)
+        bits = ((masks[..., None] >> shifts) & jnp.uint32(1)).astype(jnp.int32)
+        parts.append(bits.sum(axis=1))                # [B, ns]
+    return jnp.concatenate(parts, axis=1), num_kmer, num_unique
 
 
 def search_reads_device(
@@ -168,6 +157,8 @@ def search_reads_device(
         return search_reads(read_iter, subject_kmers, opt, stats)
 
     ns = len(subject_kmers)
+    if ns == 0:
+        return []
     smax = max((s.size for _, s in subject_kmers), default=1)
     subjects = np.full((ns, smax), 0xFFFFFFFF, dtype=np.uint32)
     for i, (_, s) in enumerate(subject_kmers):
@@ -177,23 +168,18 @@ def search_reads_device(
     # Dense-LUT fast path: one membership table per group of <= 32 subjects.
     use_table = opt.kmer_len <= MAX_TABLE_K
     if use_table:
-        tables = [
+        tables = tuple(
             build_subject_table(subjects_dev[g : g + 32], opt.kmer_len)
             for g in range(0, ns, 32)
-        ]
+        )
+        ns_groups = tuple(min(32, ns - g) for g in range(0, ns, 32))
 
     def run_batch(block, lengths):
         if not use_table:
             return _read_batch_kernel(block, lengths, subjects_dev, opt.kmer_len)
-        parts = []
-        nk_ = nu_ = None
-        for gi, table in enumerate(tables):
-            g_ns = min(32, ns - 32 * gi)
-            c, nk_, nu_ = _read_batch_kernel_table(
-                block, lengths, table, opt.kmer_len, g_ns
-            )
-            parts.append(c)
-        return jnp.concatenate(parts, axis=1), nk_, nu_
+        return _read_batch_kernel_tables(
+            block, lengths, tables, opt.kmer_len, ns_groups
+        )
 
     reads = list(read_iter)
     results: list[list[SearchMatch]] = [[] for _ in range(ns)]

@@ -144,3 +144,32 @@ def test_merge_db_refuses_dbz(corpus, tmp_path):
     build_dbz_from_bloom_files(str(dbz2), param, blooms[2:4], chunk_bits=1 << 12)
     with pytest.raises(ValueError):
         merge_database_files(str(dbz1), str(dbz2), max_num_filters=8, verbose=False)
+
+
+def test_device_search_multichunk_fusion(corpus, tmp_path, monkeypatch):
+    """A tiny fusion budget forces the multi-chunk streaming path; hit
+    lists must stay identical to the host engine."""
+    from kwage_tpu.ops.search import search_files_device
+    from kwage_tpu.search.engine import search_database_files
+
+    work, groups, queries = corpus
+    dbs = []
+    for gi, (param, blooms) in enumerate(sorted(groups.items())):
+        db = tmp_path / f"sra.{gi}.db"
+        build_db_from_bloom_files(str(db), param, blooms)
+        dbs.append(str(db))
+
+    q = [(i, s) for i, (_, s) in enumerate(queries)]
+    monkeypatch.setenv("KWAGE_FUSION_BUDGET_BYTES", "20000")  # a few KiB
+    for t in (1.0, 0.5):
+        dev = search_files_device(dbs, q, t)
+        host = search_database_files(dbs, q, t)
+        assert set(dev) == set(host)
+        for qid in host:
+            assert [
+                (m.num_kmers_found, m.num_query_kmer, m.subject_info.run_accession)
+                for m in dev[qid]
+            ] == [
+                (m.num_kmers_found, m.num_query_kmer, m.subject_info.run_accession)
+                for m in host[qid]
+            ]

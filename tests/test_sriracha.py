@@ -106,3 +106,51 @@ def test_sriracha_cli_download_failure_line(tmp_path, capsys):
     text = out_file.read_text()
     assert "SRR99999999\tNA\t0\tDownload failed" in text
     assert "//" not in text
+
+
+def test_device_empty_subjects(tmp_path):
+    from kwage_tpu.sriracha.device import search_reads_device
+    from kwage_tpu.sriracha.engine import SrirachaOptions
+
+    assert search_reads_device(iter([]), [], SrirachaOptions()) == []
+    assert (
+        search_reads_device(iter([("ACGTACGTACGTACGT", 1, 0)]), [], SrirachaOptions())
+        == []
+    )
+
+
+def test_device_many_subject_groups():
+    """> 32 subjects exercises the multi-table path; counts must match the
+    searchsorted fallback kernel."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from kwage_tpu.sriracha.device import (
+        _read_batch_kernel,
+        _read_batch_kernel_tables,
+        build_subject_table,
+    )
+
+    rng = np.random.default_rng(3)
+    k = 9
+    ns, smax = 40, 64
+    subjects = np.full((ns, smax), 0xFFFFFFFF, dtype=np.uint32)
+    for s in range(ns):
+        n = int(rng.integers(5, smax))
+        subjects[s, :n] = np.sort(
+            rng.choice(1 << (2 * k), size=n, replace=False).astype(np.uint32)
+        )
+    reads = jnp.asarray(
+        rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(16, 64))
+    )
+    lengths = jnp.asarray(rng.integers(k, 64, size=16, dtype=np.int32))
+
+    want = _read_batch_kernel(reads, lengths, jnp.asarray(subjects), k)
+    tables = tuple(
+        build_subject_table(jnp.asarray(subjects[g : g + 32]), k)
+        for g in range(0, ns, 32)
+    )
+    ns_groups = tuple(min(32, ns - g) for g in range(0, ns, 32))
+    got = _read_batch_kernel_tables(reads, lengths, tables, k, ns_groups)
+    for a, b in zip(got, want):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
