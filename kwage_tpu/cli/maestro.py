@@ -26,6 +26,7 @@ from ..parallel.maestro import (
     Maestro,
     MaestroOptions,
     PrefetchResolver,
+    StreamingResolver,
 )
 from ._render import cli_errors
 
@@ -176,14 +177,18 @@ def main(argv: list[str] | None = None) -> int:
     if not 1 <= opt.min_kmer_count <= MAX_SRA_MIN_KMER_COUNT:
         print(f"Please specify: 1 <= min k-mer count <= {MAX_SRA_MIN_KMER_COUNT}", file=sys.stderr)
         return 1
-    if not source_dir and not use_prefetch:
-        print("Please specify an accession source (--source-dir or --prefetch)", file=sys.stderr)
+    if not source_dir and not use_prefetch and not opt.stream_sra:
+        print("Please specify an accession source (--source-dir, --prefetch or --stream)", file=sys.stderr)
         return 1
 
-    if use_prefetch:
-        resolver = PrefetchResolver(source_dir or ".", opt.max_sra_file_size_GB)
-    else:
+    if source_dir:
         resolver = LocalFastaResolver(source_dir)
+    elif opt.stream_sra:
+        # --stream: reads materialize via fasterq-dump, no .sra staging
+        # (the reference's streaming-worker mode).
+        resolver = StreamingResolver(opt.scratch_bloom_dir or ".")
+    else:
+        resolver = PrefetchResolver(".", opt.max_sra_file_size_GB)
 
     maestro = Maestro(opt, resolver)
     maestro.restore()

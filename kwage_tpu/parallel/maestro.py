@@ -142,6 +142,34 @@ class PrefetchResolver(SourceResolver):
             shutil.rmtree(d, ignore_errors=True)
 
 
+class StreamingResolver(SourceResolver):
+    """--stream mode: materialize reads directly with fasterq-dump (no
+    .sra staging), the closest available analog of the reference's VDB
+    streaming workers (maestro --stream; worker_main.cpp SCHEDULE_BLOOM
+    streaming branch). Uses the classified-status downloader shared with
+    sriracha (sriracha/sra_source.py)."""
+
+    def __init__(self, scratch_dir: str):
+        self.scratch_dir = scratch_dir
+
+    def resolve(self, accession: str) -> str | None:
+        from ..sriracha.sra_source import DownloadError, resolve_accession
+
+        try:
+            return resolve_accession(
+                accession, os.path.join(self.scratch_dir, accession)
+            )
+        except DownloadError:
+            return None
+
+    def cleanup(self, accession: str, path: str) -> None:
+        import shutil
+
+        d = os.path.join(self.scratch_dir, accession)
+        if os.path.isdir(d):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 @dataclass
 class MaestroOptions:
     metadata_file: str = ""
@@ -165,7 +193,7 @@ class MaestroOptions:
     save_db: bool = False
     save_sra: bool = False
     s3_no_write: bool = False
-    stream_sra: bool = True
+    stream_sra: bool = False  # default: download via prefetch (options.cpp:427)
     verbose: bool = False
     num_workers: int = 4
     # TPU ingest mode: exact-count thresholding on device instead of the

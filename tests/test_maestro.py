@@ -176,3 +176,17 @@ def test_rollback_of_incomplete_bloom(manifest, data_dir, tmp_path):
     m2.restore()
     assert m2.status[0] == 1  # rolled back to INIT
     assert m2.status[1] == 14
+
+
+def test_streaming_resolver_without_toolkit(manifest, tmp_path):
+    """--stream mode: accessions resolve via fasterq-dump; with no SRA
+    toolkit installed every download fails cleanly after the retry budget."""
+    from kwage_tpu.parallel.maestro import StreamingResolver
+
+    accs = manifest["accessions"][:2]
+    _write_inventory(manifest, tmp_path, accessions=accs)
+    opt = _options(manifest, tmp_path, num_download_attempt=1)
+    m = Maestro(opt, StreamingResolver(str(tmp_path / "stream")))
+    m.restore()
+    m.run()
+    assert all(s == STATUS_DOWNLOAD_FAIL for s in m.status), m.summary()
