@@ -24,7 +24,9 @@ import time
 import numpy as np
 
 LOG2_L = int(os.environ.get("SCALING_LOG2_L", "20"))
-W_PER_DEV = int(os.environ.get("SCALING_W_PER_DEV", "64"))  # 2048 filters/device
+# 512 words = 8 fused 2048-filter files per device: the wide-row regime
+# the single-chip bench runs in (narrow rows are gather-latency bound).
+W_PER_DEV = int(os.environ.get("SCALING_W_PER_DEV", "512"))
 NQ = int(os.environ.get("SCALING_NQ", "8"))
 NK = int(os.environ.get("SCALING_NK", "512"))
 NH = 5
