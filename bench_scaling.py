@@ -98,7 +98,9 @@ def main() -> None:
             hi = time.perf_counter() - t0
             res.append((hi - lo) / 16)
         per_iter = sorted(res)[1]
-        rate = NQ * NK * nd / per_iter        # 2048-filter file-equivalents
+        # 2048-filter file-equivalents: each device-local row covers
+        # W_PER_DEV/64 files.
+        rate = NQ * NK * nd * (W_PER_DEV // 64) / per_iter
         if base_rate is None:
             base_rate = rate
         print(
