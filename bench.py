@@ -89,7 +89,7 @@ def main() -> None:
 
     def measure(n_lo: int, n_hi: int) -> float:
         res = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             np.asarray(chained(db, idx, valid, n_lo))
             lo = time.perf_counter() - t0
@@ -97,7 +97,7 @@ def main() -> None:
             np.asarray(chained(db, idx, valid, n_hi))
             hi = time.perf_counter() - t0
             res.append((hi - lo) / (n_hi - n_lo))
-        return sorted(res)[1]  # median
+        return sorted(res)[len(res) // 2]  # median
 
     per_iter = measure(2, 34)
     tpu_rate = NQ * NK * FILES / per_iter  # 2048-filter file-equivalents
