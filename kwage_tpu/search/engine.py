@@ -113,6 +113,7 @@ def search_database_files(
     queries: list[tuple[int, str]],
     threshold: float,
     in_memory: bool = True,
+    num_threads: int | None = None,
 ) -> dict[int, list[MatchResult]]:
     """Search every query against every database file.
 
@@ -120,11 +121,19 @@ def search_database_files(
     per query id in (file order, filter index order) and then stable-sorted
     descending by num_kmers_found, reproducing the reference's output order
     (output.h:27-32; kwage.cpp:190-201).
+
+    Files search concurrently like the reference's OpenMP loop
+    (kwage.cpp:76-87) -- numpy releases the GIL -- but per-file results
+    merge in file order, so the output is deterministic regardless of
+    thread count.
     """
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..io.dbz_file import open_database
 
-    results: dict[int, list[MatchResult]] = {}
-    for path in db_paths:
+    def search_one(path: str) -> dict[int, list[MatchResult]]:
+        per_file: dict[int, list[MatchResult]] = {}
         reader = open_database(path)
         slices = reader.read_slices() if in_memory else None
         infos_cache: dict[int, FilterInfo] = {}
@@ -132,13 +141,27 @@ def search_database_files(
             hits = search_database(reader, seq, threshold, slices=slices)
             if not hits:
                 continue
-            bucket = results.setdefault(qid, [])
+            bucket = per_file.setdefault(qid, [])
             for fidx, num_match, n_kmer in hits:
                 info = infos_cache.get(fidx)
                 if info is None:
                     info = reader.read_filter_info(fidx)
                     infos_cache[fidx] = info
                 bucket.append(MatchResult(num_match, n_kmer, info))
+        return per_file
+
+    if num_threads is None:
+        num_threads = min(8, _os.cpu_count() or 1, max(1, len(db_paths)))
+    if num_threads <= 1 or len(db_paths) <= 1:
+        per_file_results = [search_one(p) for p in db_paths]
+    else:
+        with ThreadPoolExecutor(max_workers=num_threads) as pool:
+            per_file_results = list(pool.map(search_one, db_paths))
+
+    results: dict[int, list[MatchResult]] = {}
+    for per_file in per_file_results:  # file order preserved
+        for qid, bucket in per_file.items():
+            results.setdefault(qid, []).extend(bucket)
 
     for bucket in results.values():
         bucket.sort(key=lambda m: -m.num_kmers_found)

@@ -110,3 +110,32 @@ def test_dump_tools_differential(corpus, tmp_path):
             check=True, capture_output=True, text=True,
         ).stdout
         assert ours == oracle
+
+
+def test_bloom_diff_differential(corpus, tmp_path):
+    work, dbs, _ = corpus
+    blooms = sorted(str(p) for p in work.glob("*.bloom"))[:2]
+    oracle = subprocess.run(
+        [os.path.join(ORACLE, "bloom_diff"), blooms[0], blooms[1]],
+        capture_output=True, text=True,
+    )
+    ours = subprocess.run(
+        [sys.executable, "-m", "kwage_tpu.cli.bloom_diff", blooms[0], blooms[1]],
+        capture_output=True, text=True,
+    )
+    assert ours.stdout == oracle.stdout
+    assert ours.returncode == oracle.returncode
+
+
+def test_dump_bloom_differential(corpus, tmp_path):
+    work, dbs, _ = corpus
+    bloom = sorted(str(p) for p in work.glob("*.bloom"))[0]
+    oracle = subprocess.run(
+        [os.path.join(ORACLE, "dump_bloom"), bloom],
+        check=True, capture_output=True, text=True,
+    ).stdout
+    ours = subprocess.run(
+        [sys.executable, "-m", "kwage_tpu.cli.dump_bloom", bloom],
+        check=True, capture_output=True, text=True,
+    ).stdout
+    assert ours == oracle
