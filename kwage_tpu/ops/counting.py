@@ -84,11 +84,20 @@ def count_and_threshold(hi, lo, valid, min_count: int):
     # collides for the all-ones word, which `val_s` disambiguates).
     is_start = is_start.at[0].set(val_s[0])
 
-    seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1  # -1 before first seg
-    seg_sizes = jax.ops.segment_sum(
-        val_s.astype(jnp.int32), jnp.maximum(seg_id, 0), num_segments=n
-    )
-    selected = is_start & (seg_sizes[jnp.maximum(seg_id, 0)] >= min_count)
+    # In sorted order, a segment starting at p has >= m elements iff the
+    # element at p+m-1 exists, is valid, and holds the same word -- an O(1)
+    # shifted compare, replacing a segment-sum whose million-way scatter
+    # dominated this kernel on TPU.
+    m = min_count - 1
+    if m == 0:
+        selected = is_start
+    else:
+        ahead_hi = jnp.concatenate([hi_s[m:], jnp.full((m,), 0xFFFFFFFF, jnp.uint32)])
+        ahead_lo = jnp.concatenate([lo_s[m:], jnp.full((m,), 0xFFFFFFFF, jnp.uint32)])
+        ahead_val = jnp.concatenate([val_s[m:], jnp.zeros((m,), bool)])
+        selected = (
+            is_start & ahead_val & (ahead_hi == hi_s) & (ahead_lo == lo_s)
+        )
     return (
         hi_s,
         lo_s,
