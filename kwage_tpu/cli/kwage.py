@@ -136,8 +136,17 @@ def main(argv: list[str] | None = None) -> int:
         from ..ops.search import search_files_device as _search
     else:
         _search = search_database_files
-    cmd_results = _search(subject_files, cmd_queries, threshold)
-    file_results = _search(subject_files, file_queries, threshold)
+    # One pass over the databases for BOTH query id spaces (file qids are
+    # offset, then split back): each search call reloads every database
+    # file -- and with --device re-uploads the fused matrix to the chip.
+    n_cmd = len(cmd_queries)
+    combined = cmd_queries + [(n_cmd + qid, seq) for qid, seq in file_queries]
+    from ..utils import device_trace, scope
+
+    with device_trace(), scope("kwage.search"):
+        all_results = _search(subject_files, combined, threshold) if combined else {}
+    cmd_results = {q: r for q, r in all_results.items() if q < n_cmd}
+    file_results = {q - n_cmd: r for q, r in all_results.items() if q >= n_cmd}
 
     ordered: list[tuple[str, list]] = []
     for i in sorted(cmd_results):

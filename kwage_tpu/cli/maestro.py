@@ -181,14 +181,14 @@ def main(argv: list[str] | None = None) -> int:
         print("Please specify an accession source (--source-dir, --prefetch or --stream)", file=sys.stderr)
         return 1
 
-    if source_dir:
+    if use_prefetch:
+        resolver = PrefetchResolver(source_dir or ".", opt.max_sra_file_size_GB)
+    elif source_dir:
         resolver = LocalFastaResolver(source_dir)
-    elif opt.stream_sra:
+    else:
         # --stream: reads materialize via fasterq-dump, no .sra staging
         # (the reference's streaming-worker mode).
         resolver = StreamingResolver(opt.scratch_bloom_dir or ".")
-    else:
-        resolver = PrefetchResolver(".", opt.max_sra_file_size_GB)
 
     maestro = Maestro(opt, resolver)
     maestro.restore()

@@ -10,6 +10,7 @@ TPU kernel.
 from __future__ import annotations
 
 import getopt
+import os
 import sys
 import time
 
@@ -176,11 +177,13 @@ def main(argv: list[str] | None = None) -> int:
                 )
 
                 src = acc
+                downloaded = False
                 if not is_local_source(acc):
                     attempt = 0
                     while True:
                         try:
                             src = resolve_accession(acc)
+                            downloaded = True
                             break
                         except DownloadError as e:
                             attempt += 1
@@ -191,7 +194,15 @@ def main(argv: list[str] | None = None) -> int:
                                 f"(attempt {attempt})",
                                 file=sys.stderr,
                             )
-                results = search_accession(src, subject_kmers, opt, stats)
+                try:
+                    results = search_accession(src, subject_kmers, opt, stats)
+                finally:
+                    if downloaded:
+                        # The reference streams reads without persisting
+                        # them; drop the materialized FASTQ likewise.
+                        import shutil
+
+                        shutil.rmtree(os.path.dirname(src), ignore_errors=True)
             except OSError as e:
                 print(f"Unable to download SRA accession: {acc} ({e})", file=sys.stderr)
                 out.write(f"{acc}\tNA\t0\tDownload failed\n")

@@ -376,6 +376,7 @@ int kn_digest_file(KnBuilder* b, const char* path, int format,
 
   // fastq_line: 0 header, 1 sequence, 2 '+', 3 quality
   int fastq_line = 0;
+  bool qual_seen = false;  // any character on the current quality line
   bool fasta_defline = false;
   uint64_t line_start_len = 0;  // rec.len at the start of the current line
 
@@ -389,6 +390,7 @@ int kn_digest_file(KnBuilder* b, const char* path, int format,
         if (format == 1) {
           if (fastq_line == 1) flush_record();
           fastq_line = (fastq_line + 1) & 3;
+          if (fastq_line == 3) qual_seen = false;
         } else {
           fasta_defline = false;
           line_start_len = rec.len;
@@ -409,6 +411,8 @@ int kn_digest_file(KnBuilder* b, const char* path, int format,
       } else {
         if (fastq_line == 1 && c != ' ' && c != '\t' && c != '\r') {
           rec.push(c);
+        } else if (fastq_line == 3) {
+          qual_seen = true;
         }
       }
     }
@@ -416,10 +420,11 @@ int kn_digest_file(KnBuilder* b, const char* path, int format,
   if (rc == 0) {
     if (format == 0) {
       flush_record();
-    } else if (fastq_line == 3) {
-      // Quality line present but no trailing newline: record is complete.
-      // (The sequence flushed when its line ended; lines 1/2 cut short
-      // mean a truncated record, matching the Python/reference readers.)
+    } else if (fastq_line == 3 && qual_seen) {
+      // Quality characters present but no trailing newline: complete.
+      // (The sequence flushed when its line ended; any other mid-record
+      // EOF -- including a missing quality line -- is truncated input,
+      // matching the Python/reference readers.)
     } else if (fastq_line != 0) {
       rc = -2;
     }

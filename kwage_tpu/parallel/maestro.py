@@ -429,6 +429,12 @@ class Maestro:
 
     def run(self) -> None:
         """The event loop: dispatch work, absorb completions, checkpoint."""
+        from ..utils import device_trace
+
+        with device_trace():
+            self._run()
+
+    def _run(self) -> None:
         opt = self.opt
         self.checkpoint(force=True)
         futures: dict[Future, str] = {}

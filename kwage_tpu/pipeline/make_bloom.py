@@ -319,8 +319,11 @@ def build_bloom_from_file(
             num_bp += len(seq)
             num_spots += 1
 
-    info.number_of_bases = num_bp
-    info.number_of_spots = num_spots
+    # Inventory metadata counts flow through unchanged like the reference
+    # (make_bloom.cpp never writes measured counts into FilterInfo);
+    # measured values only fill absent metadata.
+    info.number_of_bases = info.number_of_bases or num_bp
+    info.number_of_spots = info.number_of_spots or num_spots
 
     if not use_native:
         return build_bloom_from_sequences(

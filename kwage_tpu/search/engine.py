@@ -151,7 +151,12 @@ def search_database_files(
         return per_file
 
     if num_threads is None:
-        num_threads = min(8, _os.cpu_count() or 1, max(1, len(db_paths)))
+        # Each in-memory worker holds one full slice matrix, so the default
+        # caps residency at ~4 files' worth; KWAGE_NUM_THREADS overrides
+        # (the reference uses OMP_NUM_THREADS similarly, kwage.cpp:76).
+        env = _os.environ.get("KWAGE_NUM_THREADS")
+        cap = int(env) if env else min(4, _os.cpu_count() or 1)
+        num_threads = min(cap, max(1, len(db_paths)))
     if num_threads <= 1 or len(db_paths) <= 1:
         per_file_results = [search_one(p) for p in db_paths]
     else:

@@ -84,12 +84,18 @@ def resolve_accession(accession: str, scratch: str | None = None) -> str:
         )
     scratch = scratch or tempfile.mkdtemp(prefix=f"sriracha.{accession}.")
     os.makedirs(scratch, exist_ok=True)
-    proc = subprocess.run(
-        [fasterq, "--concatenate-reads", "-O", scratch, accession],
-        capture_output=True,
-        text=True,
-        timeout=24 * 3600,
-    )
+    try:
+        proc = subprocess.run(
+            [fasterq, "--concatenate-reads", "-O", scratch, accession],
+            capture_output=True,
+            text=True,
+            timeout=24 * 3600,
+        )
+    except subprocess.TimeoutExpired as e:
+        # Classified network failure: the caller's retry loop engages.
+        raise DownloadError(
+            SRA_DOWNLOAD_NETWORK_FAILURE, f"fasterq-dump timed out for {accession}"
+        ) from e
     if proc.returncode != 0:
         err = (proc.stderr or "").lower()
         if any(s in err for s in ("timeout", "connection", "network", "resolve")):

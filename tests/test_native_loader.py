@@ -101,3 +101,13 @@ def test_empty_records_skipped(tmp_path, seqs):
     path.write_text(f">a\n\n>b\n{seqs[0]}\n>c\n")
     assert [s for _, s in iter_sequences(str(path))] == [seqs[0]]
     assert scan_file_native(str(path), FASTA) == (1, 200)
+
+
+def test_fastq_missing_quality_line_raises(tmp_path, seqs):
+    # EOF right after the '+' line's newline: quality line absent entirely.
+    path = tmp_path / "x.fastq"
+    path.write_text(f"@r0\n{seqs[0]}\n+\n")
+    with pytest.raises(ValueError):
+        scan_file_native(str(path), FASTQ)
+    with pytest.raises(ValueError):
+        list(iter_sequences(str(path)))
