@@ -95,6 +95,30 @@ def test_kwage_differential(corpus, tmp_path, threshold, fmt):
         assert ours.read_bytes() == oracle_out.read_bytes(), (threshold, fmt, extra)
 
 
+def test_kwage_mixed_cmdline_and_file_queries(corpus, tmp_path):
+    """Command-line sequences and -i files share one database pass but
+    separate query-id spaces (kwage.cpp:116-148); output must still match
+    the reference byte for byte."""
+    from kwage_tpu.cli.kwage import main as kwage_main
+
+    work, dbs, qfile = corpus
+    seqs = ["ACGTACGTACGTACGTACGTACGTACGTACGTACGTACGT", "GGGTTTAAACCCGGGTTTAAACCCGGGTTTAAACCC"]
+    dargs = []
+    for d in dbs:
+        dargs += ["-d", d]
+    base = dargs + ["-i", qfile, "-t", "0.3", "--o.json"] + seqs
+
+    oracle_out = tmp_path / "oracle.out"
+    subprocess.run(
+        [os.path.join(ORACLE, "kwage")] + base + ["-o", str(oracle_out)],
+        check=True, capture_output=True,
+    )
+    for extra in ([], ["--device"]):
+        ours = tmp_path / f"mixed{len(extra)}.out"
+        assert kwage_main(base + ["-o", str(ours)] + extra) == 0
+        assert ours.read_bytes() == oracle_out.read_bytes(), extra
+
+
 def test_dump_tools_differential(corpus, tmp_path):
     # Compare stdout to stdout: the reference prints two informational
     # lines with cout unconditionally (dump_db.cpp:193-195), so the -o
