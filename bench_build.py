@@ -1,0 +1,132 @@
+"""Build-side benchmark: Bloom filters built/s + ingest Mbp/s
+(the BASELINE "Bloom filters built/s" metric).
+
+Builds a synthetic corpus of FASTA accessions, then times the complete
+maestro pipeline (resolve -> count/threshold -> adaptive sizing ->
+.bloom -> transpose -> .db) for the host-parity path and, when a device
+is present, the exact-count device path. Prints one JSON line per mode.
+
+Env overrides: BUILD_N_ACC (default 32), BUILD_BP (bases/accession,
+default 300000), BUILD_WORKERS (default 4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+
+import numpy as np
+
+N_ACC = int(os.environ.get("BUILD_N_ACC", "32"))
+BP = int(os.environ.get("BUILD_BP", "300000"))
+WORKERS = int(os.environ.get("BUILD_WORKERS", "4"))
+
+
+def main() -> None:
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # Persistent compile cache: device-mode figures reflect steady state,
+    # not the one-time kernel compiles.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/kwage_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from kwage_tpu.core import FilterInfo, str_to_accession
+    from kwage_tpu.io.inventory import write_inventory
+    from kwage_tpu.parallel.maestro import (
+        STATUS_DATABASE_SUCCESS,
+        LocalFastaResolver,
+        Maestro,
+        MaestroOptions,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_build.")
+    try:
+        rng = np.random.default_rng(0)
+        src = os.path.join(work, "fa")
+        os.makedirs(src)
+        accs = [f"SRR5{i:06d}" for i in range(N_ACC)]
+        read_len = 300
+        lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+        for acc in accs:
+            # Reads sampled from a per-accession genome at ~4x coverage, so
+            # true k-mers recur (min_kmer_count de-noising has signal to keep).
+            n_reads = BP // read_len
+            genome = lut[rng.integers(0, 4, size=max(BP // 4, read_len), dtype=np.uint8)]
+            starts = rng.integers(0, genome.size - read_len + 1, size=n_reads)
+            with open(os.path.join(src, f"{acc}.fasta"), "wb") as f:
+                for r, st in enumerate(starts):
+                    f.write(b">r%d\n" % r)
+                    f.write(genome[st : st + read_len].tobytes())
+                    f.write(b"\n")
+        write_inventory(
+            os.path.join(work, "inv.bin"),
+            [FilterInfo(run_accession=str_to_accession(a)) for a in accs],
+        )
+
+        modes = [("host", False)]
+        try:
+            if jax.devices():
+                modes.append(("device", True))
+        except Exception:
+            pass
+
+        for name, device_build in modes:
+            scratch = os.path.join(work, name)
+            opt = MaestroOptions(
+                metadata_file=os.path.join(work, "inv.bin"),
+                scratch_bloom_dir=os.path.join(scratch, "bloom"),
+                scratch_database_dir=os.path.join(scratch, "db"),
+                status_file=os.path.join(scratch, "status.bin"),
+                min_kmer_count=2,
+                min_log_2_filter_len=18,
+                max_log_2_filter_len=24,
+                min_log_2_count_len=18,
+                max_log_2_count_len=24,
+                # One chip is one resource: concurrent device dispatch from
+                # several threads only contends (measured 8x worse through
+                # the tunnel), so device mode builds serially.
+                num_workers=1 if device_build else WORKERS,
+                device_build=device_build,
+            )
+            if device_build:
+                # Warm the jit caches with one same-shaped build BEFORE the
+                # worker pool starts: concurrent first-traces would each
+                # pay the (tunnel) compile, and the figure should reflect
+                # steady state.
+                from kwage_tpu.core import FilterInfo as _FI
+                from kwage_tpu.io.sequence import iter_sequences
+                from kwage_tpu.pipeline.make_bloom import build_bloom_device
+
+                warm = [s for _, s in iter_sequences(os.path.join(src, f"{accs[0]}.fasta"))]
+                build_bloom_device(iter(warm), opt.build_options(), _FI())
+
+            m = Maestro(opt, LocalFastaResolver(src))
+            m.restore()
+            t0 = time.perf_counter()
+            m.run()
+            dt = time.perf_counter() - t0
+            ok = sum(1 for s in m.status if s == STATUS_DATABASE_SUCCESS)
+            print(
+                json.dumps(
+                    {
+                        "metric": f"bloom_filters_built_per_sec_{name}",
+                        "value": round(ok / dt, 3),
+                        "unit": f"filters/s ({BP} bp each; {WORKERS} workers; end-to-end incl. transpose)",
+                        "mbp_per_sec": round(ok * BP / dt / 1e6, 2),
+                    }
+                )
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -275,6 +275,15 @@ def build_bloom_device(
 
     hi, lo = u64_to_words(thresholded)
     selected = np.ones(thresholded.size, dtype=bool)
+    # Bucket the (variable) thresholded-word count to a power of two so
+    # set_filter_bits compiles once per bucket, not once per accession
+    # (each retrace costs a full XLA compile; padding is masked out).
+    bucket = max(1 << max(int(np.ceil(np.log2(max(num_valid, 1)))), 10), 1024)
+    pad = bucket - num_valid
+    if pad:
+        hi = np.pad(hi, (0, pad))
+        lo = np.pad(lo, (0, pad))
+        selected = np.pad(selected, (0, pad))
     words = set_filter_bits(
         jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(selected),
         opts.kmer_len, param.num_hash, param.log_2_filter_len,

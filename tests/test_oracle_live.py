@@ -163,3 +163,41 @@ def test_dump_bloom_differential(corpus, tmp_path):
         check=True, capture_output=True, text=True,
     ).stdout
     assert ours == oracle
+
+
+def test_inventory_dump_and_sra_diff_differential(tmp_path):
+    """inventory_dump transcript + sra_diff accession-set diff vs oracle."""
+    import numpy as np
+
+    from kwage_tpu.core import FilterInfo, str_to_accession
+    from kwage_tpu.io.inventory import write_inventory
+
+    rng = np.random.default_rng(17)
+
+    def make_inv(path, accs):
+        infos = []
+        for a in accs:
+            info = FilterInfo(run_accession=str_to_accession(a))
+            info.number_of_spots = int(rng.integers(1, 100))
+            info.number_of_bases = int(rng.integers(100, 10000))
+            info.experiment_title = f"exp {a}"
+            infos.append(info)
+        write_inventory(str(path), infos)
+
+    inv1 = tmp_path / "a.bin"
+    inv2 = tmp_path / "b.bin"
+    make_inv(inv1, ["SRR100", "SRR200", "SRR300"])
+    make_inv(inv2, ["SRR200", "SRR400"])
+
+    for tool, args in (
+        ("inventory_dump", [str(inv1)]),
+        ("sra_diff", [str(inv1), str(inv2)]),
+    ):
+        oracle = subprocess.run(
+            [os.path.join(ORACLE, tool)] + args, capture_output=True, text=True
+        )
+        ours = subprocess.run(
+            [sys.executable, "-m", f"kwage_tpu.cli.{tool}"] + args,
+            capture_output=True, text=True,
+        )
+        assert ours.stdout == oracle.stdout, tool
