@@ -140,11 +140,14 @@ def _finish_build(builder, opts: BuildOptions, info: FilterInfo, max_kmers: int)
 
 
 def _pad_reads_to_batch(sequences: list[str], k: int) -> "np.ndarray":
-    """ASCII read batch padded with zeros (invalid windows) to a bucketed
-    common length -- bucketing bounds the number of distinct jit traces."""
+    """ASCII read batch padded with zeros (invalid windows) to bucketed
+    dimensions. BOTH axes bucket -- length to 128-multiples, row count to
+    powers of two -- because every distinct shape is a separate XLA
+    compile; zero rows contribute no valid windows."""
     max_len = max((len(s) for s in sequences), default=k)
     bucket = max(128, ((max_len + 127) // 128) * 128)
-    batch = np.zeros((len(sequences), bucket), dtype=np.uint8)
+    rows = max(64, 1 << int(np.ceil(np.log2(max(len(sequences), 1)))))
+    batch = np.zeros((rows, bucket), dtype=np.uint8)
     for i, s in enumerate(sequences):
         batch[i, : len(s)] = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
     return batch

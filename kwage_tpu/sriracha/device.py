@@ -208,16 +208,19 @@ def search_reads_device(
     for L, idxs in sorted(buckets.items()):
         for start in range(0, len(idxs), batch_size):
             chunk = idxs[start : start + batch_size]
-            block = np.zeros((len(chunk), L), dtype=np.uint8)
-            lengths = np.zeros(len(chunk), dtype=np.int32)
+            # Row count pads to the full batch (zero rows = zero-length
+            # reads, masked out): a ragged final chunk would otherwise be
+            # a fresh shape and a fresh XLA compile.
+            block = np.zeros((batch_size, L), dtype=np.uint8)
+            lengths = np.zeros(batch_size, dtype=np.int32)
             for r, i in enumerate(chunk):
                 seq = reads[i][0]
                 block[r, : len(seq)] = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
                 lengths[r] = len(seq)
             c, k_, u_ = run_batch(jnp.asarray(block), jnp.asarray(lengths))
-            counts[chunk] = np.asarray(c)
-            nk[chunk] = np.asarray(k_)
-            nu[chunk] = np.asarray(u_)
+            counts[chunk] = np.asarray(c)[: len(chunk)]
+            nk[chunk] = np.asarray(k_)[: len(chunk)]
+            nu[chunk] = np.asarray(u_)[: len(chunk)]
 
     # Sequential gates + accumulation (preserves the engine's exact
     # perfect-match early-skip and intermediate-cull semantics).
