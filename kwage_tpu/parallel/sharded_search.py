@@ -81,12 +81,18 @@ class ShardedDatabase:
             self.param.num_hash,
             self.param.log_2_filter_len,
         )
-        # Pad the query batch to a multiple of the data axis.
+        # Bucket both query-batch axes (serving calls arrive with varying
+        # sizes; every distinct shape is a separate XLA compile), then pad
+        # the batch to a multiple of the data axis.
         n_data = self.mesh.shape["data"]
-        pad = (-idx.shape[0]) % n_data
-        if pad:
-            idx = np.pad(idx, ((0, pad), (0, 0), (0, 0)))
-            valid = np.pad(valid, ((0, pad), (0, 0)))
+        nq_b = max(n_data, 1 << int(np.ceil(np.log2(max(idx.shape[0], 1)))))
+        nq_b += (-nq_b) % n_data
+        nk_b = max(128, ((idx.shape[1] + 127) // 128) * 128)
+        pad_q = nq_b - idx.shape[0]
+        pad_k = nk_b - idx.shape[1]
+        if pad_q or pad_k:
+            idx = np.pad(idx, ((0, pad_q), (0, pad_k), (0, 0)))
+            valid = np.pad(valid, ((0, pad_q), (0, pad_k)))
         spec_idx = NamedSharding(self.mesh, P("data", None, None))
         spec_valid = NamedSharding(self.mesh, P("data", None))
         return (
