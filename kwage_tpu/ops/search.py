@@ -55,7 +55,9 @@ def make_query_batch(
 
     nq = len(per_query)
     max_k = max((p.shape[0] for p in per_query), default=0)
-    max_k = max(max_k, 1)
+    # Bucket the k-mer axis to 128-multiples: every distinct shape is a
+    # separate XLA compile, and serving batches vary per call.
+    max_k = max(128, ((max_k + 127) // 128) * 128)
     idx = np.zeros((nq, max_k, num_hash), dtype=np.int32)
     valid = np.zeros((nq, max_k), dtype=bool)
     nk = np.zeros(nq, dtype=np.int32)
