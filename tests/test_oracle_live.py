@@ -201,3 +201,61 @@ def test_inventory_dump_and_sra_diff_differential(tmp_path):
             capture_output=True, text=True,
         )
         assert ours.stdout == oracle.stdout, tool
+
+
+@pytest.mark.parametrize("k", [15, 21, 32])
+def test_edge_kmer_lengths_differential(tmp_path, k):
+    """k=15 (single-word device domain), 21 (tail-block murmur), 32 (word
+    fills all 64 bits; the sort-sentinel edge): device build == host build
+    bit-for-bit, and search output == the reference binary."""
+    from kwage_tpu.cli.kwage import main as kwage_main
+    from kwage_tpu.core import FilterInfo, str_to_accession
+    from kwage_tpu.io.bloom_file import write_bloom_file
+    from kwage_tpu.io.sequence import iter_sequences
+    from kwage_tpu.pipeline import (
+        BuildOptions,
+        build_bloom_device,
+        build_bloom_from_file,
+        build_db_from_bloom_files,
+    )
+
+    rng = np.random.default_rng(7 + k)
+    opts = BuildOptions(
+        kmer_len=k, min_kmer_count=1, min_log_2_filter_len=12,
+        max_log_2_filter_len=18, min_log_2_count_len=12, max_log_2_count_len=18,
+    )
+    groups = {}
+    for i in range(3):
+        acc = f"SRR9{k:02d}{i:03d}"
+        s = "".join(rng.choice(list("ACGTN"), p=[0.24] * 4 + [0.04],
+                               size=int(rng.integers(200, 1500))))
+        fa = tmp_path / f"{acc}.fasta"
+        fa.write_text(f">{acc}\n{s}\n")
+        rec = build_bloom_from_file(str(fa), opts, FilterInfo(run_accession=str_to_accession(acc)))
+        dev = build_bloom_device(
+            (q for _, q in iter_sequences(str(fa))), opts,
+            FilterInfo(run_accession=str_to_accession(acc)),
+        )
+        assert dev.param == rec.param and dev.bits.tobytes() == rec.bits.tobytes()
+        bl = tmp_path / f"{acc}.bloom"
+        write_bloom_file(str(bl), rec)
+        groups.setdefault(rec.param, []).append(str(bl))
+    dbs = []
+    for gi, (param, paths) in enumerate(sorted(groups.items())):
+        db = tmp_path / f"sra.{gi}.db"
+        build_db_from_bloom_files(str(db), param, paths)
+        dbs.append(str(db))
+    qfile = tmp_path / "q.fasta"
+    qfile.write_text(f">q\n{s[20:140]}\n")
+
+    dargs = []
+    for d in dbs:
+        dargs += ["-d", d]
+    base = dargs + ["-i", str(qfile), "-t", "0.4", "--o.json"]
+    oracle_out = tmp_path / "o.json"
+    subprocess.run([os.path.join(ORACLE, "kwage")] + base + ["-o", str(oracle_out)],
+                   check=True, capture_output=True)
+    for extra in ([], ["--device"]):
+        ours = tmp_path / f"m{len(extra)}.json"
+        assert kwage_main(base + ["-o", str(ours)] + extra) == 0
+        assert ours.read_bytes() == oracle_out.read_bytes(), (k, extra)
