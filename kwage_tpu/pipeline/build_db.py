@@ -46,9 +46,15 @@ def transpose_filters(filter_bytes: np.ndarray, num_filter: int | None = None) -
     return slices
 
 
-def _iter_transposed_chunks(paths: list[str], param: BloomParam, chunk_bits: int):
+def _iter_transposed_chunks(
+    paths: list[str], param: BloomParam, chunk_bits: int, device: bool = False
+):
     """Yield transposed slice chunks while streaming all inputs in lockstep,
-    validating per-filter crc32 like build_db.cpp:280-286, 343-362."""
+    validating per-filter crc32 like build_db.cpp:280-286, 343-362.
+
+    ``device=True`` runs each chunk through the Pallas packed bit-transpose
+    (4x the host/unpack path on-chip; only worthwhile where host<->device
+    bandwidth is PCIe-class)."""
     num_filter = len(paths)
     filter_len = param.filter_len
     chunk_bytes = chunk_bits // 8
@@ -81,7 +87,14 @@ def _iter_transposed_chunks(paths: list[str], param: BloomParam, chunk_bits: int
                     raise ValueError(f"{paths[j]}: truncated filter data")
                 running_crc[j] = zlib.crc32(data, running_crc[j])
                 block[j] = np.frombuffer(data, dtype=np.uint8)
-            yield transpose_filters(block, num_filter)
+            if device:
+                from ..ops.transpose import transpose_chunks_device
+
+                yield transpose_chunks_device(block, chunk_bits=nbits)[
+                    :, : (num_filter + 7) // 8
+                ]
+            else:
+                yield transpose_filters(block, num_filter)
 
         for j in range(num_filter):
             if (running_crc[j] & 0xFFFFFFFF) != expected_crc[j]:
@@ -96,6 +109,7 @@ def build_db_from_bloom_files(
     param: BloomParam,
     bloom_files: list[str],
     chunk_bits: int = DEFAULT_CHUNK_BITS,
+    device: bool = False,
 ) -> DBFileHeader:
     """Transpose .bloom files into a .db database file (build_db.cpp:24-456).
 
@@ -112,7 +126,7 @@ def build_db_from_bloom_files(
     return write_db_file_streaming(
         out_path,
         param,
-        _iter_transposed_chunks(bloom_files, param, chunk_bits),
+        _iter_transposed_chunks(bloom_files, param, chunk_bits, device=device),
         infos,
         num_filter=len(bloom_files),
     )

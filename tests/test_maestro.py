@@ -190,3 +190,39 @@ def test_streaming_resolver_without_toolkit(manifest, tmp_path):
     m.restore()
     m.run()
     assert all(s == STATUS_DOWNLOAD_FAIL for s in m.status), m.summary()
+
+
+def test_flaky_resolver_recovers_via_retries(manifest, data_dir, tmp_path):
+    """Fault injection: a resolver that fails each accession's first two
+    attempts must still converge through the retry state machine
+    (maestro_main.cpp retry queues)."""
+
+    class FlakyResolver(LocalFastaResolver):
+        def __init__(self, source_dir):
+            super().__init__(source_dir)
+            self.attempts = {}
+
+        def resolve(self, accession):
+            n = self.attempts.get(accession, 0)
+            self.attempts[accession] = n + 1
+            if n < 2:
+                return None  # simulated download failure
+            return super().resolve(accession)
+
+    accs = manifest["accessions"][:4]
+    _write_inventory(manifest, tmp_path, accessions=accs)
+    opt = _options(manifest, tmp_path, num_download_attempt=3, num_workers=2)
+    m = Maestro(opt, FlakyResolver(str(data_dir)))
+    m.restore()
+    m.run()
+    assert all(s == STATUS_DATABASE_SUCCESS for s in m.status), m.summary()
+
+    # With a retry budget below the failure count, accessions fail hard.
+    tmp2 = tmp_path / "b"
+    tmp2.mkdir()
+    _write_inventory(manifest, tmp2, accessions=accs)
+    opt2 = _options(manifest, tmp2, num_download_attempt=2, num_workers=2)
+    m2 = Maestro(opt2, FlakyResolver(str(data_dir)))
+    m2.restore()
+    m2.run()
+    assert all(s == STATUS_DOWNLOAD_FAIL for s in m2.status), m2.summary()

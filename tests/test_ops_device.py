@@ -145,3 +145,33 @@ def test_packed_bit_transpose_matches_unpack_oracle():
             np.packbits(want_bits, axis=1, bitorder="little")
         ).reshape(Lp, -1, 4).view(np.uint32).reshape(Lp, -1)
         assert np.array_equal(got, want), (F, B)
+
+
+def test_build_db_device_transpose_bytes_identical(tmp_path):
+    """build_db with device=True (Pallas transpose path) produces the
+    exact bytes of the host path."""
+    import zlib
+
+    from kwage_tpu.core import FilterInfo, str_to_accession
+    from kwage_tpu.core.params import BloomParam
+    from kwage_tpu.io.bloom_file import BloomFilterRecord, write_bloom_file
+    from kwage_tpu.pipeline.build_db import build_db_from_bloom_files
+
+    lrng = np.random.default_rng(9)
+    param = BloomParam(kmer_len=31, log_2_filter_len=14, num_hash=3, hash_func=0)
+    nb = param.filter_len // 8
+    blooms = []
+    for i in range(5):
+        bits = lrng.integers(0, 256, size=nb, dtype=np.uint8)
+        rec = BloomFilterRecord(
+            param=param, crc32=zlib.crc32(bits.tobytes()) & 0xFFFFFFFF,
+            info=FilterInfo(run_accession=str_to_accession(f"SRR{i+1}")), bits=bits,
+        )
+        p = tmp_path / f"f{i}.bloom"
+        write_bloom_file(str(p), rec)
+        blooms.append(str(p))
+    host_db = tmp_path / "host.db"
+    dev_db = tmp_path / "dev.db"
+    build_db_from_bloom_files(str(host_db), param, blooms, chunk_bits=1 << 14)
+    build_db_from_bloom_files(str(dev_db), param, blooms, chunk_bits=1 << 14, device=True)
+    assert host_db.read_bytes() == dev_db.read_bytes()
