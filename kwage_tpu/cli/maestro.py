@@ -37,7 +37,7 @@ LONG_OPTS = [
     "delay=", "scratch.bloom=", "scratch.database=", "skip=",
     # engine-specific extensions
     "source-dir=", "prefetch", "workers=", "count-len.min=", "count-len.max=",
-    "device-build", "compress",
+    "device-build", "compress", "device-transpose",
 ]
 
 
@@ -73,6 +73,7 @@ def usage() -> None:
     print("\t[--workers <N>] (engine extension, default 4)", file=e)
     print("\t[--device-build (exact-count thresholding on the TPU)] (engine extension)", file=e)
     print("\t[--compress (write zlib-chunked .dbz database files)] (engine extension)", file=e)
+    print("\t[--device-transpose (bit-slice transpose on the TPU)] (engine extension)", file=e)
 
 
 @cli_errors
@@ -152,6 +153,8 @@ def main(argv: list[str] | None = None) -> int:
             opt.device_build = True
         elif flag == "--compress":
             opt.compress_db = True
+        elif flag == "--device-transpose":
+            opt.device_transpose = True
         elif flag == "--count-len.min":
             opt.min_log_2_count_len = abs(int(val))
         elif flag == "--count-len.max":

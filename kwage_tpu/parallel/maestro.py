@@ -201,6 +201,9 @@ class MaestroOptions:
     device_build: bool = False
     # Write zlib-chunked .dbz database files (engine extension).
     compress_db: bool = False
+    # Transpose on device via the Pallas packed bit-transpose (engine
+    # extension; pays off on PCIe-attached hosts).
+    device_transpose: bool = False
     # Seconds between status-histogram displays (reference: 15 min,
     # maestro_main.cpp:63).
     status_display_sec: float = 900.0
@@ -370,7 +373,9 @@ class Maestro:
 
                 build_dbz_from_bloom_files(db_path, param, blooms)
             else:
-                build_db_from_bloom_files(db_path, param, blooms)
+                build_db_from_bloom_files(
+                    db_path, param, blooms, device=self.opt.device_transpose
+                )
             ok = True
         except (ValueError, OSError):
             pass

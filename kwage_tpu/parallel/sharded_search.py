@@ -42,6 +42,35 @@ def _sharded(fn, mesh: Mesh):
     )
 
 
+def _total_hits_kernel(db_local, idx, kmer_valid, threshold_count):
+    """Per-query TOTAL matching-filter count across the whole corpus: the
+    per-shard reduction rides a psum over the "filters" ICI axis (the
+    analog of the reference's MPI_Allreduce(SUM) reconciliations,
+    SriRachA/main.cpp:535-550)."""
+    counts = _counts_kernel(db_local, idx, kmer_valid)   # [nq_local, Wl*32]
+    local = (counts >= threshold_count[:, None]).sum(axis=1).astype(jnp.int32)
+    return jax.lax.psum(local, axis_name="filters")
+
+
+def sharded_total_hits(mesh: Mesh, db, idx, kmer_valid, threshold_count):
+    """int32 [nq]: number of filters meeting the per-query threshold,
+    reduced across all filter shards on-device."""
+    fn = jax.jit(
+        jax.shard_map(
+            _total_hits_kernel,
+            mesh=mesh,
+            in_specs=(
+                P(None, "filters"),
+                P("data", None, None),
+                P("data", None),
+                P("data"),
+            ),
+            out_specs=P("data"),
+        )
+    )
+    return fn(db, idx, kmer_valid, threshold_count)
+
+
 def sharded_search_counts(mesh: Mesh, db, idx, kmer_valid):
     return _sharded(_counts_kernel, mesh)(db, idx, kmer_valid)
 
@@ -106,6 +135,22 @@ class ShardedDatabase:
         idx, valid, nk = self._prep(queries)
         counts = np.asarray(self._counts(self.db, idx, valid))
         return counts[: len(queries), : self.num_filter], nk
+
+    def total_hits(self, queries: list[str], threshold: float) -> np.ndarray:
+        """Per-query corpus-wide matching-filter totals (psum over the
+        "filters" ICI axis). threshold must be > 0 so zero-count padding
+        columns never match."""
+        from ..search.engine import query_threshold_count
+
+        idx, valid, nk = self._prep(queries)
+        qt = np.ones(idx.shape[0], dtype=np.int32)  # padding queries: qt=1
+        for i in range(len(queries)):
+            qt[i] = max(query_threshold_count(threshold, int(nk[i])), 1)
+        totals = np.asarray(
+            sharded_total_hits(self.mesh, self.db, idx, valid,
+                               jax.device_put(qt, NamedSharding(self.mesh, P("data"))))
+        )
+        return totals[: len(queries)]
 
     def search_complete(self, queries: list[str]) -> tuple[np.ndarray, np.ndarray]:
         """Complete-match bool mask [nq, num_filter] + per-query k-mer counts."""

@@ -98,7 +98,14 @@ def _read_batch_kernel(reads: jax.Array, lengths: jax.Array, subjects: jax.Array
     return counts.T, num_kmer, num_unique
 
 
-MAX_TABLE_K = 13  # 4^13 * 4 B = 256 MiB membership table ceiling
+MAX_TABLE_K = 13  # 4^13 * 4 B = 256 MiB membership table (any backend)
+MAX_TABLE_K_TPU = 14  # 1 GiB table: fine in HBM, too hungry for CPU runs
+
+
+def _table_k_limit() -> int:
+    import jax
+
+    return MAX_TABLE_K_TPU if jax.default_backend() == "tpu" else MAX_TABLE_K
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -166,7 +173,7 @@ def search_reads_device(
     subjects_dev = jnp.asarray(subjects)
 
     # Dense-LUT fast path: one membership table per group of <= 32 subjects.
-    use_table = opt.kmer_len <= MAX_TABLE_K
+    use_table = opt.kmer_len <= _table_k_limit()
     if use_table:
         tables = tuple(
             build_subject_table(subjects_dev[g : g + 32], opt.kmer_len)

@@ -75,3 +75,32 @@ def test_global_mesh_and_inventory_sharding():
     # Equal chunks, remainder to the last host (sra_stream.cpp:525-543).
     spans = [shard_inventory(10, r, 3) for r in range(3)]
     assert spans == [(0, 3), (3, 6), (6, 10)]
+
+
+def test_total_hits_psum_matches_counts():
+    """The psum-reduced corpus totals equal the brute count from the full
+    sharded hit matrix."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    from kwage_tpu.core.params import BloomParam
+    from kwage_tpu.parallel import ShardedDatabase, make_search_mesh
+    from kwage_tpu.search.engine import query_threshold_count
+
+    rng = np.random.default_rng(12)
+    L, F = 1 << 12, 32 * len(jax.devices())
+    filters_arr = rng.integers(0, 256, size=(F, L // 8), dtype=np.uint8)
+    slices = transpose_filters(filters_arr)
+    param = BloomParam(kmer_len=31, log_2_filter_len=12, num_hash=3, hash_func=0)
+    mesh = make_search_mesh(2 if len(jax.devices()) >= 4 else 1,
+                            len(jax.devices()) // (2 if len(jax.devices()) >= 4 else 1))
+    sdb = ShardedDatabase(mesh, param, slices, F)
+
+    queries = ["".join(rng.choice(list("ACGT"), size=70)) for _ in range(3)]
+    threshold = 0.3
+    totals = sdb.total_hits(queries, threshold)
+    counts, nk = sdb.search_counts(queries)
+    for qi in range(len(queries)):
+        qt = max(query_threshold_count(threshold, int(nk[qi])), 1)
+        assert totals[qi] == int((counts[qi] >= qt).sum()), qi
