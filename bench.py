@@ -99,7 +99,7 @@ def main() -> None:
             res.append((hi - lo) / (n_hi - n_lo))
         return sorted(res)[len(res) // 2]  # median
 
-    per_iter = measure(2, 34)
+    per_iter = measure(2, 50)
     tpu_rate = NQ * NK * FILES / per_iter  # 2048-filter file-equivalents
 
     # Host (single-core numpy) baseline, same reduction on one 2048-filter
@@ -110,17 +110,20 @@ def main() -> None:
     HK = min(256, NK)
     db_host = rng.integers(0, 1 << 32, size=(1 << H_LOG2, HW), dtype=np.uint32)
     h_idx = np.asarray(idx[:1, :HK]) & ((1 << H_LOG2) - 1)
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
+
+    def cpu_pass() -> float:
+        t0 = time.perf_counter()
         rows = db_host[h_idx.reshape(-1)].reshape(1, HK, NH, HW)
         km = rows[:, :, 0, :]
         for h in range(1, NH):
             km = km & rows[:, :, h, :]
         bits = np.unpackbits(km.view(np.uint8), axis=-1, bitorder="little")
         _ = bits.reshape(1, HK, -1).sum(axis=1)
-    cpu_dt = time.perf_counter() - t0
-    cpu_rate = HK * reps / cpu_dt
+        return time.perf_counter() - t0
+
+    cpu_pass()  # warm-up: first-touch faults, allocator
+    cpu_dt = sorted(cpu_pass() for _ in range(5))[2]
+    cpu_rate = HK / cpu_dt
 
     print(
         json.dumps(
