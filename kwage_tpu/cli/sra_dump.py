@@ -10,6 +10,7 @@ pipeline ingests -- and reports the identical throughput counters
 from __future__ import annotations
 
 import getopt
+import os
 import sys
 import time
 
@@ -45,10 +46,18 @@ def main(argv: list[str] | None = None) -> int:
         _usage()
         return 0
 
+    src = args[0]
+    if not os.path.exists(src):
+        # Treat a non-local argument as an SRA accession (gated on the
+        # SRA toolkit, like the reference's NGS openReadCollection).
+        from ..sriracha.sra_source import resolve_accession
+
+        src = resolve_accession(args[0])
+
     t0 = time.time()
     num_read = 0
     num_bp = 0
-    for defline, seq in iter_sequences(args[0]):
+    for defline, seq in iter_sequences(src):
         num_read += 1
         num_bp += len(seq)
         if do_print:

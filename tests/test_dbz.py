@@ -173,3 +173,27 @@ def test_device_search_multichunk_fusion(corpus, tmp_path, monkeypatch):
                 (m.num_kmers_found, m.num_query_kmer, m.subject_info.run_accession)
                 for m in host[qid]
             ]
+
+
+def test_mixed_db_dbz_fusion(corpus, tmp_path):
+    """Same-param .db and .dbz files fuse into one device matrix; hits
+    equal the host engine run over the same mixed set."""
+    from kwage_tpu.ops.search import search_files_device
+    from kwage_tpu.search.engine import search_database_files
+
+    work, groups, queries = corpus
+    param, blooms = max(groups.items(), key=lambda kv: len(kv[1]))
+    half = len(blooms) // 2
+    db = tmp_path / "a.db"
+    dbz = tmp_path / "b.dbz"
+    build_db_from_bloom_files(str(db), param, blooms[:half])
+    build_dbz_from_bloom_files(str(dbz), param, blooms[half:], chunk_bits=1 << 12)
+    paths = [str(db), str(dbz)]
+    q = [(i, s) for i, (_, s) in enumerate(queries)]
+    dev = search_files_device(paths, q, 1.0)
+    host = search_database_files(paths, q, 1.0)
+    assert set(dev) == set(host)
+    for qid in host:
+        assert [
+            (m.num_kmers_found, m.subject_info.run_accession) for m in dev[qid]
+        ] == [(m.num_kmers_found, m.subject_info.run_accession) for m in host[qid]]
