@@ -36,7 +36,10 @@ class BloomParam:
     """Bloom filter shape: (kmer_len, log_2_filter_len, num_hash, hash_func).
 
     Ordering matches bloom.h:584-596 (kmer_len, then log_2_filter_len, then
-    num_hash; hash_func does not participate).
+    num_hash). The dataclass additionally tiebreaks on hash_func, which the
+    reference's operator< ignores -- indistinguishable in practice since
+    only MURMUR_HASH_32 exists, and grouping equality covers all fields
+    either way.
     """
 
     kmer_len: int = 0
