@@ -185,7 +185,12 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
     if use_prefetch:
-        resolver = PrefetchResolver(source_dir or ".", opt.max_sra_file_size_GB)
+        # Repo directory: explicit --source-dir wins; otherwise discover it
+        # from the SRA toolkit config like the reference (file_io.cpp:120).
+        from ..io.ncbi_config import read_sra_repository
+
+        repo = source_dir or read_sra_repository() or "."
+        resolver = PrefetchResolver(repo, opt.max_sra_file_size_GB)
     elif source_dir:
         resolver = LocalFastaResolver(source_dir)
     else:

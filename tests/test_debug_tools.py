@@ -95,3 +95,18 @@ def test_device_trace_noop_without_env(monkeypatch):
     with device_trace():
         x = 1
     assert x == 1
+
+
+def test_read_sra_repository(tmp_path):
+    from kwage_tpu.io.ncbi_config import read_sra_repository
+
+    cfg = tmp_path / "user-settings.mkfg"
+    cfg.write_text(
+        '/LIBS/GUID = "xyz"\n'
+        '/repository/user/main/public/root = "/data/ncbi"\n'
+    )
+    assert read_sra_repository(str(cfg)) == "/data/ncbi/sra"
+    # malformed: missing quotes
+    cfg.write_text("/repository/user/main/public/root = /data/ncbi\n")
+    assert read_sra_repository(str(cfg)) is None
+    assert read_sra_repository(str(tmp_path / "missing.mkfg")) is None
