@@ -207,6 +207,10 @@ class MaestroOptions:
     # Seconds between status-histogram displays (reference: 15 min,
     # maestro_main.cpp:63).
     status_display_sec: float = 900.0
+    # Index the inventory by (accession, offset) and load FilterInfo
+    # records on demand instead of materializing millions of them -- the
+    # reference's parse_accession_loc memory profile (file_io.cpp:23-118).
+    lazy_inventory: bool = False
     # counting-filter clamp passthrough (tests shrink it)
     min_log_2_count_len: int = 18
     max_log_2_count_len: int = 32
@@ -232,6 +236,28 @@ def _download_retry_status(attempt: int) -> int:
     return STATUS_DOWNLOAD_FAIL_1 + attempt - 1 if attempt <= 10 else STATUS_DOWNLOAD_FAIL
 
 
+class _LazyInfos:
+    """Sequence view over a binary inventory that loads each FilterInfo
+    from its file offset on access (parse_accession_loc memory profile:
+    the scheduler holds one index entry per accession, not the records)."""
+
+    def __init__(self, path: str):
+        from ..io.inventory import scan_inventory_locations
+
+        self._path = path
+        pairs = scan_inventory_locations(path)
+        self.accession_codes = [a for a, _ in pairs]
+        self._offsets = [o for _, o in pairs]
+
+    def __len__(self) -> int:
+        return len(self._offsets)
+
+    def __getitem__(self, idx: int) -> FilterInfo:
+        from ..io.inventory import read_filter_info_at
+
+        return read_filter_info_at(self._path, self._offsets[idx])
+
+
 class Maestro:
     """The scheduler. One instance per database-construction job."""
 
@@ -244,9 +270,15 @@ class Maestro:
         self.opt = opt
         self.resolver = resolver
         if infos is None:
-            infos = read_inventory(opt.metadata_file)
+            if opt.lazy_inventory:
+                infos = _LazyInfos(opt.metadata_file)
+            else:
+                infos = read_inventory(opt.metadata_file)
         self.infos = infos
-        self.accessions = [accession_to_str(i.run_accession) for i in infos]
+        if isinstance(infos, _LazyInfos):
+            self.accessions = [accession_to_str(a) for a in infos.accession_codes]
+        else:
+            self.accessions = [accession_to_str(i.run_accession) for i in infos]
         self.status = np.full(len(infos), STATUS_INIT, dtype=np.uint8)
         self.database_index = 0
         self._last_checkpoint = 0.0

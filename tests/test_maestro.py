@@ -226,3 +226,19 @@ def test_flaky_resolver_recovers_via_retries(manifest, data_dir, tmp_path):
     m2.restore()
     m2.run()
     assert all(s == STATUS_DOWNLOAD_FAIL for s in m2.status), m2.summary()
+
+
+def test_lazy_inventory_produces_reference_databases(manifest, data_dir, golden_dir, tmp_path):
+    """lazy_inventory mode (accession/offset index + on-demand FilterInfo
+    loads, the reference's parse_accession_loc memory profile) produces
+    the same golden databases."""
+    _write_inventory(manifest, tmp_path)
+    opt = _options(manifest, tmp_path, lazy_inventory=True)
+    m = Maestro(opt, LocalFastaResolver(str(data_dir)))
+    m.restore()
+    m.run()
+    assert all(s == STATUS_DATABASE_SUCCESS for s in m.status), m.summary()
+    with open(golden_dir / "e2e" / "digests.json") as f:
+        digests = json.load(f)
+    for gi in range(len(manifest["db_groups"])):
+        assert _sha(tmp_path / "db" / f"sra.{gi}.db") == digests[f"sra.{gi}.db"]
