@@ -37,7 +37,7 @@ LONG_OPTS = [
     "delay=", "scratch.bloom=", "scratch.database=", "skip=",
     # engine-specific extensions
     "source-dir=", "prefetch", "workers=", "count-len.min=", "count-len.max=",
-    "device-build", "compress", "device-transpose",
+    "device-build", "compress", "device-transpose", "lazy-inventory",
 ]
 
 
@@ -74,6 +74,7 @@ def usage() -> None:
     print("\t[--device-build (exact-count thresholding on the TPU)] (engine extension)", file=e)
     print("\t[--compress (write zlib-chunked .dbz database files)] (engine extension)", file=e)
     print("\t[--device-transpose (bit-slice transpose on the TPU)] (engine extension)", file=e)
+    print("\t[--lazy-inventory (index the inventory; load records on demand)] (engine extension)", file=e)
 
 
 @cli_errors
@@ -155,6 +156,8 @@ def main(argv: list[str] | None = None) -> int:
             opt.compress_db = True
         elif flag == "--device-transpose":
             opt.device_transpose = True
+        elif flag == "--lazy-inventory":
+            opt.lazy_inventory = True
         elif flag == "--count-len.min":
             opt.min_log_2_count_len = abs(int(val))
         elif flag == "--count-len.max":
