@@ -1,7 +1,7 @@
 """Randomized oracle soak: host/device/reference equality over random
 corpora and parameters.
 
-Usage: python tools/soak_parity.py [rounds]  (requires /tmp/oracle/kwage,
+Usage: python tools/soak_parity.py [rounds] [seed_base]  (requires /tmp/oracle/kwage,
 recipe in tests/golden/README.md). Each round samples k in {11..32},
 L ranges, false-positive targets, min_kmer_count, thresholds and output
 formats; builds a corpus; and byte-compares the reference binary against
@@ -22,7 +22,8 @@ from kwage_tpu.cli.kwage import main as kwage_main
 ORACLE="/tmp/oracle/kwage"
 fails = 0
 rounds = int(sys.argv[1]) if len(sys.argv)>1 else 5
-for seed in range(1000, 1000+rounds):
+base = int(sys.argv[2]) if len(sys.argv)>2 else 1000
+for seed in range(base, base+rounds):
     rng = np.random.default_rng(seed)
     k = int(rng.choice([11, 19, 23, 27, 31, 32]))
     minL = int(rng.integers(10, 14)); maxL = int(rng.integers(16, 21))
