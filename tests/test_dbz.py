@@ -197,3 +197,25 @@ def test_mixed_db_dbz_fusion(corpus, tmp_path):
         assert [
             (m.num_kmers_found, m.subject_info.run_accession) for m in dev[qid]
         ] == [(m.num_kmers_found, m.subject_info.run_accession) for m in host[qid]]
+
+
+def test_seek_based_search_matches_in_memory(corpus, tmp_path):
+    """in_memory=False (per-row seeks, the reference's access pattern,
+    kwage.cpp:404-433) must produce identical results."""
+    from kwage_tpu.search.engine import search_database_files
+
+    work, groups, queries = corpus
+    dbs = []
+    for gi, (param, blooms) in enumerate(sorted(groups.items())):
+        db = tmp_path / f"sra.{gi}.db"
+        build_db_from_bloom_files(str(db), param, blooms)
+        dbs.append(str(db))
+    q = [(i, s) for i, (_, s) in enumerate(queries)]
+    for t in (1.0, 0.5):
+        mem = search_database_files(dbs, q, t, in_memory=True)
+        seek = search_database_files(dbs, q, t, in_memory=False)
+        assert set(mem) == set(seek)
+        for qid in mem:
+            assert [
+                (m.num_kmers_found, m.subject_info.run_accession) for m in mem[qid]
+            ] == [(m.num_kmers_found, m.subject_info.run_accession) for m in seek[qid]]
