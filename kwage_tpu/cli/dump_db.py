@@ -10,7 +10,7 @@ from __future__ import annotations
 import getopt
 import sys
 
-from ..io.db_file import DBFileReader, NO_COMPRESSION, RLE_COMPRESSION
+from ..io.db_file import DBFileHeader, HEADER_SIZE, NO_COMPRESSION, RLE_COMPRESSION
 from ..io.dbz_file import ZLIB_CHUNKED_COMPRESSION, open_database
 from ._render import cli_errors, hash_func_label, render_annotation
 
@@ -53,8 +53,11 @@ def main(argv: list[str] | None = None) -> int:
     out = open(output_filename, "w") if output_filename else sys.stdout
     try:
         for path in inputs:
-            reader = open_database(path)
-            h = reader.header
+            # Parse the header directly so it prints for ANY compression
+            # value; the reference dump_db prints the full header and then
+            # bails politely on compressed files (dump_db.cpp:130-160).
+            with open(path, "rb") as f:
+                h = DBFileHeader.unpack(f.read(HEADER_SIZE))
             print(f"Header information for {path}", file=out)
             print(f"\tmagic = {h.magic}", file=out)
             print(f"\tversion = {h.version}", file=out)
@@ -76,6 +79,7 @@ def main(argv: list[str] | None = None) -> int:
             if h.compression not in (NO_COMPRESSION, ZLIB_CHUNKED_COMPRESSION):
                 print("Compressed database files are not currently supported!", file=sys.stderr)
                 return 0
+            reader = open_database(path)
 
             # These two lines go to stdout unconditionally in the reference.
             print(f"There are {h.slice_size} bytes per slice")

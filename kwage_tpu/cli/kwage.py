@@ -26,24 +26,31 @@ def find_db_files(paths: list[str]) -> list[str]:
     the reference README promises .dbz but its options.cpp only matches
     .db -- this engine implements both).
 
-    Directory traversal is sorted for determinism (the reference uses
-    readdir order, which is filesystem dependent).
+    Traversal replicates FindFiles (file_util.h:15-126) exactly: breadth
+    first, entries in raw readdir order within each directory,
+    subdirectories queued to the back. Result ordering for tied match
+    scores follows database traversal order in the reference, so byte
+    parity on the same directory requires the same walk.
     """
+    from collections import deque
 
     def is_db(name: str) -> bool:
         return name.endswith(".db") or name.endswith(".dbz")
 
     out: list[str] = []
-    for p in paths:
+    targets = deque(paths)
+    while targets:
+        p = targets.popleft()
         if os.path.isfile(p):
             if is_db(p):
                 out.append(p)
         elif os.path.isdir(p):
-            for root, dirs, files in os.walk(p):
-                dirs.sort()
-                for name in sorted(files):
-                    if is_db(name):
-                        out.append(os.path.join(root, name))
+            with os.scandir(p) as it:
+                for entry in it:
+                    if entry.is_dir():
+                        targets.append(entry.path)
+                    elif entry.is_file() and is_db(entry.name):
+                        out.append(entry.path)
     return out
 
 

@@ -186,6 +186,13 @@ def main(argv: list[str] | None = None) -> int:
     if not source_dir and not use_prefetch and not opt.stream_sra:
         print("Please specify an accession source (--source-dir, --prefetch or --stream)", file=sys.stderr)
         return 1
+    if opt.device_build and opt.num_workers != 1:
+        # One chip = one resource: concurrent jit dispatch from threads
+        # contends ~8x (see CLAUDE.md / bench_build.py); serialize.
+        if opt.num_workers != MaestroOptions.num_workers:
+            print("--device-build serializes device dispatch; forcing --workers 1",
+                  file=sys.stderr)
+        opt.num_workers = 1
 
     if use_prefetch:
         # Repo directory: explicit --source-dir wins; otherwise discover it

@@ -47,24 +47,32 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     src = args[0]
+    downloaded = False
     if not os.path.exists(src):
         # Treat a non-local argument as an SRA accession (gated on the
         # SRA toolkit, like the reference's NGS openReadCollection).
         from ..sriracha.sra_source import resolve_accession
 
         src = resolve_accession(args[0])
+        downloaded = True
 
     t0 = time.time()
     num_read = 0
     num_bp = 0
-    for defline, seq in iter_sequences(src):
-        num_read += 1
-        num_bp += len(seq)
-        if do_print:
-            print(f">{defline}")
-            print(seq)
-        if max_read is not None and num_read >= max_read:
-            break
+    try:
+        for defline, seq in iter_sequences(src):
+            num_read += 1
+            num_bp += len(seq)
+            if do_print:
+                print(f">{defline}")
+                print(seq)
+            if max_read is not None and num_read >= max_read:
+                break
+    finally:
+        if downloaded:
+            import shutil
+
+            shutil.rmtree(os.path.dirname(src), ignore_errors=True)
     dt = max(time.time() - t0, 1e-9)
 
     print(f"Found {num_read} reads; {num_bp} bases", file=sys.stderr)

@@ -27,6 +27,7 @@ from __future__ import annotations
 import os
 import subprocess
 import time
+from collections import deque
 from concurrent.futures import FIRST_COMPLETED, Future, ThreadPoolExecutor, wait
 from dataclasses import dataclass, field
 
@@ -83,6 +84,10 @@ STATUS_NAMES = {
     STATUS_DATABASE_UPLOAD_FAIL: "database upload failed",
     STATUS_SKIPPED: "skipped",
 }
+for _n in range(1, 11):
+    STATUS_NAMES[STATUS_DOWNLOAD_FAIL_1 + _n - 1] = f"download failed (attempt {_n})"
+    STATUS_NAMES[STATUS_BLOOM_FAIL_1 + _n - 1] = f"bloom failed (attempt {_n})"
+del _n
 
 CHECKPOINT_EVERY_SEC = 300  # maestro_main.cpp:63-64
 
@@ -92,6 +97,13 @@ class SourceResolver:
 
     def resolve(self, accession: str) -> str | None:  # pragma: no cover
         raise NotImplementedError
+
+    def lookup(self, accession: str) -> str | None:
+        """Local-only probe: the already-materialized source for an
+        accession, or None. Used by the restore_download rescan
+        (maestro_main.cpp:618-656) which must not trigger network
+        downloads. Default: None (nothing staged locally)."""
+        return None
 
     def cleanup(self, accession: str, path: str) -> None:
         pass
@@ -113,6 +125,9 @@ class LocalFastaResolver(SourceResolver):
                 return path
         return None
 
+    # Resolution is already a pure local probe.
+    lookup = resolve
+
 
 class PrefetchResolver(SourceResolver):
     """Shells out to the SRA toolkit `prefetch` like worker_main.cpp:384-474."""
@@ -133,6 +148,15 @@ class PrefetchResolver(SourceResolver):
             return None
         path = os.path.join(self.repo_dir, accession, accession + ".sra")
         return path if os.path.isfile(path) else None
+
+    def lookup(self, accession: str) -> str | None:
+        for path in (
+            os.path.join(self.repo_dir, accession, accession + ".sra"),
+            os.path.join(self.repo_dir, accession + ".sra"),
+        ):
+            if os.path.isfile(path):
+                return path
+        return None
 
     def cleanup(self, accession: str, path: str) -> None:
         import shutil
@@ -161,6 +185,12 @@ class StreamingResolver(SourceResolver):
             )
         except DownloadError:
             return None
+
+    def lookup(self, accession: str) -> str | None:
+        import glob
+
+        hits = sorted(glob.glob(os.path.join(self.scratch_dir, accession, "*")))
+        return hits[0] if hits else None
 
     def cleanup(self, accession: str, path: str) -> None:
         import shutil
@@ -228,14 +258,6 @@ class MaestroOptions:
         )
 
 
-def _bloom_retry_status(attempt: int) -> int:
-    return STATUS_BLOOM_FAIL_1 + attempt - 1 if attempt <= 10 else STATUS_BLOOM_FAIL
-
-
-def _download_retry_status(attempt: int) -> int:
-    return STATUS_DOWNLOAD_FAIL_1 + attempt - 1 if attempt <= 10 else STATUS_DOWNLOAD_FAIL
-
-
 class _LazyInfos:
     """Sequence view over a binary inventory that loads each FilterInfo
     from its file offset on access (parse_accession_loc memory profile:
@@ -280,10 +302,28 @@ class Maestro:
         else:
             self.accessions = [accession_to_str(i.run_accession) for i in infos]
         self.status = np.full(len(infos), STATUS_INIT, dtype=np.uint8)
-        self.database_index = 0
+        # Database files count from 1 (maestro_main.cpp:180).
+        self.database_index = 1
+        # Reference scheduling state (maestro_main.cpp:246-250, 282-283):
+        # a forward-only cursor over the inventory for fresh work, an
+        # in-memory retry deque (dispatches from it do NOT pre-mark the
+        # status byte -- only cursor dispatches do), and the deque of
+        # downloaded-but-not-yet-bloomed accessions filled by the
+        # restore_download rescan.
+        self._cursor = 0
+        self._end = len(infos)
+        self._retry: deque[int] = deque()
+        self._download_ready: deque[int] = deque()
+        self._forced_flush = False
+        # Bounded bloom-attempt accounting for the non-streaming retry
+        # loop. The reference re-downloads after a bloom failure and the
+        # download-success event resets the status byte to
+        # STATUS_DOWNLOAD_SUCCESS (maestro_main.cpp:865), erasing the
+        # bloom attempt count -- a deterministic bloom failure retries
+        # forever there. We preserve the BLOOM_FAIL_n byte across the
+        # re-download instead so retries stay bounded by --retry.
         self._last_checkpoint = 0.0
         self._last_download = 0.0
-        self._num_downloads = 0
         self._start_time = time.time()
         self._last_display = time.time()
         self._total_bp = 0
@@ -305,23 +345,47 @@ class Maestro:
                 self.opt.status_file, len(self.infos)
             )
             self.status = self.status.copy()
+            self.database_index = max(1, self.database_index)
 
-        # --retry.bloom resurrects hard failures (maestro_main.cpp:200-217)
+        # --retry.bloom resurrects hard failures, including the final
+        # STATUS_BLOOM_FAIL (maestro_main.cpp:200-217).
         if self.opt.retry_bloom:
             hard_fail = (self.status == STATUS_BLOOM_FAIL) | (
                 (self.status >= STATUS_BLOOM_FAIL_1) & (self.status <= STATUS_BLOOM_FAIL_10)
             )
             self.status[hard_fail] = STATUS_INIT
 
-        # --skip marking (maestro_main.cpp:219-240)
+        # --skip marking, unconditional on the current state
+        # (maestro_main.cpp:219-240).
         skip = set(self.opt.skip_sra)
         for i, acc in enumerate(self.accessions):
-            if acc in skip and self.status[i] in (STATUS_INIT, STATUS_DOWNLOAD_SUCCESS):
+            if acc in skip:
                 self.status[i] = STATUS_SKIPPED
 
-        # Reconcile claimed Bloom successes with scratch reality: a missing
-        # or incomplete .bloom file rolls back to INIT (maestro_main.cpp:699-802).
-        for i in np.nonzero(self.status == STATUS_BLOOM_SUCCESS)[0]:
+        # restore_download (maestro_main.cpp:618-656): in download mode a
+        # STATUS_DOWNLOAD_SUCCESS accession whose staged source still
+        # exists goes straight to the Bloom queue; a missing source rolls
+        # back to INIT. Streaming mode re-streams them instead (they stay
+        # DOWNLOAD_SUCCESS and the cursor picks them up).
+        self._download_ready.clear()
+        if not self.opt.stream_sra:
+            for i in np.nonzero(self.status == STATUS_DOWNLOAD_SUCCESS)[0]:
+                if self.resolver.lookup(self.accessions[int(i)]) is not None:
+                    self._download_ready.append(int(i))
+                else:
+                    self.status[i] = STATUS_INIT
+
+        # restore_bloom (maestro_main.cpp:699-802): reconcile claimed Bloom
+        # successes AND database failures with scratch reality. A valid
+        # complete .bloom file re-enters the packing pool (DATABASE_FAIL is
+        # recovered by re-packing, exactly like the reference pushes it
+        # back into m_bloom); a missing or incomplete file rolls back to
+        # INIT. STATUS_DATABASE_UPLOAD_FAIL is deliberately NOT recovered
+        # (the .db left S3-side; manual_db repairs it).
+        recoverable = (self.status == STATUS_BLOOM_SUCCESS) | (
+            self.status == STATUS_DATABASE_FAIL
+        )
+        for i in np.nonzero(recoverable)[0]:
             path = self.bloom_path(int(i))
             ok = False
             if os.path.isfile(path):
@@ -330,8 +394,7 @@ class Maestro:
                         ok = f.read(1)[0] == BLOOM_MAGIC_COMPLETE
                 except OSError:
                     ok = False
-            if not ok:
-                self.status[i] = STATUS_INIT
+            self.status[i] = STATUS_BLOOM_SUCCESS if ok else STATUS_INIT
 
     def checkpoint(self, force: bool = False) -> None:
         now = time.time()
@@ -362,13 +425,35 @@ class Maestro:
 
     # -- work items ------------------------------------------------------
 
-    def _build_bloom(self, idx: int) -> tuple[int, int, BloomParam | None, float]:
-        """Worker task: resolve the source and build one Bloom filter."""
+    def _process_accession(
+        self, idx: int, phase: str
+    ) -> tuple[int, int, BloomParam | None, float]:
+        """Worker task: stage the source and build one Bloom filter.
+
+        phase "full": resolve (download allowed) then build — the merged
+        analog of SCHEDULE_DOWNLOAD + SCHEDULE_BLOOM back-to-back, since
+        the reference always schedules a completed download for Bloom
+        creation at a higher priority than new downloads
+        (maestro_main.cpp:437-442). phase "bloom": the source is already
+        staged (restored STATUS_DOWNLOAD_SUCCESS); local lookup only.
+        """
         t0 = time.time()
         acc = self.accessions[idx]
-        path = self.resolver.resolve(acc)
+        if phase == "bloom":
+            path = self.resolver.lookup(acc)
+        else:
+            path = self.resolver.resolve(acc)
         if path is None:
             return idx, STATUS_DOWNLOAD_FAIL, None, time.time() - t0
+        if not self.opt.stream_sra:
+            # The download leg succeeded: persist STATUS_DOWNLOAD_SUCCESS
+            # (process_event, maestro_main.cpp:852-877) so a crash during
+            # the Bloom leg resumes from the staged file. Do not clobber a
+            # BLOOM_FAIL_n attempt count from a prior bloom leg (bounded-
+            # retry deviation; see __init__).
+            s = int(self.status[idx])
+            if not (STATUS_BLOOM_FAIL_1 <= s <= STATUS_BLOOM_FAIL_10):
+                self.status[idx] = STATUS_DOWNLOAD_SUCCESS
         try:
             if self.opt.device_build:
                 from ..io.sequence import iter_sequences
@@ -427,22 +512,101 @@ class Maestro:
 
     # -- scheduling --------------------------------------------------------
 
-    def _bloom_candidates(self) -> list[int]:
-        """Accessions eligible for Bloom construction; retries first
-        (maestro_main.cpp:1374-1379)."""
-        retry = []
-        fresh = []
+    def _compute_end(self) -> int:
+        """--halt-after caps the fresh-work cursor at the index of the
+        limit'th still-pending accession (maestro_main.cpp:285-317). Hard
+        Bloom failures (STATUS_BLOOM_FAIL) are not counted toward the cap,
+        mirroring the reference's comment."""
+        limit = self.opt.limit_num_download
+        if not limit:
+            return len(self.status)
+        count = 0
         for i, s in enumerate(self.status):
-            if STATUS_BLOOM_FAIL_1 <= s <= STATUS_BLOOM_FAIL_10:
-                if s - STATUS_BLOOM_FAIL_1 + 1 < self.opt.num_download_attempt:
-                    retry.append(i)
-            elif s == STATUS_INIT:
-                fresh.append(i)
-        return retry + fresh
+            s = int(s)
+            if (
+                s == STATUS_INIT
+                or STATUS_DOWNLOAD_FAIL_1 <= s <= MAX_NUM_DOWNLOAD_FAIL
+                or STATUS_BLOOM_FAIL_1 <= s <= STATUS_BLOOM_FAIL_10
+            ):
+                count += 1
+            if count == limit:
+                return i + 1
+        return len(self.status)
 
-    def _ready_groups(self, pending_bloom: int) -> list[tuple[BloomParam, list[int]]]:
-        """BloomParam groups at (or past) quota; when nothing else remains,
-        flush partial groups (maestro_main.cpp:410-415)."""
+    def _next_fresh(self) -> int | None:
+        """Advance the forward-only cursor to the next schedulable
+        accession, pre-marking its status byte as a failure so a vanished
+        worker's task is retried after a restart (maestro_main.cpp:
+        1404-1408 "in case we never get a response"). Streaming mode
+        pre-marks BLOOM_FAIL_n and also re-streams restored
+        DOWNLOAD_SUCCESS / DOWNLOAD_FAIL_n states
+        (maestro_main.cpp:1386-1624); download mode pre-marks
+        DOWNLOAD_FAIL_n and re-downloads restored BLOOM_FAIL* states from
+        a streaming run (:1655-1801)."""
+        retry = self.opt.num_download_attempt
+        while self._cursor < self._end:
+            i = self._cursor
+            s = int(self.status[i])
+            if self.opt.stream_sra:
+                if (
+                    s in (STATUS_INIT, STATUS_DOWNLOAD_SUCCESS)
+                    or STATUS_DOWNLOAD_FAIL_1 <= s <= MAX_NUM_DOWNLOAD_FAIL
+                ):
+                    self.status[i] = STATUS_BLOOM_FAIL_1
+                    self._cursor += 1
+                    return i
+                if STATUS_BLOOM_FAIL_1 <= s <= STATUS_BLOOM_FAIL_10:
+                    if retry > s - STATUS_BLOOM_FAIL_1 + 1:
+                        self.status[i] = s + 1
+                        self._cursor += 1
+                        return i
+            else:
+                if s in (STATUS_INIT, STATUS_BLOOM_FAIL) or (
+                    STATUS_BLOOM_FAIL_1 <= s <= STATUS_BLOOM_FAIL_10
+                ):
+                    self.status[i] = STATUS_DOWNLOAD_FAIL_1
+                    self._cursor += 1
+                    return i
+                if STATUS_DOWNLOAD_FAIL_1 <= s <= MAX_NUM_DOWNLOAD_FAIL:
+                    if retry > s - STATUS_DOWNLOAD_FAIL_1 + 1:
+                        self.status[i] = s + 1
+                        self._cursor += 1
+                        return i
+            self._cursor += 1
+        return None
+
+    def _on_download_fail(self, idx: int) -> bool:
+        """process_event STATUS_DOWNLOAD_FAIL (maestro_main.cpp:879-930):
+        increment the failure counter stored in the status byte; finalize
+        past the retry budget, else requeue. Returns True when final."""
+        s = int(self.status[idx])
+        s = STATUS_DOWNLOAD_FAIL_1 if s == STATUS_INIT else s + 1
+        if s > STATUS_DOWNLOAD_FAIL + self.opt.num_download_attempt:
+            self.status[idx] = STATUS_DOWNLOAD_FAIL
+            return True
+        self.status[idx] = s
+        self._retry.append(idx)
+        return False
+
+    def _on_bloom_fail(self, idx: int) -> bool:
+        """process_event STATUS_BLOOM_FAIL (maestro_main.cpp:988-1040)."""
+        s = int(self.status[idx])
+        if s in (STATUS_INIT, STATUS_DOWNLOAD_SUCCESS):
+            s = STATUS_BLOOM_FAIL_1
+        else:
+            s += 1
+        if s + 1 > STATUS_BLOOM_FAIL_1 + self.opt.num_download_attempt:
+            self.status[idx] = STATUS_BLOOM_FAIL
+            return True
+        self.status[idx] = s
+        self._retry.append(idx)
+        return False
+
+    def _ready_groups(self) -> list[tuple[BloomParam, list[int]]]:
+        """BloomParam groups at (or past) quota, discovered by rescanning
+        BLOOM_SUCCESS scratch files (doubles as restore_bloom). Once the
+        forced flush triggers, quotas drop to zero permanently and every
+        nonempty group packs (maestro_main.cpp:410-415)."""
         groups: dict[BloomParam, list[int]] = {}
         for i in np.nonzero(self.status == STATUS_BLOOM_SUCCESS)[0]:
             path = self.bloom_path(int(i))
@@ -460,8 +624,8 @@ class Maestro:
             while len(members) >= quota:
                 out.append((param, members[:quota]))
                 members = members[quota:]
-            if members and pending_bloom == 0:
-                out.append((param, members))  # forced flush
+            if members and self._forced_flush:
+                out.append((param, members))
         return out
 
     def run(self) -> None:
@@ -473,17 +637,23 @@ class Maestro:
 
     def _run(self) -> None:
         opt = self.opt
+        self._end = self._compute_end()
         self.checkpoint(force=True)
         futures: dict[Future, str] = {}
-        in_flight_bloom: set[int] = set()
         in_flight_db: set[int] = set()
 
         with ThreadPoolExecutor(max_workers=opt.num_workers) as pool:
             while True:
-                # 1. database packing
-                pending_bloom = len(self._bloom_candidates()) + len(in_flight_bloom)
+                # Forced flush: no fresh work left, nothing staged, all
+                # workers idle -> zero the per-shape quotas permanently
+                # (maestro_main.cpp:410-415; retries still pending do not
+                # block the flush, matching the reference).
+                if self._cursor >= self._end and not self._download_ready and not futures:
+                    self._forced_flush = True
+
+                # Priority 1: database packing.
                 if not in_flight_db:
-                    for param, members in self._ready_groups(pending_bloom):
+                    for param, members in self._ready_groups():
                         db_index = self.database_index
                         self.database_index += 1
                         self._log(
@@ -499,28 +669,28 @@ class Maestro:
                         for i in members:
                             self.status[i] = STATUS_DATABASE_FAIL
 
-                # 2/3. Bloom creation (+ implicit download in the resolver)
+                # Priority 2: Bloom creation from restored downloads;
+                # priority 3: retries, then fresh work off the cursor
+                # (download+bloom merged in one task).
                 while len(futures) < opt.num_workers:
-                    candidates = [
-                        i for i in self._bloom_candidates() if i not in in_flight_bloom
-                    ]
-                    if not candidates:
-                        break
-                    if opt.limit_num_download and self._num_downloads >= opt.limit_num_download:
-                        break
-                    if opt.download_delay > 0:
-                        wait_for = self._last_download + opt.download_delay - time.time()
-                        if wait_for > 0:
-                            time.sleep(wait_for)
-                    idx = candidates[0]
-                    in_flight_bloom.add(idx)
-                    self._num_downloads += 1
-                    self._last_download = time.time()
-                    # Pre-mark the attempt (crash-safe retry accounting).
-                    s = int(self.status[idx])
-                    attempt = (s - STATUS_BLOOM_FAIL_1 + 2) if STATUS_BLOOM_FAIL_1 <= s <= STATUS_BLOOM_FAIL_10 else 1
-                    self.status[idx] = _bloom_retry_status(min(attempt, 10))
-                    fut = pool.submit(self._build_bloom, idx)
+                    if self._download_ready:
+                        idx, phase = self._download_ready.popleft(), "bloom"
+                    else:
+                        if opt.download_delay > 0:
+                            wait_for = self._last_download + opt.download_delay - time.time()
+                            if wait_for > 0:
+                                time.sleep(wait_for)
+                        if self._retry:
+                            # Retry-deque dispatch does not pre-mark
+                            # (maestro_main.cpp:1640-1647).
+                            idx, phase = self._retry.popleft(), "full"
+                        else:
+                            nxt = self._next_fresh()
+                            if nxt is None:
+                                break
+                            idx, phase = nxt, "full"
+                        self._last_download = time.time()
+                    fut = pool.submit(self._process_accession, idx, phase)
                     futures[fut] = "bloom"
 
                 if not futures:
@@ -531,7 +701,6 @@ class Maestro:
                     kind = futures.pop(fut)
                     if kind == "bloom":
                         idx, status, param, dt = fut.result()
-                        in_flight_bloom.discard(idx)
                         if status == STATUS_BLOOM_SUCCESS:
                             self.status[idx] = STATUS_BLOOM_SUCCESS
                             bp = self.infos[idx].number_of_bases or 0
@@ -546,18 +715,21 @@ class Maestro:
                         elif status == STATUS_BLOOM_INVALID:
                             self.status[idx] = STATUS_BLOOM_INVALID
                             self._log(f"[maestro] bloom {self.accessions[idx]} invalid")
-                        elif status == STATUS_DOWNLOAD_FAIL:
-                            s = int(self.status[idx])
-                            attempt = s - STATUS_BLOOM_FAIL_1 + 1 if STATUS_BLOOM_FAIL_1 <= s <= STATUS_BLOOM_FAIL_10 else 1
-                            if attempt >= self.opt.num_download_attempt:
-                                self.status[idx] = STATUS_DOWNLOAD_FAIL
-                            self._log(f"[maestro] download {self.accessions[idx]} failed (attempt {attempt})")
-                        else:  # bloom failure: retry status already pre-marked
-                            s = int(self.status[idx])
-                            attempt = s - STATUS_BLOOM_FAIL_1 + 1 if STATUS_BLOOM_FAIL_1 <= s <= STATUS_BLOOM_FAIL_10 else 1
-                            if attempt >= self.opt.num_download_attempt:
-                                self.status[idx] = STATUS_BLOOM_FAIL
-                            self._log(f"[maestro] bloom {self.accessions[idx]} failed (attempt {attempt})")
+                        elif status == STATUS_DOWNLOAD_FAIL and not opt.stream_sra:
+                            final = self._on_download_fail(idx)
+                            self._log(
+                                f"[maestro] download {self.accessions[idx]} failed "
+                                f"({'final' if final else STATUS_NAMES[int(self.status[idx])]})"
+                            )
+                        else:
+                            # Streaming-mode failures are all bloom-classed
+                            # (the reference streaming worker replies
+                            # STATUS_BLOOM_FAIL for download errors too).
+                            final = self._on_bloom_fail(idx)
+                            self._log(
+                                f"[maestro] bloom {self.accessions[idx]} failed "
+                                f"({'final' if final else STATUS_NAMES[int(self.status[idx])]})"
+                            )
                     else:
                         members, status, db_path, dt = fut.result()
                         in_flight_db.difference_update(members)

@@ -276,22 +276,41 @@ def build_bloom_device(
     except ValueError as e:
         raise BloomInvalid(str(e)) from e
 
-    hi, lo = u64_to_words(thresholded)
-    selected = np.ones(thresholded.size, dtype=bool)
-    # Bucket the (variable) thresholded-word count to a power of two so
-    # set_filter_bits compiles once per bucket, not once per accession
-    # (each retrace costs a full XLA compile; padding is masked out).
-    bucket = max(1 << max(int(np.ceil(np.log2(max(num_valid, 1)))), 10), 1024)
-    pad = bucket - num_valid
-    if pad:
-        hi = np.pad(hi, (0, pad))
-        lo = np.pad(lo, (0, pad))
-        selected = np.pad(selected, (0, pad))
-    words = set_filter_bits(
-        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(selected),
-        opts.kmer_len, param.num_hash, param.log_2_filter_len,
-    )
-    bits = filter_words_to_bytes(words)
+    if param.log_2_filter_len > 30:
+        # The device scatter does its index math in int32
+        # (ops/counting.py:set_filter_bits); 2^31- and 2^32-bit filters
+        # (reference-legal, BuildOptions.max_log_2_filter_len defaults to
+        # 32) would overflow it, so the final bit-set runs on the host in
+        # int64. The counting/thresholding above already ran on device.
+        from ..native import murmur32_native
+
+        L = 1 << param.log_2_filter_len
+        bits = np.zeros(L // 8, dtype=np.uint8)
+        if thresholded.size:
+            h = murmur32_native(thresholded, opts.kmer_len, param.num_hash)
+            idx = (h.astype(np.uint64) & np.uint64(L - 1)).reshape(-1)
+            np.bitwise_or.at(
+                bits,
+                (idx >> np.uint64(3)).astype(np.int64),
+                np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8),
+            )
+    else:
+        hi, lo = u64_to_words(thresholded)
+        selected = np.ones(thresholded.size, dtype=bool)
+        # Bucket the (variable) thresholded-word count to a power of two so
+        # set_filter_bits compiles once per bucket, not once per accession
+        # (each retrace costs a full XLA compile; padding is masked out).
+        bucket = max(1 << max(int(np.ceil(np.log2(max(num_valid, 1)))), 10), 1024)
+        pad = bucket - num_valid
+        if pad:
+            hi = np.pad(hi, (0, pad))
+            lo = np.pad(lo, (0, pad))
+            selected = np.pad(selected, (0, pad))
+        words = set_filter_bits(
+            jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(selected),
+            opts.kmer_len, param.num_hash, param.log_2_filter_len,
+        )
+        bits = filter_words_to_bytes(words)
 
     info.number_of_bases = info.number_of_bases or num_bp
     info.number_of_spots = info.number_of_spots or num_spots

@@ -97,3 +97,24 @@ def test_device_min_count_filters_noise(reads):
     idx = h & np.uint32(rec.param.filter_len - 1)
     bits = np.unpackbits(rec.bits, bitorder="little")
     assert bits[idx.reshape(-1)].all()
+
+
+def test_device_build_large_filter_host_scatter(reads):
+    """log2_filter_len >= 31 (reference-legal up to 32) exceeds the device
+    scatter's int32 index math; the final bit-set must run on the host and
+    still match the host-parity builder bit-for-bit."""
+    opts = BuildOptions(
+        kmer_len=31,
+        min_kmer_count=1,
+        false_positive_probability=0.25,
+        min_log_2_filter_len=31,
+        max_log_2_filter_len=32,
+        min_log_2_count_len=18,
+        max_log_2_count_len=20,
+    )
+    dev = build_bloom_device(iter(reads), opts, FilterInfo())
+    assert dev.param.log_2_filter_len == 31
+    host = build_bloom_from_sequences(iter(reads), opts, FilterInfo())
+    assert dev.param == host.param
+    assert dev.bits.tobytes() == host.bits.tobytes()
+    assert dev.test_crc32()

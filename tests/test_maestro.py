@@ -72,13 +72,15 @@ def test_full_run_produces_reference_databases(manifest, data_dir, golden_dir, t
     assert all(s == STATUS_DATABASE_SUCCESS for s in m.status), m.summary()
     with open(golden_dir / "e2e" / "digests.json") as f:
         digests = json.load(f)
+    # Database files count from 1 (maestro_main.cpp:180); golden digest
+    # keys are indexed by group position.
     for gi in range(len(manifest["db_groups"])):
-        got = _sha(tmp_path / "db" / f"sra.{gi}.db")
-        assert got == digests[f"sra.{gi}.db"], f"sra.{gi}.db differs"
+        got = _sha(tmp_path / "db" / f"sra.{gi + 1}.db")
+        assert got == digests[f"sra.{gi}.db"], f"group {gi} differs"
 
     # The status checkpoint reflects the final state + database index.
     status, db_index = read_status_file(opt.status_file, len(manifest["accessions"]))
-    assert db_index == len(manifest["db_groups"])
+    assert db_index == len(manifest["db_groups"]) + 1
     assert (status == STATUS_DATABASE_SUCCESS).all()
 
 
@@ -97,34 +99,48 @@ def test_device_build_produces_reference_databases(manifest, data_dir, golden_di
     with open(golden_dir / "e2e" / "digests.json") as f:
         digests = json.load(f)
     for gi in range(len(manifest["db_groups"])):
-        got = _sha(tmp_path / "db" / f"sra.{gi}.db")
-        assert got == digests[f"sra.{gi}.db"], f"sra.{gi}.db differs"
+        got = _sha(tmp_path / "db" / f"sra.{gi + 1}.db")
+        assert got == digests[f"sra.{gi}.db"], f"group {gi} differs"
 
 
-def test_restart_resumes_and_completes(manifest, data_dir, golden_dir, tmp_path):
-    """Interrupt after a few downloads; a fresh Maestro resumes from the
-    checkpoint and converges to the same final databases."""
+def _db_accessions(db_dir):
+    """Set of run accessions across every .db file in a directory."""
+    from kwage_tpu.io.dbz_file import open_database
+    from kwage_tpu.core import accession_to_str
+
+    accs = set()
+    for f in os.listdir(db_dir):
+        if f.endswith(".db"):
+            db = open_database(os.path.join(db_dir, f))
+            for info in db.read_all_filter_info():
+                accs.add(accession_to_str(info.run_accession))
+    return accs
+
+
+def test_restart_resumes_and_completes(manifest, data_dir, tmp_path):
+    """--halt-after caps the fresh-work cursor (maestro_main.cpp:285-317)
+    and the forced flush packs what it has into partial database files; a
+    fresh Maestro then resumes from the checkpoint and converges with
+    every accession committed to a database."""
     _write_inventory(manifest, tmp_path)
     opt = _options(manifest, tmp_path, limit_num_download=3)
     m = Maestro(opt, LocalFastaResolver(str(data_dir)))
     m.restore()
     m.run()
-    assert sum(1 for s in m.status if s != 1) <= 5  # partial progress only
+    # Only the first 3 accessions progressed, and the forced flush packed
+    # them into (partial) database files, like the reference.
+    assert sum(1 for s in m.status if s != 1) == 3
+    assert sum(1 for s in m.status if s == STATUS_DATABASE_SUCCESS) == 3
 
     opt2 = _options(manifest, tmp_path)
     m2 = Maestro(opt2, LocalFastaResolver(str(data_dir)))
     m2.restore()
     m2.run()
     assert all(s == STATUS_DATABASE_SUCCESS for s in m2.status), m2.summary()
-
-    with open(golden_dir / "e2e" / "digests.json") as f:
-        digests = json.load(f)
-    # Shape groups are rediscovered after restart; compare content by digest set.
-    got = sorted(
-        _sha(tmp_path / "db" / f) for f in os.listdir(tmp_path / "db") if f.endswith(".db")
-    )
-    want = sorted(v for k, v in digests.items() if k.endswith(".db"))
-    assert got == want
+    # Groupings differ from a single uninterrupted run (partial files were
+    # flushed before the restart), but every accession must be committed
+    # exactly once across the full set of database files.
+    assert _db_accessions(tmp_path / "db") == set(manifest["accessions"])
 
 
 def test_missing_accession_fails_after_retries(manifest, data_dir, tmp_path):
@@ -228,6 +244,110 @@ def test_flaky_resolver_recovers_via_retries(manifest, data_dir, tmp_path):
     assert all(s == STATUS_DOWNLOAD_FAIL for s in m2.status), m2.summary()
 
 
+def test_full_vocabulary_status_restore(manifest, data_dir, tmp_path):
+    """Resume interop: a status file containing EVERY reference state value
+    (maestro.h:8-45) drives to all-terminal with the reference's restore
+    semantics (maestro_main.cpp:200-240, 618-802):
+
+    - DOWNLOAD_SUCCESS with a staged source -> Bloom creation; without -> INIT
+    - DOWNLOAD_FAIL_n -> retried iff n < --retry, else left as-is
+    - BLOOM_FAIL (final) and BLOOM_FAIL_1..10 -> re-downloaded in download mode
+    - BLOOM_SUCCESS / DATABASE_FAIL with a valid .bloom -> re-packed;
+      without -> INIT and rebuilt
+    - DATABASE_UPLOAD_FAIL -> never recovered (manual_db territory)
+    - DOWNLOAD_FAIL, BLOOM_INVALID, DATABASE_SUCCESS, SKIPPED -> terminal
+    """
+    from kwage_tpu.io.status import write_status_file
+    from kwage_tpu.pipeline.make_bloom import build_bloom_from_file
+    from kwage_tpu.io.bloom_file import write_bloom_file
+
+    real = manifest["accessions"]  # SRR1000000..9 have local sources
+    missing = [f"SRR{3000000 + i}" for i in range(30)]
+    mi = iter(missing)
+    # (accession, initial state) covering all 30 reference values + one
+    # extra DOWNLOAD_SUCCESS-without-source case.
+    plan = [
+        (real[0], 1),        # INIT
+        (real[1], 2),        # DOWNLOAD_SUCCESS, source staged
+        (next(mi), 3),       # DOWNLOAD_FAIL (terminal)
+        (real[2], 4),        # DOWNLOAD_FAIL_1 -> retried
+        (real[3], 5),        # DOWNLOAD_FAIL_2 -> retried
+        (next(mi), 6),       # DOWNLOAD_FAIL_3 -> exhausted (retry=3)
+        (next(mi), 7), (next(mi), 8), (next(mi), 9), (next(mi), 10),
+        (next(mi), 11), (next(mi), 12), (next(mi), 13),  # DF_4..DF_10 exhausted
+        (real[4], 14),       # BLOOM_SUCCESS, valid .bloom staged -> re-packed
+        (real[5], 15),       # BLOOM_FAIL (final) -> re-downloaded in download mode
+        (next(mi), 16),      # BLOOM_INVALID (terminal)
+        (next(mi), 17),      # DATABASE_SUCCESS (terminal)
+        (real[6], 18),       # DATABASE_FAIL, valid .bloom staged -> re-packed
+        (real[7], 19),       # DATABASE_UPLOAD_FAIL -> NOT recovered
+        (real[8], 20),       # BLOOM_FAIL_1 -> re-downloaded
+        (real[9], 21),       # BLOOM_FAIL_2 -> re-downloaded
+        (next(mi), 22), (next(mi), 23), (next(mi), 24), (next(mi), 25),
+        (next(mi), 26), (next(mi), 27), (next(mi), 28), (next(mi), 29),
+        (next(mi), 30),      # SKIPPED (terminal)
+        (next(mi), 2),       # DOWNLOAD_SUCCESS without a source -> INIT -> dl-fail
+    ]
+    accs = [a for a, _ in plan]
+    _write_inventory(manifest, tmp_path, accs)
+    opt = _options(manifest, tmp_path, num_download_attempt=3)
+    write_status_file(opt.status_file,
+                      np.array([s for _, s in plan], dtype=np.uint8), 7)
+
+    # Stage valid complete .bloom files for the BLOOM_SUCCESS and
+    # DATABASE_FAIL entries (restore_bloom recovers both).
+    os.makedirs(tmp_path / "bloom", exist_ok=True)
+    for acc in (real[4], real[6]):
+        rec = build_bloom_from_file(
+            str(data_dir / f"{acc}.fasta"), opt.build_options(),
+            FilterInfo(run_accession=str_to_accession(acc)))
+        write_bloom_file(str(tmp_path / "bloom" / f"{acc}.bloom"), rec)
+
+    m = Maestro(opt, LocalFastaResolver(str(data_dir)))
+    m.restore()
+    assert m.database_index == 7
+    m.run()
+
+    S = [int(s) for s in m.status]
+    D = STATUS_DATABASE_SUCCESS
+    expect = [D, D, 3, D, D, 6, 7, 8, 9, 10, 11, 12, 13,
+              D, D, 16, 17, D, 19, D, D,
+              3, 3, 3, 3, 3, 3, 3, 3,  # BF_3..BF_10, no source -> dl-fail
+              30, 3]
+    assert S == expect, list(zip(accs, S, expect))
+
+    # Every surviving state is terminal from the reference's perspective:
+    # rerunning restore+run changes nothing.
+    m2 = Maestro(opt, LocalFastaResolver(str(data_dir)))
+    m2.restore()
+    m2.run()
+    assert [int(s) for s in m2.status] == expect
+
+
+def test_streaming_mode_state_machine(manifest, data_dir, tmp_path):
+    """--stream mode: restored DOWNLOAD_SUCCESS and DOWNLOAD_FAIL_n states
+    are re-streamed (maestro_main.cpp:1386-1400), and every failure is
+    bloom-classed (the streaming worker replies STATUS_BLOOM_FAIL even for
+    download errors)."""
+    from kwage_tpu.io.status import write_status_file
+    from kwage_tpu.parallel.maestro import STATUS_BLOOM_FAIL
+
+    real = manifest["accessions"][:4]
+    accs = real + ["SRR4000000", "SRR4000001"]
+    _write_inventory(manifest, tmp_path, accs)
+    opt = _options(manifest, tmp_path, stream_sra=True, num_download_attempt=2)
+    # real: INIT, DOWNLOAD_SUCCESS, DOWNLOAD_FAIL_2, BLOOM_FAIL_1;
+    # missing: INIT, BLOOM_FAIL (final -> terminal in streaming mode)
+    write_status_file(opt.status_file,
+                      np.array([1, 2, 5, 20, 1, 15], dtype=np.uint8), 1)
+    m = Maestro(opt, LocalFastaResolver(str(data_dir)))
+    m.restore()
+    m.run()
+    S = [int(s) for s in m.status]
+    D = STATUS_DATABASE_SUCCESS
+    assert S == [D, D, D, D, STATUS_BLOOM_FAIL, 15], S
+
+
 def test_lazy_inventory_produces_reference_databases(manifest, data_dir, golden_dir, tmp_path):
     """lazy_inventory mode (accession/offset index + on-demand FilterInfo
     loads, the reference's parse_accession_loc memory profile) produces
@@ -241,4 +361,4 @@ def test_lazy_inventory_produces_reference_databases(manifest, data_dir, golden_
     with open(golden_dir / "e2e" / "digests.json") as f:
         digests = json.load(f)
     for gi in range(len(manifest["db_groups"])):
-        assert _sha(tmp_path / "db" / f"sra.{gi}.db") == digests[f"sra.{gi}.db"]
+        assert _sha(tmp_path / "db" / f"sra.{gi + 1}.db") == digests[f"sra.{gi}.db"]
