@@ -63,6 +63,8 @@ def usage(out=sys.stderr) -> None:
     print("\t[-i <input sequence file>] (can be repeated)", file=out)
     print("\t[<DNA sequence>] (can be repeated)", file=out)
     print("\t[--device (run the search on the TPU)] (engine extension)", file=out)
+    print("\t[--threads <n> (host search threads; default OMP_NUM_THREADS/"
+          "KWAGE_NUM_THREADS)] (engine extension)", file=out)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -75,9 +77,12 @@ def main(argv: list[str] | None = None) -> int:
     db_paths: list[str] = []
     query_files: list[str] = []
     use_device = False
+    num_threads = None
 
     try:
-        opts, args = getopt.gnu_getopt(argv, "o:d:i:t:h?", ["o.csv", "o.json", "device"])
+        opts, args = getopt.gnu_getopt(
+            argv, "o:d:i:t:h?", ["o.csv", "o.json", "device", "threads="]
+        )
     except getopt.GetoptError as e:
         print(e, file=sys.stderr)
         usage()
@@ -105,6 +110,8 @@ def main(argv: list[str] | None = None) -> int:
             output_format = OUTPUT_JSON
         elif flag == "--device":
             use_device = True
+        elif flag == "--threads":
+            num_threads = max(1, int(val))
 
     query_seqs = list(args)
 
@@ -142,7 +149,8 @@ def main(argv: list[str] | None = None) -> int:
     if use_device:
         from ..ops.search import search_files_device as _search
     else:
-        _search = search_database_files
+        def _search(files, qs, t):
+            return search_database_files(files, qs, t, num_threads=num_threads)
     # One pass over the databases for BOTH query id spaces (file qids are
     # offset, then split back): each search call reloads every database
     # file -- and with --device re-uploads the fused matrix to the chip.

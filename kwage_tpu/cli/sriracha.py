@@ -174,16 +174,38 @@ def main(argv: list[str] | None = None) -> int:
                     is_local_source,
                     is_retryable,
                     resolve_accession,
+                    stream_accession,
                 )
 
-                src = acc
-                downloaded = False
-                if not is_local_source(acc):
+                if not is_local_source(acc) and opt.num_slice == 1:
+                    # Full-range remote accession: pipe the reads straight
+                    # off fasterq-dump --stdout into the search -- zero
+                    # scratch, the reference's VDB streaming shape
+                    # (sra_stream.cpp:90-211). Network-classed failures
+                    # restart the whole accession like the reference's
+                    # per-rank retry loop (SriRachA/main.cpp:401-445).
+                    # (--slice/--of needs the total read count up front,
+                    # so sliced runs still materialize below.)
+                    from ..sriracha.engine import StreamStats as _SS, search_reads
+                    from ..sriracha.device import search_reads_device
+
                     attempt = 0
                     while True:
+                        stats_try = _SS()
                         try:
-                            src = resolve_accession(acc)
-                            downloaded = True
+                            reads = (
+                                (seq, i, 1) for i, seq in stream_accession(acc)
+                            )
+                            if opt.use_device:
+                                results = search_reads_device(
+                                    reads, subject_kmers, opt, stats_try
+                                )
+                            else:
+                                results = search_reads(
+                                    reads, subject_kmers, opt, stats_try
+                                )
+                            stats.num_reads = stats_try.num_reads
+                            stats.num_bases = stats_try.num_bases
                             break
                         except DownloadError as e:
                             attempt += 1
@@ -194,15 +216,34 @@ def main(argv: list[str] | None = None) -> int:
                                 f"(attempt {attempt})",
                                 file=sys.stderr,
                             )
-                try:
-                    results = search_accession(src, subject_kmers, opt, stats)
-                finally:
-                    if downloaded:
-                        # The reference streams reads without persisting
-                        # them; drop the materialized FASTQ likewise.
-                        import shutil
+                else:
+                    src = acc
+                    downloaded = False
+                    if not is_local_source(acc):
+                        attempt = 0
+                        while True:
+                            try:
+                                src = resolve_accession(acc)
+                                downloaded = True
+                                break
+                            except DownloadError as e:
+                                attempt += 1
+                                if not (is_retryable(e.status) and attempt <= opt.max_retry):
+                                    raise
+                                print(
+                                    f"retrying {acc} after network failure "
+                                    f"(attempt {attempt})",
+                                    file=sys.stderr,
+                                )
+                    try:
+                        results = search_accession(src, subject_kmers, opt, stats)
+                    finally:
+                        if downloaded:
+                            # The reference streams reads without persisting
+                            # them; drop the materialized FASTQ likewise.
+                            import shutil
 
-                        shutil.rmtree(os.path.dirname(src), ignore_errors=True)
+                            shutil.rmtree(os.path.dirname(src), ignore_errors=True)
             except OSError as e:
                 print(f"Unable to download SRA accession: {acc} ({e})", file=sys.stderr)
                 out.write(f"{acc}\tNA\t0\tDownload failed\n")

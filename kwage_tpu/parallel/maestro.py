@@ -105,6 +105,13 @@ class SourceResolver:
         downloads. Default: None (nothing staged locally)."""
         return None
 
+    def open_stream(self, accession: str):
+        """Iterator of read sequences streamed straight from the source,
+        or None when the resolver can only materialize files. Streaming
+        keeps peak scratch usage independent of accession size (the
+        reference's VDB-cursor shape, sra_stream.cpp:90-211)."""
+        return None
+
     def cleanup(self, accession: str, path: str) -> None:
         pass
 
@@ -191,6 +198,13 @@ class StreamingResolver(SourceResolver):
 
         hits = sorted(glob.glob(os.path.join(self.scratch_dir, accession, "*")))
         return hits[0] if hits else None
+
+    def open_stream(self, accession: str):
+        """Pipe reads straight off fasterq-dump --stdout: no .sra staging,
+        no FASTQ materialization (sriracha/sra_source.stream_accession)."""
+        from ..sriracha.sra_source import stream_accession
+
+        return (seq for _, seq in stream_accession(accession))
 
     def cleanup(self, accession: str, path: str) -> None:
         import shutil
@@ -439,6 +453,10 @@ class Maestro:
         """
         t0 = time.time()
         acc = self.accessions[idx]
+        if phase == "full" and self.opt.stream_sra:
+            stream = self.resolver.open_stream(acc)
+            if stream is not None:
+                return self._build_bloom_streamed(idx, acc, stream, t0)
         if phase == "bloom":
             path = self.resolver.lookup(acc)
         else:
@@ -476,6 +494,40 @@ class Maestro:
         if not self.opt.save_sra:
             self.resolver.cleanup(acc, path)
         return idx, status, param, time.time() - t0
+
+    def _build_bloom_streamed(
+        self, idx: int, acc: str, stream, t0: float
+    ) -> tuple[int, int, BloomParam | None, float]:
+        """--stream fast path: reads flow straight from the source pipe
+        into the counting builder -- peak scratch usage is zero regardless
+        of accession size (the reference's VDB streaming worker shape,
+        make_bloom.cpp:170-300). The inventory's number_of_bases pre-sizes
+        the counting filter exactly like the reference reads BASE_COUNT
+        from the SRA metadata (sra_meta.cpp:17-122)."""
+        from ..sriracha.sra_source import DownloadError
+        from ..pipeline.make_bloom import build_bloom_from_sequences
+
+        info = self.infos[idx]
+        try:
+            if self.opt.device_build:
+                from ..pipeline.make_bloom import build_bloom_device
+
+                rec = build_bloom_device(stream, self.opt.build_options(), info)
+            else:
+                rec = build_bloom_from_sequences(
+                    stream,
+                    self.opt.build_options(),
+                    info,
+                    num_bp_hint=info.number_of_bases or None,
+                )
+            write_bloom_file(self.bloom_path(idx), rec)
+            return idx, STATUS_BLOOM_SUCCESS, rec.param, time.time() - t0
+        except DownloadError:
+            return idx, STATUS_DOWNLOAD_FAIL, None, time.time() - t0
+        except BloomInvalid:
+            return idx, STATUS_BLOOM_INVALID, None, time.time() - t0
+        except Exception:
+            return idx, STATUS_BLOOM_FAIL, None, time.time() - t0
 
     def _build_database(self, db_index: int, param: BloomParam,
                         members: list[int]) -> tuple[list[int], int, str, float]:
@@ -694,7 +746,21 @@ class Maestro:
                     futures[fut] = "bloom"
 
                 if not futures:
-                    break
+                    # Completion condition (maestro_main.cpp:341-346):
+                    # fresh cursor exhausted, nothing staged, no retries,
+                    # no Bloom filters awaiting database packing, all
+                    # workers idle. Pending blooms loop once more so the
+                    # forced flush packs them (each extra pass either packs
+                    # a group or rolls an unreadable .bloom back to INIT,
+                    # so this converges).
+                    if not (
+                        self._cursor < self._end
+                        or self._download_ready
+                        or self._retry
+                        or bool((self.status == STATUS_BLOOM_SUCCESS).any())
+                    ):
+                        break
+                    continue
 
                 done, _ = wait(list(futures), return_when=FIRST_COMPLETED)
                 for fut in done:

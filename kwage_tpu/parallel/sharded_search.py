@@ -85,23 +85,100 @@ class ShardedDatabase:
     Filters from many database files (same shape) are concatenated along
     the packed-word axis and placed with a NamedSharding over the
     "filters" mesh axis; queries are batched over "data".
+
+    Memory discipline: each device holds at most ``budget_bytes`` of
+    signature matrix at a time (default KWAGE_FUSION_BUDGET_BYTES, the
+    same knob as the single-chip path, ops/search.py). A corpus wider
+    than budget*n_shards streams through the mesh in column waves -- the
+    sharded analog of the reference's 1 GiB transpose-buffer discipline
+    (build_db.cpp:236-248). A single-wave corpus stays device-resident.
     """
 
-    def __init__(self, mesh: Mesh, param, slices: np.ndarray, num_filter: int):
+    def __init__(self, mesh: Mesh, param, slices: np.ndarray, num_filter: int,
+                 budget_bytes: int | None = None):
+        self._init_from_words(mesh, param, db_bytes_to_words(slices),
+                              num_filter, budget_bytes)
+
+    @classmethod
+    def from_files(cls, mesh: Mesh, db_paths: list[str],
+                   budget_bytes: int | None = None) -> "ShardedDatabase":
+        """Fuse same-shape .db/.dbz files (in the given order) into one
+        sharded group; file order then filter index is preserved so hit
+        lists match the host engine byte-for-byte. Each file's columns
+        stay word-aligned via its on-disk byte padding."""
+        from ..io.dbz_file import open_database
+
+        readers = [open_database(p) for p in db_paths]
+        params = {r.header.param for r in readers}
+        if len(params) != 1:
+            raise ValueError("from_files requires a single BloomParam group")
+        mats = [db_bytes_to_words(r.read_slices()) for r in readers]
+        obj = cls.__new__(cls)
+        obj._init_from_words(mesh, readers[0].header.param, np.hstack(mats),
+                             sum(r.header.num_filter for r in readers),
+                             budget_bytes)
+        # (word_lo, word_hi, num_filter) per file, in path order.
+        spans, w0 = [], 0
+        for r, m in zip(readers, mats):
+            spans.append((w0, w0 + m.shape[1], r.header.num_filter))
+            w0 += m.shape[1]
+        obj.file_spans = spans
+        return obj
+
+    def _init_from_words(self, mesh, param, words, num_filter, budget_bytes):
+        import os
+
         self.mesh = mesh
         self.param = param
         self.num_filter = num_filter
-        words = db_bytes_to_words(slices)
+        if budget_bytes is None:
+            budget_bytes = int(os.environ.get("KWAGE_FUSION_BUDGET_BYTES", 8 << 30))
         n_shards = mesh.shape["filters"]
-        pad = (-words.shape[1]) % n_shards
-        if pad:
-            words = np.pad(words, ((0, 0), (0, pad)))
-        self.W = words.shape[1]
-        self.db = jax.device_put(
-            words, NamedSharding(mesh, P(None, "filters"))
+        bytes_per_word_col = words.shape[0] * 4
+        # Columns per wave: the per-device budget times the shard count,
+        # floored to at least one column per shard.
+        max_cols = max((budget_bytes * n_shards) // max(bytes_per_word_col, 1), n_shards)
+        # (padded word matrix, real unpadded filter-column count) per wave.
+        self._waves: list[tuple[np.ndarray, int]] = []
+        self._spec_db = NamedSharding(mesh, P(None, "filters"))
+        multi_wave = words.shape[1] > max_cols
+        # Every wave shares one padded width so the whole stream reuses a
+        # single XLA compilation (each distinct shape is a fresh compile).
+        uniform = max_cols + ((-max_cols) % n_shards)
+        col0 = 0
+        while True:
+            chunk = words[:, col0 : col0 + max_cols]
+            # Real (bit-)columns this wave carries, in packed-column space:
+            # wave padding is trimmed per wave, while padding INTERNAL to
+            # the matrix (a fused file's final-word slack) survives and is
+            # resolved by the caller's word spans / num_filter trim.
+            real = chunk.shape[1] * 32
+            width = uniform if multi_wave else chunk.shape[1] + ((-chunk.shape[1]) % n_shards)
+            if chunk.shape[1] < width:
+                chunk = np.pad(chunk, ((0, 0), (0, width - chunk.shape[1])))
+            self._waves.append((chunk, real))
+            col0 += max_cols
+            if col0 >= words.shape[1]:
+                break
+        self.num_cols = words.shape[1] * 32
+        self.num_waves = len(self._waves)
+        self.W = sum(w.shape[1] for w, _ in self._waves)
+        # Resident fast path: a single-wave corpus lives on the devices.
+        self.db = (
+            jax.device_put(self._waves[0][0], self._spec_db)
+            if self.num_waves == 1
+            else None
         )
         self._counts = _sharded(_counts_kernel, mesh)
         self._complete = _sharded(_complete_kernel, mesh)
+
+    def _wave_dbs(self):
+        """Yield device-resident signature matrices one wave at a time."""
+        if self.db is not None:
+            yield self.db, self._waves[0][1]
+            return
+        for chunk, real in self._waves:
+            yield jax.device_put(chunk, self._spec_db), real
 
     def _prep(self, queries: list[str]):
         idx, valid, nk = make_query_batch(
@@ -130,11 +207,35 @@ class ShardedDatabase:
             nk,
         )
 
+    def counts_cols(self, queries: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Hit counts in packed-column space int [nq, num_cols] + k-mer
+        counts (fused-file padding columns included; callers with word
+        spans map columns to (file, filter))."""
+        idx, valid, nk = self._prep(queries)
+        parts = [
+            np.asarray(self._counts(db, idx, valid))[: len(queries), :real]
+            for db, real in self._wave_dbs()
+        ]
+        counts = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1)
+        return counts, nk
+
+    def complete_cols(self, queries: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Complete-match bool mask in packed-column space [nq, num_cols]."""
+        idx, valid, nk = self._prep(queries)
+        parts = [
+            unpack_mask(
+                np.asarray(self._complete(db, idx, valid))[: len(queries)],
+                real,
+            )
+            for db, real in self._wave_dbs()
+        ]
+        mask = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1)
+        return mask, nk
+
     def search_counts(self, queries: list[str]) -> tuple[np.ndarray, np.ndarray]:
         """Per-filter hit counts int [nq, num_filter] + per-query k-mer counts."""
-        idx, valid, nk = self._prep(queries)
-        counts = np.asarray(self._counts(self.db, idx, valid))
-        return counts[: len(queries), : self.num_filter], nk
+        counts, nk = self.counts_cols(queries)
+        return counts[:, : self.num_filter], nk
 
     def total_hits(self, queries: list[str], threshold: float) -> np.ndarray:
         """Per-query corpus-wide matching-filter totals (psum over the
@@ -146,14 +247,82 @@ class ShardedDatabase:
         qt = np.ones(idx.shape[0], dtype=np.int32)  # padding queries: qt=1
         for i in range(len(queries)):
             qt[i] = max(query_threshold_count(threshold, int(nk[i])), 1)
-        totals = np.asarray(
-            sharded_total_hits(self.mesh, self.db, idx, valid,
-                               jax.device_put(qt, NamedSharding(self.mesh, P("data"))))
-        )
+        qt_d = jax.device_put(qt, NamedSharding(self.mesh, P("data")))
+        totals = np.zeros(idx.shape[0], dtype=np.int64)
+        for db, _ in self._wave_dbs():
+            totals += np.asarray(
+                sharded_total_hits(self.mesh, db, idx, valid, qt_d)
+            ).astype(np.int64)
         return totals[: len(queries)]
 
     def search_complete(self, queries: list[str]) -> tuple[np.ndarray, np.ndarray]:
         """Complete-match bool mask [nq, num_filter] + per-query k-mer counts."""
-        idx, valid, nk = self._prep(queries)
-        mask_words = np.asarray(self._complete(self.db, idx, valid))
-        return unpack_mask(mask_words[: len(queries)], self.num_filter), nk
+        mask, nk = self.complete_cols(queries)
+        return mask[:, : self.num_filter], nk
+
+
+def sharded_search_files(
+    mesh: Mesh,
+    db_paths: list[str],
+    queries: list[tuple[int, str]],
+    threshold: float,
+    budget_bytes: int | None = None,
+):
+    """Mesh-sharded search over many database files -> {query_id:
+    [MatchResult]}, the multi-chip analog of ops.search.search_files_device.
+
+    Same-shape files fuse into one ShardedDatabase per BloomParam group
+    (column waves bounded by the per-device HBM budget); hit lists are
+    identical to the host engine / reference binary, including
+    accumulation order (file order, then filter index) and the descending
+    stable result sort (output.h:27-32, kwage.cpp:190-201).
+    """
+    from ..io.dbz_file import open_database
+    from ..search.engine import MatchResult, query_threshold_count
+
+    if not queries:
+        return {}
+    groups: dict = {}
+    for fi, p in enumerate(db_paths):
+        param = open_database(p).header.param
+        groups.setdefault(param, []).append(fi)
+
+    results: dict[int, list] = {}
+    buckets: dict[int, dict[int, list]] = {}  # qid -> file index -> hits
+    readers = {}
+
+    for param, file_idxs in groups.items():
+        sdb = ShardedDatabase.from_files(
+            mesh, [db_paths[fi] for fi in file_idxs], budget_bytes
+        )
+        qtexts = [q for _, q in queries]
+        if threshold == 1.0:
+            mask, nk = sdb.complete_cols(qtexts)
+        else:
+            counts, nk = sdb.counts_cols(qtexts)
+        for qi, (qid, _q) in enumerate(queries):
+            if nk[qi] == 0:
+                continue
+            for (w_lo, w_hi, nf), fi in zip(sdb.file_spans, file_idxs):
+                if threshold == 1.0:
+                    hits_mask = mask[qi, 32 * w_lo : 32 * w_hi][:nf]
+                    hits = [(int(f), int(nk[qi])) for f in np.nonzero(hits_mask)[0]]
+                else:
+                    c = counts[qi, 32 * w_lo : 32 * w_hi][:nf]
+                    qt = query_threshold_count(threshold, int(nk[qi]))
+                    hits = [(int(f), int(c[f])) for f in np.nonzero(c >= qt)[0]]
+                if hits:
+                    buckets.setdefault(qid, {}).setdefault(fi, []).extend(
+                        (f, nm, int(nk[qi])) for f, nm in hits
+                    )
+
+    for qid, per_file in buckets.items():
+        out = []
+        for fi in sorted(per_file):  # file order == path order (kwage.cpp:86)
+            if fi not in readers:
+                readers[fi] = open_database(db_paths[fi])
+            for f, nm, n in per_file[fi]:
+                out.append(MatchResult(nm, n, readers[fi].read_filter_info(f)))
+        out.sort(key=lambda m: -m.num_kmers_found)
+        results[qid] = out
+    return results

@@ -152,9 +152,10 @@ def search_database_files(
 
     if num_threads is None:
         # Each in-memory worker holds one full slice matrix, so the default
-        # caps residency at ~4 files' worth; KWAGE_NUM_THREADS overrides
-        # (the reference uses OMP_NUM_THREADS similarly, kwage.cpp:76).
-        env = _os.environ.get("KWAGE_NUM_THREADS")
+        # caps residency at ~4 files' worth. KWAGE_NUM_THREADS overrides;
+        # OMP_NUM_THREADS is honored for drop-in parity with the
+        # reference's OpenMP file loop (kwage.cpp:76-87).
+        env = _os.environ.get("KWAGE_NUM_THREADS") or _os.environ.get("OMP_NUM_THREADS")
         cap = int(env) if env else min(4, _os.cpu_count() or 1)
         num_threads = min(cap, max(1, len(db_paths)))
     if num_threads <= 1 or len(db_paths) <= 1:

@@ -6,13 +6,17 @@ the query k-mer sets entirely on device; the scalar gates, thresholding,
 perfect-match culling and ordering are applied on host from the returned
 integer counts so results are bit-identical to the sequential engine.
 
-Intersection strategy: sriracha's confirmation k is small (default 11,
-SriRachA/options.cpp), so the whole 4^k k-mer space fits a dense lookup
-table of per-subject membership bitmasks -- ONE gather per read k-mer
-replaces a binary search whose log(n) dependent gathers are pathologically
-latency-bound on TPU (measured ~450x slower). k <= 13 uses the table
-(<= 256 MiB HBM); k = 14..15 falls back to vmapped searchsorted; longer
-k falls back to the host engine.
+Intersection strategy (the reference binary-searches per k-mer,
+SriRachA/search_by_kmer.cpp:54-134; log(n) DEPENDENT gathers are
+pathologically latency-bound on TPU, measured ~450x slower than either
+path below):
+
+- k <= 13 (14 on real TPU): the whole 4^k space fits a dense lookup
+  table of per-subject membership bitmasks -- ONE gather per read k-mer.
+- k = 14..32: a bucketed device hash table. The union of the subjects'
+  64-bit canonical k-mers hashes into [2^m, C] buckets host-side; lookup
+  is one row-gather of C candidate (hi, lo, mask) triples per read k-mer
+  plus a vectorized compare -- constant work, no dependent chains.
 """
 
 from __future__ import annotations
@@ -23,10 +27,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.kmers import canonical_kmers_device
 from .engine import SearchMatch, SrirachaOptions, StreamStats
 
 _SENTINEL = jnp.uint32(0xFFFFFFFF)
-MAX_DEVICE_K = 15
+MAX_DEVICE_K = 32
 
 
 def _encode(ascii_u8):
@@ -81,21 +86,118 @@ def _kmerize_batch(reads: jax.Array, lengths: jax.Array, k: int):
     return sorted_k, uniq_mask, num_kmer, num_unique
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _read_batch_kernel(reads: jax.Array, lengths: jax.Array, subjects: jax.Array, k: int):
-    """reads uint8 [B, L]; lengths int32 [B]; subjects uint32 [NS, Smax] padded
-    with the sentinel. Returns (counts int32 [B, NS], num_kmer int32 [B],
-    num_unique int32 [B])."""
-    sorted_k, uniq_mask, num_kmer, num_unique = _kmerize_batch(reads, lengths, k)
+def _mix32(hi, lo):
+    """32-bit avalanche mix of a (hi, lo) 64-bit word -> bucket hash.
+    Pure uint32 xor-shift-multiply, identical on numpy and jnp arrays
+    (constants are numpy scalars so neither backend promotes)."""
+    u = np.uint32
+    x = lo ^ (lo >> u(16))
+    x = x * u(0x7FEB352D)
+    x = x ^ (x >> u(15))
+    x = x * u(0x846CA68B)
+    x = x ^ (x >> u(16))
+    y = hi ^ (hi >> u(16))
+    y = y * u(0x9E3779B1)
+    y = y ^ (y >> u(13))
+    y = y * u(0x85EBCA6B)
+    y = y ^ (y >> u(16))
+    return x ^ y
 
-    def per_subject(subject):
-        pos = jnp.searchsorted(subject, sorted_k)
-        pos = jnp.minimum(pos, subject.shape[0] - 1)
-        found = (subject[pos] == sorted_k) & uniq_mask
-        return found.sum(axis=1).astype(jnp.int32)
 
-    counts = jax.vmap(per_subject)(subjects)  # [NS, B]
-    return counts.T, num_kmer, num_unique
+_BUCKET_CAP = 8  # candidate triples gathered per lookup row
+
+
+def _build_hash_group(kmer_sets: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """<=32 subjects' sorted-unique uint64 canonical k-mers -> bucketed
+    hash table (keys_hi, keys_lo, masks), each [2^m, _BUCKET_CAP].
+
+    Duplicate k-mers across subjects merge into one entry with OR'd
+    membership bits. m grows until no bucket overflows its capacity
+    (canonical k-mers are min(sense, revcomp) of random-ish sequence, so
+    the mixed hash balances well; a couple of doublings suffice even on
+    adversarial inputs). Empty slots hold the all-ones key, which is
+    never a canonical k-mer (its reverse complement is all-zeros, which
+    always compares smaller)."""
+    words = np.concatenate(kmer_sets)
+    owner = np.concatenate(
+        [np.full(w.size, np.uint32(1) << np.uint32(s), np.uint32)
+         for s, w in enumerate(kmer_sets)]
+    )
+    order = np.argsort(words, kind="stable")
+    w, mk = words[order], owner[order]
+    starts = np.ones(w.size, dtype=bool)
+    starts[1:] = w[1:] != w[:-1]
+    seg = np.cumsum(starts) - 1
+    uniq_w = w[starts]
+    uniq_m = np.zeros(uniq_w.size, np.uint32)
+    np.bitwise_or.at(uniq_m, seg, mk)
+
+    hi = (uniq_w >> np.uint64(32)).astype(np.uint32)
+    lo = (uniq_w & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    n = uniq_w.size
+    m = max(int(np.ceil(np.log2(n / 4 + 1))), 4)
+    while True:
+        nb = 1 << m
+        b = (_mix32(hi, lo) & np.uint32(nb - 1)).astype(np.int64)
+        if n == 0 or np.bincount(b, minlength=nb).max() <= _BUCKET_CAP:
+            break
+        m += 1
+    keys_hi = np.full((nb, _BUCKET_CAP), 0xFFFFFFFF, np.uint32)
+    keys_lo = np.full((nb, _BUCKET_CAP), 0xFFFFFFFF, np.uint32)
+    masks = np.zeros((nb, _BUCKET_CAP), np.uint32)
+    bo = np.argsort(b, kind="stable")
+    bs = b[bo]
+    pos = np.arange(n) - np.searchsorted(bs, bs)
+    keys_hi[bs, pos] = hi[bo]
+    keys_lo[bs, pos] = lo[bo]
+    masks[bs, pos] = uniq_m[bo]
+    return keys_hi, keys_lo, masks
+
+
+def _kmerize_batch64(reads: jax.Array, lengths: jax.Array, k: int):
+    """64-bit twin of _kmerize_batch for k > 15: canonical k-mers as
+    (hi, lo) uint32 pairs, per-read 2-key sort + neighbor dedup."""
+    B, L = reads.shape
+    nwin = L - k + 1
+    hi, lo, valid = jax.vmap(lambda r: canonical_kmers_device(r, k))(reads)
+    valid = valid & (jnp.arange(nwin)[None, :] + k <= lengths[:, None])
+    hi_k = jnp.where(valid, hi, _SENTINEL)
+    lo_k = jnp.where(valid, lo, _SENTINEL)
+    hi_s, lo_s = jax.lax.sort((hi_k, lo_k), num_keys=2, dimension=1)
+    s_valid = ~((hi_s == _SENTINEL) & (lo_s == _SENTINEL))
+    prev_hi = jnp.concatenate([jnp.full((B, 1), _SENTINEL), hi_s[:, :-1]], axis=1)
+    prev_lo = jnp.concatenate([jnp.full((B, 1), _SENTINEL), lo_s[:, :-1]], axis=1)
+    uniq_mask = s_valid & ((hi_s != prev_hi) | (lo_s != prev_lo))
+    num_kmer = valid.sum(axis=1).astype(jnp.int32)
+    num_unique = uniq_mask.sum(axis=1).astype(jnp.int32)
+    return hi_s, lo_s, uniq_mask, num_kmer, num_unique
+
+
+@partial(jax.jit, static_argnames=("k", "ns_groups"))
+def _read_batch_kernel_hash(
+    reads: jax.Array, lengths: jax.Array, tables: tuple, k: int, ns_groups: tuple
+):
+    """Bucketed-hash variant for k > table range: the shared 64-bit
+    k-merize/sort/dedup runs once, then per 32-subject group one
+    row-gather of _BUCKET_CAP candidates + vectorized key compare."""
+    hi_s, lo_s, uniq_mask, num_kmer, num_unique = _kmerize_batch64(reads, lengths, k)
+
+    parts = []
+    for (keys_hi, keys_lo, masks), ns in zip(tables, ns_groups):
+        nb = keys_hi.shape[0]
+        b = (_mix32(hi_s, lo_s) & jnp.uint32(nb - 1)).astype(jnp.int32)
+        cand_hi = keys_hi[b]            # [B, nwin, C]
+        cand_lo = keys_lo[b]
+        cand_mk = masks[b]
+        hit = (cand_hi == hi_s[..., None]) & (cand_lo == lo_s[..., None])
+        # Table keys are unique, so a k-mer hits at most one of the C
+        # candidate slots: max over slots == the OR of the hit masks.
+        found = jnp.where(hit, cand_mk, jnp.uint32(0)).max(axis=2)  # [B, nwin]
+        found = jnp.where(uniq_mask, found, jnp.uint32(0))
+        shifts = jnp.arange(ns, dtype=jnp.uint32)
+        bits = ((found[..., None] >> shifts) & jnp.uint32(1)).astype(jnp.int32)
+        parts.append(bits.sum(axis=1))  # [B, ns]
+    return jnp.concatenate(parts, axis=1), num_kmer, num_unique
 
 
 MAX_TABLE_K = 13  # 4^13 * 4 B = 256 MiB membership table (any backend)
@@ -157,35 +259,45 @@ def search_reads_device(
     stats: StreamStats | None = None,
     batch_size: int = 512,
 ) -> list[list[SearchMatch]]:
-    """Device-batched equivalent of engine.search_reads (bit-identical output)."""
-    if opt.kmer_len > MAX_DEVICE_K:
-        from .engine import search_reads
-
-        return search_reads(read_iter, subject_kmers, opt, stats)
-
+    """Device-batched equivalent of engine.search_reads (bit-identical
+    output) for every reference-legal k (1..32,
+    SriRachA/search_by_kmer.cpp:94-98)."""
     ns = len(subject_kmers)
     if ns == 0:
         return []
-    smax = max((s.size for _, s in subject_kmers), default=1)
-    subjects = np.full((ns, smax), 0xFFFFFFFF, dtype=np.uint32)
-    for i, (_, s) in enumerate(subject_kmers):
-        subjects[i, : s.size] = s.astype(np.uint32)
-    subjects_dev = jnp.asarray(subjects)
+    ns_groups = tuple(min(32, ns - g) for g in range(0, ns, 32))
 
     # Dense-LUT fast path: one membership table per group of <= 32 subjects.
     use_table = opt.kmer_len <= _table_k_limit()
     if use_table:
+        smax = max((s.size for _, s in subject_kmers), default=1)
+        subjects = np.full((ns, smax), 0xFFFFFFFF, dtype=np.uint32)
+        for i, (_, s) in enumerate(subject_kmers):
+            subjects[i, : s.size] = s.astype(np.uint32)
+        subjects_dev = jnp.asarray(subjects)
         tables = tuple(
             build_subject_table(subjects_dev[g : g + 32], opt.kmer_len)
             for g in range(0, ns, 32)
         )
-        ns_groups = tuple(min(32, ns - g) for g in range(0, ns, 32))
+    else:
+        # Bucketed hash tables over the 64-bit canonical k-mer space.
+        hash_tables = tuple(
+            tuple(
+                jnp.asarray(a)
+                for a in _build_hash_group(
+                    [s.astype(np.uint64) for _, s in subject_kmers[g : g + 32]]
+                )
+            )
+            for g in range(0, ns, 32)
+        )
 
     def run_batch(block, lengths):
-        if not use_table:
-            return _read_batch_kernel(block, lengths, subjects_dev, opt.kmer_len)
-        return _read_batch_kernel_tables(
-            block, lengths, tables, opt.kmer_len, ns_groups
+        if use_table:
+            return _read_batch_kernel_tables(
+                block, lengths, tables, opt.kmer_len, ns_groups
+            )
+        return _read_batch_kernel_hash(
+            block, lengths, hash_tables, opt.kmer_len, ns_groups
         )
 
     reads = list(read_iter)

@@ -67,14 +67,19 @@ def is_local_source(path: str) -> bool:
     return os.path.exists(path)
 
 
-def resolve_accession(accession: str, scratch: str | None = None) -> str:
-    """Materialize an SRA accession as a local FASTQ via the SRA toolkit.
+def _classify_stderr(stderr: str) -> int:
+    """Map toolkit stderr onto the reference's status classes: errors that
+    smell like connectivity are network failures (retryable,
+    SriRachA/main.cpp:400-445); access denials are controlled-access."""
+    err = (stderr or "").lower()
+    if any(s in err for s in ("timeout", "connection", "network", "resolve")):
+        return SRA_DOWNLOAD_NETWORK_FAILURE
+    if "access" in err and ("denied" in err or "controlled" in err):
+        return SRA_DOWNLOAD_CONTROLLED_ACCESS
+    return SRA_DOWNLOAD_VDB_ERROR
 
-    Returns the path of the downloaded sequence file. Raises
-    DownloadError with a classified status when the toolkit is missing
-    or the fetch fails (errors whose stderr smells like connectivity are
-    classed network failures so the caller's retry loop engages).
-    """
+
+def _find_fasterq() -> str:
     fasterq = shutil.which("fasterq-dump")
     if fasterq is None:
         raise DownloadError(
@@ -82,6 +87,18 @@ def resolve_accession(accession: str, scratch: str | None = None) -> str:
             "SRA toolkit (fasterq-dump) not found: provide local sequence "
             "files or install the toolkit",
         )
+    return fasterq
+
+
+def resolve_accession(accession: str, scratch: str | None = None) -> str:
+    """Materialize an SRA accession as a local FASTQ via the SRA toolkit.
+
+    Returns the path of the downloaded sequence file. Raises
+    DownloadError with a classified status when the toolkit is missing
+    or the fetch fails. Prefer stream_accession where the consumer can
+    take a read stream: it needs no scratch at all.
+    """
+    fasterq = _find_fasterq()
     scratch = scratch or tempfile.mkdtemp(prefix=f"sriracha.{accession}.")
     os.makedirs(scratch, exist_ok=True)
     try:
@@ -97,17 +114,66 @@ def resolve_accession(accession: str, scratch: str | None = None) -> str:
             SRA_DOWNLOAD_NETWORK_FAILURE, f"fasterq-dump timed out for {accession}"
         ) from e
     if proc.returncode != 0:
-        err = (proc.stderr or "").lower()
-        if any(s in err for s in ("timeout", "connection", "network", "resolve")):
-            status = SRA_DOWNLOAD_NETWORK_FAILURE
-        elif "access" in err and ("denied" in err or "controlled" in err):
-            status = SRA_DOWNLOAD_CONTROLLED_ACCESS
-        else:
-            status = SRA_DOWNLOAD_VDB_ERROR
-        raise DownloadError(status, proc.stderr.strip() or "fasterq-dump failed")
+        raise DownloadError(
+            _classify_stderr(proc.stderr),
+            proc.stderr.strip() or "fasterq-dump failed",
+        )
     for name in sorted(os.listdir(scratch)):
         if name.startswith(accession) and name.endswith((".fastq", ".fasta")):
             return os.path.join(scratch, name)
     raise DownloadError(
         SRA_DOWNLOAD_FILE_READ_ERROR, f"no sequence output for {accession}"
     )
+
+
+def stream_accession(accession: str):
+    """Yield (read_index, sequence) straight off a fasterq-dump pipe.
+
+    The streaming shape of the reference's VDB cursor path
+    (SriRachA/sra_stream.cpp:90-211): reads flow into the consumer as
+    they arrive, peak scratch usage is ZERO regardless of accession size
+    (no .sra staging, no FASTQ materialization). Read indices are
+    1-based like the cursor's row ids. A nonzero toolkit exit raises a
+    classified DownloadError -- after any partial yield, the caller's
+    retry loop restarts the whole accession, matching the reference's
+    per-accession retry (SriRachA/main.cpp:401-445).
+    """
+    fasterq = _find_fasterq()
+    proc = subprocess.Popen(
+        [fasterq, "--concatenate-reads", "--stdout", accession],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    idx = 0
+    try:
+        # fasterq-dump --stdout emits strict 4-line FASTQ records.
+        while True:
+            header = proc.stdout.readline()
+            if not header:
+                break
+            seq = proc.stdout.readline().strip()
+            proc.stdout.readline()  # '+'
+            proc.stdout.readline()  # quality
+            if not header.startswith(("@", ">")):
+                raise DownloadError(
+                    SRA_DOWNLOAD_READ_FORMAT_ERROR,
+                    f"unexpected stream record for {accession}: {header[:40]!r}",
+                )
+            idx += 1
+            yield idx, seq
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        rc = proc.wait()
+        stderr = proc.stderr.read()
+        proc.stdout.close()
+        proc.stderr.close()
+    if rc != 0:
+        raise DownloadError(
+            _classify_stderr(stderr), stderr.strip() or "fasterq-dump failed"
+        )
+    if idx == 0:
+        raise DownloadError(
+            SRA_DOWNLOAD_FILE_READ_ERROR, f"no reads streamed for {accession}"
+        )

@@ -104,3 +104,32 @@ def test_total_hits_psum_matches_counts():
     for qi in range(len(queries)):
         qt = max(query_threshold_count(threshold, int(nk[qi])), 1)
         assert totals[qi] == int((counts[qi] >= qt).sum()), qi
+
+
+@pytest.mark.parametrize("mesh_shape,budget", [((8, 1), 16384), ((1, 8), 4096), ((2, 4), 8192)])
+def test_hbm_budget_waves_match_unbudgeted(corpus, mesh_shape, budget):
+    """A per-shard HBM budget far smaller than the corpus forces multi-wave
+    streaming; counts, complete masks, and psum totals must be identical
+    to the fully-resident path (the mesh analog of the reference's 1 GiB
+    transpose-buffer discipline, build_db.cpp:236-248)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    param, slices, num_filter = corpus
+    mesh = make_search_mesh(*mesh_shape)
+    resident = ShardedDatabase(mesh, param, slices, num_filter)
+    waved = ShardedDatabase(mesh, param, slices, num_filter, budget_bytes=budget)
+    assert waved.num_waves > 1, "budget did not force multiple waves"
+    assert waved.db is None  # nothing stays resident
+
+    queries = [rand_seq(100), rand_seq(200), rand_seq(64)]
+    want_counts, _ = resident.search_counts(queries)
+    got_counts, _ = waved.search_counts(queries)
+    np.testing.assert_array_equal(got_counts, want_counts)
+
+    want_mask, _ = resident.search_complete(queries)
+    got_mask, _ = waved.search_complete(queries)
+    np.testing.assert_array_equal(got_mask, want_mask)
+
+    np.testing.assert_array_equal(
+        waved.total_hits(queries, 0.3), resident.total_hits(queries, 0.3)
+    )

@@ -56,9 +56,6 @@ def test_host_engine_matches_oracle(case, data_dir, golden_dir, tmp_path):
 
 @pytest.mark.parametrize("case", CASES)
 def test_device_engine_matches_oracle(case, data_dir, golden_dir, tmp_path):
-    k = int(case.split("_")[0])
-    if k > 15:
-        pytest.skip("device path covers k <= 15")
     got = _run(_args(case, data_dir, device=True), tmp_path)
     want = (golden_dir / "sriracha" / f"{case}.tsv").read_text()
     def norm(text):
@@ -67,6 +64,20 @@ def test_device_engine_matches_oracle(case, data_dir, golden_dir, tmp_path):
             for line in text.splitlines()
         ]
     assert norm(got) == norm(want), case
+
+
+@pytest.mark.parametrize("k", [11, 15, 16, 21, 31])
+def test_device_engine_matches_host_all_k(k, data_dir, tmp_path):
+    """Device/host equality across the full reference-legal k range
+    (SriRachA/search_by_kmer.cpp:94-98): k <= 13 takes the dense LUT,
+    larger k the bucketed 64-bit hash table -- never the host fallback."""
+    case = f"{k}_0.3_1_0.5_0_100_0_1"
+    host = _run(_args(case, data_dir), tmp_path)
+    dev = _run(_args(case, data_dir, device=True), tmp_path)
+    assert dev == host, k
+    # Sanity: the search produced real matches for at least the small ks.
+    if k <= 21:
+        assert any("\t" in line for line in dev.splitlines()), dev
 
 
 def test_slices_cover_full_range(data_dir, golden_dir, tmp_path):
@@ -120,13 +131,15 @@ def test_device_empty_subjects(tmp_path):
 
 
 def test_device_many_subject_groups():
-    """> 32 subjects exercises the multi-table path; counts must match the
-    searchsorted fallback kernel."""
+    """> 32 subjects exercises the multi-table path; the dense-LUT and
+    bucketed-hash kernels are independent implementations and must agree
+    exactly on the same subject sets."""
     import numpy as np
     import jax.numpy as jnp
 
     from kwage_tpu.sriracha.device import (
-        _read_batch_kernel,
+        _build_hash_group,
+        _read_batch_kernel_hash,
         _read_batch_kernel_tables,
         build_subject_table,
     )
@@ -135,22 +148,27 @@ def test_device_many_subject_groups():
     k = 9
     ns, smax = 40, 64
     subjects = np.full((ns, smax), 0xFFFFFFFF, dtype=np.uint32)
+    kmer_sets = []
     for s in range(ns):
         n = int(rng.integers(5, smax))
-        subjects[s, :n] = np.sort(
-            rng.choice(1 << (2 * k), size=n, replace=False).astype(np.uint32)
-        )
+        kms = np.sort(rng.choice(1 << (2 * k), size=n, replace=False))
+        subjects[s, :n] = kms.astype(np.uint32)
+        kmer_sets.append(kms.astype(np.uint64))
     reads = jnp.asarray(
         rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(16, 64))
     )
     lengths = jnp.asarray(rng.integers(k, 64, size=16, dtype=np.int32))
 
-    want = _read_batch_kernel(reads, lengths, jnp.asarray(subjects), k)
+    ns_groups = tuple(min(32, ns - g) for g in range(0, ns, 32))
     tables = tuple(
         build_subject_table(jnp.asarray(subjects[g : g + 32]), k)
         for g in range(0, ns, 32)
     )
-    ns_groups = tuple(min(32, ns - g) for g in range(0, ns, 32))
-    got = _read_batch_kernel_tables(reads, lengths, tables, k, ns_groups)
+    want = _read_batch_kernel_tables(reads, lengths, tables, k, ns_groups)
+    htables = tuple(
+        tuple(jnp.asarray(a) for a in _build_hash_group(kmer_sets[g : g + 32]))
+        for g in range(0, ns, 32)
+    )
+    got = _read_batch_kernel_hash(reads, lengths, htables, k, ns_groups)
     for a, b in zip(got, want):
         assert np.array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,231 @@
+"""Streamed SRA ingestion: reads flow straight off the toolkit pipe into
+the builders/search -- no .sra staging, no FASTQ materialization, peak
+scratch independent of accession size (the shape of the reference's VDB
+cursor streaming, SriRachA/sra_stream.cpp:90-211, make_bloom.cpp:170-300).
+
+The SRA toolkit is not installed here, so a fake ``fasterq-dump`` on PATH
+serves canned FASTQ -- the subprocess plumbing, incremental parsing, and
+failure classification are all real.
+"""
+
+import os
+import stat
+
+import numpy as np
+import pytest
+
+FAKE_TOOL = """#!/usr/bin/env python3
+import os, shutil, sys
+
+args = sys.argv[1:]
+acc = args[-1]
+d = os.environ["FAKE_SRA_DIR"]
+src = os.path.join(d, acc + ".fastq")
+if not os.path.isfile(src):
+    sys.stderr.write(f"err: invalid accession '{acc}'\\n")
+    sys.exit(3)
+fail = os.path.isfile(os.path.join(d, acc + ".fail"))
+if "--stdout" in args or "-Z" in args:
+    with open(src) as f:
+        lines = f.readlines()
+    n = len(lines) // 2 if fail else len(lines)
+    sys.stdout.write("".join(lines[: n - n % 4]))
+    sys.stdout.flush()
+    if fail:
+        sys.stderr.write("timeout: connection reset by peer\\n")
+        sys.exit(1)
+else:
+    if fail:
+        sys.stderr.write("timeout: connection reset by peer\\n")
+        sys.exit(1)
+    out = args[args.index("-O") + 1]
+    os.makedirs(out, exist_ok=True)
+    shutil.copy(src, os.path.join(out, acc + ".fastq"))
+sys.exit(0)
+"""
+
+
+@pytest.fixture
+def fake_toolkit(tmp_path, monkeypatch):
+    bindir = tmp_path / "bin"
+    sradir = tmp_path / "sra"
+    bindir.mkdir()
+    sradir.mkdir()
+    tool = bindir / "fasterq-dump"
+    tool.write_text(FAKE_TOOL)
+    tool.chmod(tool.stat().st_mode | stat.S_IXUSR | stat.S_IXGRP | stat.S_IXOTH)
+    monkeypatch.setenv("PATH", str(bindir) + os.pathsep + os.environ.get("PATH", ""))
+    monkeypatch.setenv("FAKE_SRA_DIR", str(sradir))
+    return sradir
+
+
+def _write_fastq(sradir, acc, seqs):
+    with open(sradir / f"{acc}.fastq", "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f"@{acc}.{i + 1}\n{s}\n+\n{'I' * len(s)}\n")
+
+
+def _rand_seqs(n, length, seed=0):
+    rng = np.random.default_rng(seed)
+    return ["".join(rng.choice(list("ACGT"), size=length)) for _ in range(n)]
+
+
+def test_stream_accession_yields_indexed_reads(fake_toolkit):
+    from kwage_tpu.sriracha.sra_source import stream_accession
+
+    seqs = _rand_seqs(5, 80)
+    _write_fastq(fake_toolkit, "SRR5550001", seqs)
+    got = list(stream_accession("SRR5550001"))
+    assert got == [(i + 1, s) for i, s in enumerate(seqs)]
+
+
+def test_stream_failure_classified_network(fake_toolkit):
+    """A mid-stream failure surfaces as a network-classed DownloadError
+    after the partial reads, engaging the caller's retry loop."""
+    from kwage_tpu.sriracha.sra_source import (
+        DownloadError,
+        SRA_DOWNLOAD_NETWORK_FAILURE,
+        is_retryable,
+        stream_accession,
+    )
+
+    seqs = _rand_seqs(8, 60, seed=1)
+    _write_fastq(fake_toolkit, "SRR5550002", seqs)
+    (fake_toolkit / "SRR5550002.fail").touch()
+    got = []
+    with pytest.raises(DownloadError) as ei:
+        for _, s in stream_accession("SRR5550002"):
+            got.append(s)
+    assert ei.value.status == SRA_DOWNLOAD_NETWORK_FAILURE
+    assert is_retryable(ei.value.status)
+    assert 0 < len(got) < len(seqs)  # partial yield before the failure
+
+
+def test_stream_unknown_accession_not_retryable(fake_toolkit):
+    from kwage_tpu.sriracha.sra_source import (
+        DownloadError,
+        SRA_DOWNLOAD_VDB_ERROR,
+        stream_accession,
+    )
+
+    with pytest.raises(DownloadError) as ei:
+        list(stream_accession("SRR9999998"))
+    assert ei.value.status == SRA_DOWNLOAD_VDB_ERROR
+
+
+def test_maestro_stream_mode_zero_scratch(fake_toolkit, tmp_path):
+    """--stream maestro: blooms stream straight off the pipe, byte-identical
+    to a local-file build, with the download scratch left empty."""
+    from kwage_tpu.core import FilterInfo, str_to_accession
+    from kwage_tpu.io.inventory import write_inventory
+    from kwage_tpu.parallel.maestro import (
+        Maestro,
+        MaestroOptions,
+        STATUS_DATABASE_SUCCESS,
+        StreamingResolver,
+    )
+    from kwage_tpu.pipeline.make_bloom import BuildOptions, build_bloom_from_sequences
+
+    accs = ["SRR5550010", "SRR5550011"]
+    all_seqs = {}
+    infos = []
+    for j, acc in enumerate(accs):
+        seqs = _rand_seqs(6, 120, seed=10 + j)
+        all_seqs[acc] = seqs
+        _write_fastq(fake_toolkit, acc, seqs)
+        # The inventory's BASE_COUNT pre-sizes the counting filter like the
+        # reference's sra_meta probe.
+        infos.append(FilterInfo(run_accession=str_to_accession(acc),
+                                number_of_bases=sum(len(s) for s in seqs)))
+    write_inventory(str(tmp_path / "inv.bin"), infos)
+
+    opt = MaestroOptions(
+        metadata_file=str(tmp_path / "inv.bin"),
+        scratch_bloom_dir=str(tmp_path / "bloom"),
+        scratch_database_dir=str(tmp_path / "db"),
+        status_file=str(tmp_path / "status.bin"),
+        kmer_len=31, min_kmer_count=1,
+        min_log_2_filter_len=12, max_log_2_filter_len=16,
+        min_log_2_count_len=12, max_log_2_count_len=16,
+        num_workers=1, stream_sra=True, save_bloom=True,
+    )
+    scratch = tmp_path / "stream_scratch"
+    m = Maestro(opt, StreamingResolver(str(scratch)))
+    m.restore()
+    m.run()
+    assert all(s == STATUS_DATABASE_SUCCESS for s in m.status), m.summary()
+    # Nothing was ever materialized.
+    assert not scratch.exists() or not any(scratch.iterdir())
+
+    bopts = BuildOptions(kmer_len=31, min_kmer_count=1,
+                         min_log_2_filter_len=12, max_log_2_filter_len=16,
+                         min_log_2_count_len=12, max_log_2_count_len=16)
+    for j, acc in enumerate(accs):
+        want = build_bloom_from_sequences(iter(all_seqs[acc]), bopts, infos[j])
+        got = open(tmp_path / "bloom" / f"{acc}.bloom", "rb").read()
+        from kwage_tpu.io.bloom_file import read_bloom_file
+
+        rec = read_bloom_file(str(tmp_path / "bloom" / f"{acc}.bloom"))
+        assert rec.param == want.param
+        assert rec.bits.tobytes() == want.bits.tobytes(), acc
+        assert got[0] != 0  # completion magic patched
+
+
+def test_maestro_stream_failure_is_bloom_classed(fake_toolkit, tmp_path):
+    """Streaming-mode failures persist BLOOM_FAIL codes (the reference
+    streaming worker replies STATUS_BLOOM_FAIL even for download errors)."""
+    from kwage_tpu.core import FilterInfo, str_to_accession
+    from kwage_tpu.io.inventory import write_inventory
+    from kwage_tpu.parallel.maestro import (
+        Maestro,
+        MaestroOptions,
+        STATUS_BLOOM_FAIL,
+        StreamingResolver,
+    )
+
+    acc = "SRR5550020"
+    _write_fastq(fake_toolkit, acc, _rand_seqs(6, 120, seed=3))
+    (fake_toolkit / f"{acc}.fail").touch()
+    write_inventory(str(tmp_path / "inv.bin"),
+                    [FilterInfo(run_accession=str_to_accession(acc))])
+    opt = MaestroOptions(
+        metadata_file=str(tmp_path / "inv.bin"),
+        scratch_bloom_dir=str(tmp_path / "bloom"),
+        scratch_database_dir=str(tmp_path / "db"),
+        status_file=str(tmp_path / "status.bin"),
+        kmer_len=31, min_kmer_count=1,
+        min_log_2_filter_len=12, max_log_2_filter_len=16,
+        min_log_2_count_len=12, max_log_2_count_len=16,
+        num_workers=1, stream_sra=True, num_download_attempt=2,
+    )
+    m = Maestro(opt, StreamingResolver(str(tmp_path / "ss")))
+    m.restore()
+    m.run()
+    assert int(m.status[0]) == STATUS_BLOOM_FAIL, m.summary()
+
+
+def test_sriracha_cli_streams_remote_accession(fake_toolkit, data_dir, tmp_path):
+    """A non-local accession streams through the pipe and produces the
+    same TSV as searching the equivalent local file."""
+    from kwage_tpu.cli.sriracha import main as sriracha_main
+    from kwage_tpu.io.sequence import iter_sequences
+
+    reads = [s for _, s in iter_sequences(str(data_dir / "sriracha_reads.fasta"))]
+    _write_fastq(fake_toolkit, "SRR5550030", reads)
+
+    def run(target):
+        out = tmp_path / "out.tsv"
+        rc = sriracha_main([
+            "-k", "11", "-t", "0.4", "-n", "1",
+            "-i", str(data_dir / "sriracha_queries.fasta"),
+            "-o", str(out), target,
+        ])
+        assert rc == 0
+        return [
+            "\t".join(["ACC"] + l.split("\t")[1:]) if "\t" in l else l
+            for l in out.read_text().splitlines()
+        ]
+
+    got = run("SRR5550030")
+    want = run(str(data_dir / "sriracha_reads.fasta"))
+    assert got == want
