@@ -61,7 +61,7 @@ def main() -> None:
 
     import jax.numpy as jnp
 
-    from kwage_tpu.ops.search import search_counts
+    from kwage_tpu.ops.search import search_complete, search_counts
 
     # Generate the multi-GiB database ON DEVICE: host RNG + the tunnel transfer
     # would cost minutes and measure nothing (the real pipeline writes the
@@ -102,6 +102,31 @@ def main() -> None:
     per_iter = measure(2, 50)
     tpu_rate = NQ * NK * FILES / per_iter  # 2048-filter file-equivalents
 
+    # Complete-match path (the reference's DEFAULT, threshold=1.0,
+    # kwage.cpp:377-384): AND-reduce across k-mers instead of CSA counts.
+    @jax.jit
+    def chained_complete(db, idx, valid, n):
+        def body(i, acc):
+            ix = (idx + i) & mask
+            return acc + search_complete(db, ix, valid).sum(dtype=jnp.uint32)
+        return jax.lax.fori_loop(0, n, body, jnp.uint32(0))
+
+    np.asarray(chained_complete(db, idx, valid, 1))
+
+    def measure_complete(n_lo: int, n_hi: int) -> float:
+        res = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(chained_complete(db, idx, valid, n_lo))
+            lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            np.asarray(chained_complete(db, idx, valid, n_hi))
+            hi = time.perf_counter() - t0
+            res.append((hi - lo) / (n_hi - n_lo))
+        return sorted(res)[len(res) // 2]
+
+    complete_rate = NQ * NK * FILES / measure_complete(2, 50)
+
     # Host (single-core numpy) baseline, same reduction on one 2048-filter
     # file. A 2^19-row host matrix (128 MiB, well past L3) keeps the host
     # gather memory-bound like the full matrix would be, without the 30 s
@@ -132,6 +157,7 @@ def main() -> None:
                 "value": round(tpu_rate, 1),
                 "unit": f"kmer-queries/s (2048-filter files, 5 seeds, 2^22 rows, {FILES} files fused)",
                 "vs_baseline": round(tpu_rate / cpu_rate, 2),
+                "complete_match_kmer_queries_per_sec": round(complete_rate, 1),
             }
         )
     )

@@ -23,6 +23,7 @@ import numpy as np
 N_ACC = int(os.environ.get("BUILD_N_ACC", "32"))
 BP = int(os.environ.get("BUILD_BP", "300000"))
 WORKERS = int(os.environ.get("BUILD_WORKERS", "4"))
+DEVICE_BATCH = int(os.environ.get("BUILD_DEVICE_BATCH", "8"))
 
 
 def main() -> None:
@@ -95,18 +96,21 @@ def main() -> None:
                 # the tunnel), so device mode builds serially.
                 num_workers=1 if device_build else WORKERS,
                 device_build=device_build,
+                device_batch=DEVICE_BATCH,
             )
             if device_build:
-                # Warm the jit caches with one same-shaped build BEFORE the
-                # worker pool starts: concurrent first-traces would each
-                # pay the (tunnel) compile, and the figure should reflect
-                # steady state.
+                # Warm the jit caches with one same-shaped BATCH build
+                # BEFORE the run: the figure should reflect steady state,
+                # not the one-time (tunnel) compiles.
                 from kwage_tpu.core import FilterInfo as _FI
                 from kwage_tpu.io.sequence import iter_sequences
-                from kwage_tpu.pipeline.make_bloom import build_bloom_device
+                from kwage_tpu.pipeline.make_bloom import build_blooms_device_batch
 
-                warm = [s for _, s in iter_sequences(os.path.join(src, f"{accs[0]}.fasta"))]
-                build_bloom_device(iter(warm), opt.build_options(), _FI())
+                jobs = []
+                for a in accs[: opt.device_batch]:
+                    seqs = [s for _, s in iter_sequences(os.path.join(src, f"{a}.fasta"))]
+                    jobs.append((seqs, _FI()))
+                build_blooms_device_batch(jobs, opt.build_options())
 
             m = Maestro(opt, LocalFastaResolver(src))
             m.restore()

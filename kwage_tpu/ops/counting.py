@@ -140,6 +140,99 @@ def count_kmers_device(reads_ascii: jax.Array, k: int, min_count: int):
     return count_and_threshold(hi, lo, valid, min_count)
 
 
+@partial(jax.jit, static_argnames=("k", "min_count", "num_acc"))
+def count_kmers_device_multi(
+    reads_ascii: jax.Array, acc_ids: jax.Array, k: int, min_count: int, num_acc: int
+):
+    """Multi-accession fused count: one dispatch thresholds a whole BATCH.
+
+    ``acc_ids`` int32 [R] assigns each (padded) read to an accession slot
+    in [0, num_acc). One 3-key sort by (accession, word) segments the
+    global window stream per accession; the shifted-compare threshold
+    then works within segments for free because an accession change also
+    breaks word equality. Returns device arrays
+    (acc_s, hi_s, lo_s, selected, num_valid[num_acc]) -- keep them
+    device-resident and feed set_filter_bits_multi to avoid any large
+    host readback (only num_valid and the final packed filters cross the
+    link). Amortizes the reference's per-accession worker dispatch
+    (worker_main.cpp:245-382) across the batch.
+    """
+    hi, lo, valid = jax.vmap(lambda r: canonical_kmers_device(r, k))(reads_ascii)
+    acc = jnp.broadcast_to(acc_ids[:, None], hi.shape)
+    hi, lo, valid, acc = (
+        hi.reshape(-1), lo.reshape(-1), valid.reshape(-1), acc.reshape(-1)
+    )
+    inv = ~valid
+    ones = jnp.uint32(0xFFFFFFFF)
+    acc_k = jnp.where(inv, jnp.uint32(num_acc), acc.astype(jnp.uint32))
+    hi_k = jnp.where(inv, ones, hi)
+    lo_k = jnp.where(inv, ones, lo)
+    acc_s, hi_s, lo_s, inv_s = jax.lax.sort(
+        (acc_k, hi_k, lo_k, inv.astype(jnp.uint8)), num_keys=3
+    )
+    val_s = inv_s == 0
+
+    prev_acc = jnp.concatenate([jnp.full((1,), num_acc, jnp.uint32), acc_s[:-1]])
+    prev_hi = jnp.concatenate([jnp.full((1,), ones, jnp.uint32), hi_s[:-1]])
+    prev_lo = jnp.concatenate([jnp.full((1,), ones, jnp.uint32), lo_s[:-1]])
+    is_start = (
+        (acc_s != prev_acc) | (hi_s != prev_hi) | (lo_s != prev_lo)
+    ) & val_s
+    is_start = is_start.at[0].set(val_s[0])
+
+    m = min_count - 1
+    if m == 0:
+        selected = is_start
+    else:
+        ahead_acc = jnp.concatenate([acc_s[m:], jnp.full((m,), num_acc, jnp.uint32)])
+        ahead_hi = jnp.concatenate([hi_s[m:], jnp.full((m,), ones, jnp.uint32)])
+        ahead_lo = jnp.concatenate([lo_s[m:], jnp.full((m,), ones, jnp.uint32)])
+        ahead_val = jnp.concatenate([val_s[m:], jnp.zeros((m,), bool)])
+        selected = (
+            is_start
+            & ahead_val
+            & (ahead_acc == acc_s)
+            & (ahead_hi == hi_s)
+            & (ahead_lo == lo_s)
+        )
+    num_valid = (
+        jnp.zeros(num_acc, jnp.int32)
+        .at[acc_s.astype(jnp.int32)]
+        .add(selected.astype(jnp.int32), mode="drop")
+    )
+    return acc_s, hi_s, lo_s, selected, num_valid
+
+
+@partial(jax.jit, static_argnames=("k", "num_hash", "log2_filter_len", "num_acc"))
+def set_filter_bits_multi(
+    acc_s, hi_s, lo_s, selected, slot_of_acc,
+    k: int, num_hash: int, log2_filter_len: int, num_acc: int,
+):
+    """Batched scatter: every accession's murmur bits land in its own
+    image of a [num_acc, 2**log2_filter_len / 32] packed stack in ONE
+    scatter pass. ``slot_of_acc`` int32 [num_acc + 1] maps accession id
+    -> image slot, or -1 to drop (accessions belonging to a different
+    L-group); the +1 slot absorbs the invalid-window sentinel id.
+    """
+    L = 1 << log2_filter_len
+    h = murmur32_device(hi_s, lo_s, k, num_hash)                  # [n, nh]
+    # int32 index math caps num_acc * filter_len below 2^31; the batch
+    # builder enforces it (build_blooms_device_batch).
+    idx = (h & jnp.uint32(L - 1)).astype(jnp.int32)
+    slot = slot_of_acc[jnp.minimum(acc_s, jnp.uint32(num_acc)).astype(jnp.int32)]
+    base = slot.astype(jnp.int32) * jnp.int32(L)
+    keep = selected & (slot >= 0)
+    flat = jnp.where(keep[:, None], base[:, None] + idx, jnp.int32(num_acc) * jnp.int32(L))
+    image = (
+        jnp.zeros(num_acc * L, jnp.uint8).at[flat.reshape(-1)].set(1, mode="drop")
+    )
+    weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+    packed = (image.reshape(-1, 32).astype(jnp.uint32) * weights).sum(
+        axis=1, dtype=jnp.uint32
+    )
+    return packed.reshape(num_acc, L // 32)
+
+
 def build_filter_device(
     reads_ascii: jax.Array,
     k: int,

@@ -243,6 +243,11 @@ class MaestroOptions:
     # TPU ingest mode: exact-count thresholding on device instead of the
     # host counting-Bloom (see kwage_tpu.ops.counting).
     device_build: bool = False
+    # Accessions fused per device dispatch in device-build mode: one
+    # count sort and one scatter per batch amortize the host<->device
+    # round trips that dominate per-accession builds (see
+    # pipeline.make_bloom.build_blooms_device_batch). 1 disables.
+    device_batch: int = 8
     # Write zlib-chunked .dbz database files (engine extension).
     compress_db: bool = False
     # Transpose on device via the Pallas packed bit-transpose (engine
@@ -270,6 +275,80 @@ class MaestroOptions:
             min_log_2_count_len=self.min_log_2_count_len,
             max_log_2_count_len=self.max_log_2_count_len,
         )
+
+
+def execute_bloom_task(
+    acc: str,
+    info: FilterInfo,
+    phase: str,
+    resolver: SourceResolver,
+    opt: "MaestroOptions",
+    bloom_out_path: str,
+    on_downloaded=None,
+) -> tuple[int, "BloomParam | None"]:
+    """The pure worker-side Bloom task, shared by the local thread pool
+    and remote (cross-host) workers: stage the source, build one filter,
+    write the .bloom, classify the outcome (worker_main.cpp:245-474).
+
+    phase "full" may download (and in --stream mode pipes reads straight
+    off the toolkit with zero scratch, make_bloom.cpp:170-300); phase
+    "bloom" only looks up an already-staged source. ``on_downloaded``
+    fires after a successful non-streaming download so the scheduler can
+    persist STATUS_DOWNLOAD_SUCCESS for crash resume.
+    """
+    if phase == "full" and opt.stream_sra:
+        stream = resolver.open_stream(acc)
+        if stream is not None:
+            from ..pipeline.make_bloom import build_bloom_from_sequences
+            from ..sriracha.sra_source import DownloadError
+
+            try:
+                if opt.device_build:
+                    from ..pipeline.make_bloom import build_bloom_device
+
+                    rec = build_bloom_device(stream, opt.build_options(), info)
+                else:
+                    # The inventory's number_of_bases pre-sizes the
+                    # counting filter exactly like the reference reads
+                    # BASE_COUNT from SRA metadata (sra_meta.cpp:17-122).
+                    rec = build_bloom_from_sequences(
+                        stream, opt.build_options(), info,
+                        num_bp_hint=info.number_of_bases or None,
+                    )
+                write_bloom_file(bloom_out_path, rec)
+                return STATUS_BLOOM_SUCCESS, rec.param
+            except DownloadError:
+                return STATUS_DOWNLOAD_FAIL, None
+            except BloomInvalid:
+                return STATUS_BLOOM_INVALID, None
+            except Exception:
+                return STATUS_BLOOM_FAIL, None
+
+    path = resolver.lookup(acc) if phase == "bloom" else resolver.resolve(acc)
+    if path is None:
+        return STATUS_DOWNLOAD_FAIL, None
+    if not opt.stream_sra and on_downloaded is not None:
+        on_downloaded()
+    try:
+        if opt.device_build:
+            from ..io.sequence import iter_sequences
+            from ..pipeline.make_bloom import build_bloom_device
+
+            rec = build_bloom_device(
+                (s for _, s in iter_sequences(path)), opt.build_options(), info
+            )
+        else:
+            rec = build_bloom_from_file(path, opt.build_options(), info)
+        write_bloom_file(bloom_out_path, rec)
+        status: int = STATUS_BLOOM_SUCCESS
+        param = rec.param
+    except BloomInvalid:
+        status, param = STATUS_BLOOM_INVALID, None
+    except Exception:
+        status, param = STATUS_BLOOM_FAIL, None
+    if not opt.save_sra:
+        resolver.cleanup(acc, path)
+    return status, param
 
 
 class _LazyInfos:
@@ -452,18 +531,8 @@ class Maestro:
         staged (restored STATUS_DOWNLOAD_SUCCESS); local lookup only.
         """
         t0 = time.time()
-        acc = self.accessions[idx]
-        if phase == "full" and self.opt.stream_sra:
-            stream = self.resolver.open_stream(acc)
-            if stream is not None:
-                return self._build_bloom_streamed(idx, acc, stream, t0)
-        if phase == "bloom":
-            path = self.resolver.lookup(acc)
-        else:
-            path = self.resolver.resolve(acc)
-        if path is None:
-            return idx, STATUS_DOWNLOAD_FAIL, None, time.time() - t0
-        if not self.opt.stream_sra:
+
+        def on_downloaded() -> None:
             # The download leg succeeded: persist STATUS_DOWNLOAD_SUCCESS
             # (process_event, maestro_main.cpp:852-877) so a crash during
             # the Bloom leg resumes from the staged file. Do not clobber a
@@ -472,62 +541,83 @@ class Maestro:
             s = int(self.status[idx])
             if not (STATUS_BLOOM_FAIL_1 <= s <= STATUS_BLOOM_FAIL_10):
                 self.status[idx] = STATUS_DOWNLOAD_SUCCESS
-        try:
-            if self.opt.device_build:
-                from ..io.sequence import iter_sequences
-                from ..pipeline.make_bloom import build_bloom_device
 
-                rec = build_bloom_device(
-                    (s for _, s in iter_sequences(path)),
-                    self.opt.build_options(),
-                    self.infos[idx],
-                )
-            else:
-                rec = build_bloom_from_file(path, self.opt.build_options(), self.infos[idx])
-            write_bloom_file(self.bloom_path(idx), rec)
-            status = STATUS_BLOOM_SUCCESS
-            param = rec.param
-        except BloomInvalid:
-            status, param = STATUS_BLOOM_INVALID, None
-        except Exception:
-            status, param = STATUS_BLOOM_FAIL, None
-        if not self.opt.save_sra:
-            self.resolver.cleanup(acc, path)
+        status, param = execute_bloom_task(
+            self.accessions[idx],
+            self.infos[idx],
+            phase,
+            self.resolver,
+            self.opt,
+            self.bloom_path(idx),
+            on_downloaded=on_downloaded,
+        )
         return idx, status, param, time.time() - t0
 
-    def _build_bloom_streamed(
-        self, idx: int, acc: str, stream, t0: float
-    ) -> tuple[int, int, BloomParam | None, float]:
-        """--stream fast path: reads flow straight from the source pipe
-        into the counting builder -- peak scratch usage is zero regardless
-        of accession size (the reference's VDB streaming worker shape,
-        make_bloom.cpp:170-300). The inventory's number_of_bases pre-sizes
-        the counting filter exactly like the reference reads BASE_COUNT
-        from the SRA metadata (sra_meta.cpp:17-122)."""
+    def _process_accession_batch(
+        self, items: list[tuple[int, str]]
+    ) -> list[tuple[int, int, BloomParam | None, float]]:
+        """Device-build worker task for a BATCH of accessions: resolve
+        each source, then build every Bloom filter in (at most) two
+        device dispatches via build_blooms_device_batch."""
+        from ..io.sequence import iter_sequences
+        from ..pipeline.make_bloom import build_blooms_device_batch
         from ..sriracha.sra_source import DownloadError
-        from ..pipeline.make_bloom import build_bloom_from_sequences
 
-        info = self.infos[idx]
-        try:
-            if self.opt.device_build:
-                from ..pipeline.make_bloom import build_bloom_device
+        t0 = time.time()
+        out: list[tuple[int, int, BloomParam | None, float]] = []
+        jobs: list[tuple[list[str], FilterInfo]] = []
+        job_meta: list[tuple[int, str | None]] = []  # (idx, path-to-clean)
+        for idx, phase in items:
+            acc = self.accessions[idx]
+            seqs: list[str] | None = None
+            path: str | None = None
+            try:
+                if phase == "full" and self.opt.stream_sra:
+                    stream = self.resolver.open_stream(acc)
+                    if stream is not None:
+                        # RAM-buffered for the batched device dispatch; no
+                        # disk materialization.
+                        seqs = list(stream)
+                if seqs is None:
+                    path = (
+                        self.resolver.lookup(acc)
+                        if phase == "bloom"
+                        else self.resolver.resolve(acc)
+                    )
+                    if path is None:
+                        out.append((idx, STATUS_DOWNLOAD_FAIL, None, time.time() - t0))
+                        continue
+                    if not self.opt.stream_sra:
+                        s = int(self.status[idx])
+                        if not (STATUS_BLOOM_FAIL_1 <= s <= STATUS_BLOOM_FAIL_10):
+                            self.status[idx] = STATUS_DOWNLOAD_SUCCESS
+                    seqs = [q for _, q in iter_sequences(path)]
+            except DownloadError:
+                out.append((idx, STATUS_DOWNLOAD_FAIL, None, time.time() - t0))
+                continue
+            except Exception:
+                out.append((idx, STATUS_BLOOM_FAIL, None, time.time() - t0))
+                continue
+            jobs.append((seqs, self.infos[idx]))
+            job_meta.append((idx, path))
 
-                rec = build_bloom_device(stream, self.opt.build_options(), info)
-            else:
-                rec = build_bloom_from_sequences(
-                    stream,
-                    self.opt.build_options(),
-                    info,
-                    num_bp_hint=info.number_of_bases or None,
-                )
-            write_bloom_file(self.bloom_path(idx), rec)
-            return idx, STATUS_BLOOM_SUCCESS, rec.param, time.time() - t0
-        except DownloadError:
-            return idx, STATUS_DOWNLOAD_FAIL, None, time.time() - t0
-        except BloomInvalid:
-            return idx, STATUS_BLOOM_INVALID, None, time.time() - t0
-        except Exception:
-            return idx, STATUS_BLOOM_FAIL, None, time.time() - t0
+        if jobs:
+            recs = build_blooms_device_batch(jobs, self.opt.build_options())
+            for (idx, path), rec in zip(job_meta, recs):
+                if isinstance(rec, BloomInvalid):
+                    status, param = STATUS_BLOOM_INVALID, None
+                elif isinstance(rec, Exception) or rec is None:
+                    status, param = STATUS_BLOOM_FAIL, None
+                else:
+                    try:
+                        write_bloom_file(self.bloom_path(idx), rec)
+                        status, param = STATUS_BLOOM_SUCCESS, rec.param
+                    except Exception:
+                        status, param = STATUS_BLOOM_FAIL, None
+                if path is not None and not self.opt.save_sra:
+                    self.resolver.cleanup(self.accessions[idx], path)
+                out.append((idx, status, param, time.time() - t0))
+        return out
 
     def _build_database(self, db_index: int, param: BloomParam,
                         members: list[int]) -> tuple[list[int], int, str, float]:
@@ -654,6 +744,59 @@ class Maestro:
         self._retry.append(idx)
         return False
 
+    def _next_work_item(self) -> tuple[int, str] | None:
+        """Pop the next dispatchable accession: restored downloads first
+        (bloom phase), then the retry deque (no pre-mark,
+        maestro_main.cpp:1640-1647), then fresh work off the cursor."""
+        if self._download_ready:
+            return self._download_ready.popleft(), "bloom"
+        if self.opt.download_delay > 0:
+            wait_for = self._last_download + self.opt.download_delay - time.time()
+            if wait_for > 0:
+                time.sleep(wait_for)
+        if self._retry:
+            idx = self._retry.popleft()
+        else:
+            nxt = self._next_fresh()
+            if nxt is None:
+                return None
+            idx = nxt
+        self._last_download = time.time()
+        return idx, "full"
+
+    def _absorb_bloom_event(self, idx: int, status: int, param, dt: float) -> None:
+        """Apply one bloom/download completion to the state machine."""
+        opt = self.opt
+        if status == STATUS_BLOOM_SUCCESS:
+            self.status[idx] = STATUS_BLOOM_SUCCESS
+            bp = self.infos[idx].number_of_bases or 0
+            self._total_bp += bp
+            self._total_filter_bytes += param.filter_len // 8
+            self._log(
+                f"[maestro] bloom {self.accessions[idx]} ok "
+                f"(L={param.log_2_filter_len}, h={param.num_hash}) "
+                f"in {dt:.2f}s ({bp / max(dt, 1e-9) / 1.0e6:.2f} Mbp/sec; "
+                f"mem {100.0 * memory_usage():.1f}%)"
+            )
+        elif status == STATUS_BLOOM_INVALID:
+            self.status[idx] = STATUS_BLOOM_INVALID
+            self._log(f"[maestro] bloom {self.accessions[idx]} invalid")
+        elif status == STATUS_DOWNLOAD_FAIL and not opt.stream_sra:
+            final = self._on_download_fail(idx)
+            self._log(
+                f"[maestro] download {self.accessions[idx]} failed "
+                f"({'final' if final else STATUS_NAMES[int(self.status[idx])]})"
+            )
+        else:
+            # Streaming-mode failures are all bloom-classed (the reference
+            # streaming worker replies STATUS_BLOOM_FAIL for download
+            # errors too).
+            final = self._on_bloom_fail(idx)
+            self._log(
+                f"[maestro] bloom {self.accessions[idx]} failed "
+                f"({'final' if final else STATUS_NAMES[int(self.status[idx])]})"
+            )
+
     def _ready_groups(self) -> list[tuple[BloomParam, list[int]]]:
         """BloomParam groups at (or past) quota, discovered by rescanning
         BLOOM_SUCCESS scratch files (doubles as restore_bloom). Once the
@@ -723,27 +866,25 @@ class Maestro:
 
                 # Priority 2: Bloom creation from restored downloads;
                 # priority 3: retries, then fresh work off the cursor
-                # (download+bloom merged in one task).
+                # (download+bloom merged in one task). Device builds fuse
+                # up to --device-batch accessions into one worker task.
+                batch_n = opt.device_batch if opt.device_build else 1
                 while len(futures) < opt.num_workers:
-                    if self._download_ready:
-                        idx, phase = self._download_ready.popleft(), "bloom"
-                    else:
-                        if opt.download_delay > 0:
-                            wait_for = self._last_download + opt.download_delay - time.time()
-                            if wait_for > 0:
-                                time.sleep(wait_for)
-                        if self._retry:
-                            # Retry-deque dispatch does not pre-mark
-                            # (maestro_main.cpp:1640-1647).
-                            idx, phase = self._retry.popleft(), "full"
-                        else:
-                            nxt = self._next_fresh()
+                    item = self._next_work_item()
+                    if item is None:
+                        break
+                    if batch_n > 1:
+                        items = [item]
+                        while len(items) < batch_n:
+                            nxt = self._next_work_item()
                             if nxt is None:
                                 break
-                            idx, phase = nxt, "full"
-                        self._last_download = time.time()
-                    fut = pool.submit(self._process_accession, idx, phase)
-                    futures[fut] = "bloom"
+                            items.append(nxt)
+                        fut = pool.submit(self._process_accession_batch, items)
+                        futures[fut] = "bloom_batch"
+                    else:
+                        fut = pool.submit(self._process_accession, *item)
+                        futures[fut] = "bloom"
 
                 if not futures:
                     # Completion condition (maestro_main.cpp:341-346):
@@ -766,36 +907,10 @@ class Maestro:
                 for fut in done:
                     kind = futures.pop(fut)
                     if kind == "bloom":
-                        idx, status, param, dt = fut.result()
-                        if status == STATUS_BLOOM_SUCCESS:
-                            self.status[idx] = STATUS_BLOOM_SUCCESS
-                            bp = self.infos[idx].number_of_bases or 0
-                            self._total_bp += bp
-                            self._total_filter_bytes += param.filter_len // 8
-                            self._log(
-                                f"[maestro] bloom {self.accessions[idx]} ok "
-                                f"(L={param.log_2_filter_len}, h={param.num_hash}) "
-                                f"in {dt:.2f}s ({bp / max(dt, 1e-9) / 1.0e6:.2f} Mbp/sec; "
-                                f"mem {100.0 * memory_usage():.1f}%)"
-                            )
-                        elif status == STATUS_BLOOM_INVALID:
-                            self.status[idx] = STATUS_BLOOM_INVALID
-                            self._log(f"[maestro] bloom {self.accessions[idx]} invalid")
-                        elif status == STATUS_DOWNLOAD_FAIL and not opt.stream_sra:
-                            final = self._on_download_fail(idx)
-                            self._log(
-                                f"[maestro] download {self.accessions[idx]} failed "
-                                f"({'final' if final else STATUS_NAMES[int(self.status[idx])]})"
-                            )
-                        else:
-                            # Streaming-mode failures are all bloom-classed
-                            # (the reference streaming worker replies
-                            # STATUS_BLOOM_FAIL for download errors too).
-                            final = self._on_bloom_fail(idx)
-                            self._log(
-                                f"[maestro] bloom {self.accessions[idx]} failed "
-                                f"({'final' if final else STATUS_NAMES[int(self.status[idx])]})"
-                            )
+                        self._absorb_bloom_event(*fut.result())
+                    elif kind == "bloom_batch":
+                        for item in fut.result():
+                            self._absorb_bloom_event(*item)
                     else:
                         members, status, db_path, dt = fut.result()
                         in_flight_db.difference_update(members)

@@ -118,3 +118,60 @@ def test_device_build_large_filter_host_scatter(reads):
     assert dev.param == host.param
     assert dev.bits.tobytes() == host.bits.tobytes()
     assert dev.test_crc32()
+
+
+def test_batched_device_build_matches_single(reads):
+    """build_blooms_device_batch == per-accession build_bloom_device for
+    every job, including BloomInvalid fault isolation."""
+    from kwage_tpu.pipeline.make_bloom import (
+        BloomInvalid,
+        build_bloom_device,
+        build_blooms_device_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    jobs = []
+    per_acc = []
+    for a in range(5):
+        n = int(rng.integers(4, 9))
+        seqs = ["".join(rng.choice(list("ACGT"), size=int(rng.integers(40, 200))))
+                for _ in range(n)]
+        seqs = seqs + seqs[:2]  # duplicates so min_count=2 keeps signal
+        jobs.append((seqs, FilterInfo()))
+        per_acc.append(seqs)
+    # One job with no read >= k: must fail alone without hurting the batch.
+    jobs.append((["ACGT"], FilterInfo()))
+
+    opts = _opts(2)
+    got = build_blooms_device_batch(jobs, opts)
+    for a in range(5):
+        want = build_bloom_device(iter(per_acc[a]), opts, FilterInfo())
+        assert not isinstance(got[a], Exception), got[a]
+        assert got[a].param == want.param, a
+        assert got[a].bits.tobytes() == want.bits.tobytes(), a
+    assert isinstance(got[5], BloomInvalid)
+
+
+def test_batched_device_build_mixed_filter_lengths():
+    """Accessions whose distinct-k-mer counts land in different L buckets
+    split into per-(L, num_hash) scatter groups and still match."""
+    from kwage_tpu.pipeline.make_bloom import (
+        build_bloom_device,
+        build_blooms_device_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    small = ["".join(rng.choice(list("ACGT"), size=100)) for _ in range(2)]
+    big = ["".join(rng.choice(list("ACGT"), size=400)) for _ in range(40)]
+    opts = BuildOptions(
+        kmer_len=31, min_kmer_count=1, false_positive_probability=0.25,
+        min_log_2_filter_len=8, max_log_2_filter_len=20,
+        min_log_2_count_len=12, max_log_2_count_len=20,
+    )
+    jobs = [(small, FilterInfo()), (big, FilterInfo())]
+    got = build_blooms_device_batch(jobs, opts)
+    for j, seqs in enumerate([small, big]):
+        want = build_bloom_device(iter(seqs), opts, FilterInfo())
+        assert got[j].param == want.param
+        assert got[j].bits.tobytes() == want.bits.tobytes()
+    assert got[0].param.log_2_filter_len != got[1].param.log_2_filter_len

@@ -1,0 +1,138 @@
+"""Dynamic cross-host maestro: TCP coordinator + pull workers
+(parallel/remote.py). Real sockets on localhost; worker loops run in
+threads to emulate the per-host processes."""
+
+import hashlib
+import json
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from kwage_tpu.core import FilterInfo, str_to_accession
+from kwage_tpu.io.inventory import write_inventory
+from kwage_tpu.parallel.maestro import (
+    LocalFastaResolver,
+    Maestro,
+    MaestroOptions,
+    STATUS_DATABASE_SUCCESS,
+    STATUS_DOWNLOAD_FAIL,
+)
+from kwage_tpu.parallel.remote import (
+    CoordinatorServer,
+    RemoteWorker,
+    run_distributed_maestro,
+)
+
+
+@pytest.fixture(scope="module")
+def manifest(golden_dir):
+    with open(golden_dir / "e2e" / "manifest.json") as f:
+        return json.load(f)
+
+
+def _options(manifest, work, **kw):
+    opt = MaestroOptions(
+        metadata_file=str(work / "inventory.bin"),
+        scratch_bloom_dir=str(work / "bloom"),
+        scratch_database_dir=str(work / "db"),
+        status_file=str(work / "status.bin"),
+        kmer_len=manifest["k"],
+        min_kmer_count=manifest["min_kmer_count"],
+        false_positive_probability=manifest["fp"],
+        min_log_2_filter_len=manifest["minL"],
+        max_log_2_filter_len=manifest["maxL"],
+        min_log_2_count_len=manifest["minLc"],
+        max_log_2_count_len=manifest["maxLc"],
+        save_bloom=True,
+    )
+    for k, v in kw.items():
+        setattr(opt, k, v)
+    return opt
+
+
+def _sha(p):
+    with open(p, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def test_distributed_run_produces_reference_databases(
+    manifest, data_dir, golden_dir, tmp_path
+):
+    """Coordinator + 2 pull workers reproduce the golden .db files
+    byte-for-byte (same grouping and ordering as the local scheduler)."""
+    infos = [FilterInfo(run_accession=str_to_accession(a))
+             for a in manifest["accessions"]]
+    write_inventory(str(tmp_path / "inventory.bin"), infos)
+    opt = _options(manifest, tmp_path)
+    m = run_distributed_maestro(
+        opt, LocalFastaResolver(str(data_dir)), num_local_workers=2,
+        host="127.0.0.1",
+    )
+    assert all(s == STATUS_DATABASE_SUCCESS for s in m.status), m.summary()
+    with open(golden_dir / "e2e" / "digests.json") as f:
+        digests = json.load(f)
+    for gi in range(len(manifest["db_groups"])):
+        got = _sha(tmp_path / "db" / f"sra.{gi + 1}.db")
+        assert got == digests[f"sra.{gi}.db"], f"group {gi} differs"
+
+
+def test_dynamic_balance_slow_accession(manifest, data_dir, tmp_path):
+    """A worker stuck on a slow accession does not idle the fleet: the
+    other worker pulls every remaining task meanwhile (the reference's
+    whichever-rank-frees-up scheduling, maestro_main.cpp:339-457)."""
+
+    class SlowResolver(LocalFastaResolver):
+        def resolve(self, accession):
+            if accession == slow_acc:
+                time.sleep(2.5)
+            return super().resolve(accession)
+
+    accs = manifest["accessions"]
+    slow_acc = accs[0]
+    infos = [FilterInfo(run_accession=str_to_accession(a)) for a in accs]
+    write_inventory(str(tmp_path / "inventory.bin"), infos)
+    opt = _options(manifest, tmp_path)
+
+    m = Maestro(opt, SlowResolver(str(data_dir)))
+    m.restore()
+    coord = CoordinatorServer(m, host="127.0.0.1")
+    coord.start()
+    counts = {}
+    threads = []
+    for name in ("w0", "w1"):
+        worker = RemoteWorker(opt, SlowResolver(str(data_dir)), coord.address,
+                              name=name)
+
+        def run(w=worker, n=name):
+            counts[n] = w.run()
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        threads.append(t)
+    coord.wait()
+    for t in threads:
+        t.join(timeout=30)
+    coord.shutdown()
+
+    assert all(s == STATUS_DATABASE_SUCCESS for s in m.status), m.summary()
+    # One worker absorbed the 2.5 s accession; the other must have done
+    # the bulk of the remaining work in that window.
+    assert max(counts.values()) > min(counts.values()), counts
+
+
+def test_distributed_failures_and_completion(manifest, data_dir, tmp_path):
+    """Missing accessions fail through the same bounded retry machine and
+    the coordinator still quits cleanly."""
+    accs = manifest["accessions"][:2] + ["SRR9999999"]
+    infos = [FilterInfo(run_accession=str_to_accession(a)) for a in accs]
+    write_inventory(str(tmp_path / "inventory.bin"), infos)
+    opt = _options(manifest, tmp_path, num_download_attempt=2)
+    m = run_distributed_maestro(
+        opt, LocalFastaResolver(str(data_dir)), num_local_workers=2,
+        host="127.0.0.1",
+    )
+    assert int(m.status[2]) == STATUS_DOWNLOAD_FAIL
+    assert int(m.status[0]) == STATUS_DATABASE_SUCCESS
+    assert int(m.status[1]) == STATUS_DATABASE_SUCCESS
