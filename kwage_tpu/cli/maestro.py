@@ -38,6 +38,7 @@ LONG_OPTS = [
     # engine-specific extensions
     "source-dir=", "prefetch", "workers=", "count-len.min=", "count-len.max=",
     "device-build", "compress", "device-transpose", "lazy-inventory",
+    "device-batch=", "coordinator=", "worker=", "task-timeout=",
 ]
 
 
@@ -75,6 +76,10 @@ def usage() -> None:
     print("\t[--compress (write zlib-chunked .dbz database files)] (engine extension)", file=e)
     print("\t[--device-transpose (bit-slice transpose on the TPU)] (engine extension)", file=e)
     print("\t[--lazy-inventory (index the inventory; load records on demand)] (engine extension)", file=e)
+    print("\t[--device-batch <N> (accessions fused per device dispatch, default 8)] (engine extension)", file=e)
+    print("\t[--coordinator <host:port> (serve the work queue to remote workers over DCN)] (engine extension)", file=e)
+    print("\t[--worker <host:port> (pull tasks from a remote coordinator)] (engine extension)", file=e)
+    print("\t[--task-timeout <sec> (coordinator re-queues overdue tasks)] (engine extension)", file=e)
 
 
 @cli_errors
@@ -95,6 +100,9 @@ def main(argv: list[str] | None = None) -> int:
     scratch = ""
     source_dir = ""
     use_prefetch = False
+    coordinator = ""
+    worker_of = ""
+    task_timeout = None
     for flag, val in flags:
         if flag == "--meta":
             opt.metadata_file = val
@@ -158,6 +166,14 @@ def main(argv: list[str] | None = None) -> int:
             opt.device_transpose = True
         elif flag == "--lazy-inventory":
             opt.lazy_inventory = True
+        elif flag == "--device-batch":
+            opt.device_batch = max(1, int(val))
+        elif flag == "--coordinator":
+            coordinator = val
+        elif flag == "--worker":
+            worker_of = val
+        elif flag == "--task-timeout":
+            task_timeout = float(val)
         elif flag == "--count-len.min":
             opt.min_log_2_count_len = abs(int(val))
         elif flag == "--count-len.max":
@@ -186,13 +202,15 @@ def main(argv: list[str] | None = None) -> int:
     if not source_dir and not use_prefetch and not opt.stream_sra:
         print("Please specify an accession source (--source-dir, --prefetch or --stream)", file=sys.stderr)
         return 1
-    if opt.device_build and opt.num_workers != 1:
-        # One chip = one resource: concurrent jit dispatch from threads
-        # contends ~8x (see CLAUDE.md / bench_build.py); serialize.
+    if opt.device_build and opt.num_workers > 2:
+        # One chip = one resource: batched dispatch from TWO workers
+        # pipelines host parsing against device work (measured fastest);
+        # more workers only contend on the chip (~8x worse per-accession
+        # dispatch floods through the tunnel; see bench_build.py).
         if opt.num_workers != MaestroOptions.num_workers:
-            print("--device-build serializes device dispatch; forcing --workers 1",
+            print("--device-build pipelines with 2 workers; capping --workers 2",
                   file=sys.stderr)
-        opt.num_workers = 1
+        opt.num_workers = 2
 
     if use_prefetch:
         # Repo directory: explicit --source-dir wins; otherwise discover it
@@ -208,9 +226,30 @@ def main(argv: list[str] | None = None) -> int:
         # (the reference's streaming-worker mode).
         resolver = StreamingResolver(opt.scratch_bloom_dir or ".")
 
-    maestro = Maestro(opt, resolver)
-    maestro.restore()
-    maestro.run()
+    if worker_of:
+        # Pull loop against a remote coordinator (the reference's
+        # worker_main role over DCN instead of MPI).
+        from ..parallel.remote import RemoteWorker
+
+        host, _, port = worker_of.rpartition(":")
+        n = RemoteWorker(opt, resolver, (host or "127.0.0.1", int(port))).run()
+        print(f"Worker finished ({n} tasks)", file=sys.stderr)
+        return 0
+
+    if coordinator:
+        from ..parallel.remote import run_distributed_maestro
+
+        host, _, port = coordinator.rpartition(":")
+        maestro = run_distributed_maestro(
+            opt, resolver,
+            num_local_workers=opt.num_workers,
+            host=host or "0.0.0.0", port=int(port),
+            task_timeout=task_timeout,
+        )
+    else:
+        maestro = Maestro(opt, resolver)
+        maestro.restore()
+        maestro.run()
 
     print("Final status:", file=sys.stderr)
     for name, count in sorted(maestro.summary().items()):

@@ -158,6 +158,31 @@ def count_kmers_device_multi(
     (worker_main.cpp:245-382) across the batch.
     """
     hi, lo, valid = jax.vmap(lambda r: canonical_kmers_device(r, k))(reads_ascii)
+    return _count_multi_core(hi, lo, valid, acc_ids, min_count, num_acc)
+
+
+@partial(jax.jit, static_argnames=("k", "min_count", "num_acc", "length"))
+def count_kmers_device_multi_packed(
+    packed: jax.Array,
+    valid_words: jax.Array,
+    acc_ids: jax.Array,
+    k: int,
+    min_count: int,
+    num_acc: int,
+    length: int,
+):
+    """count_kmers_device_multi over host-2-bit-packed reads
+    (ops.kmers.pack_reads_host): a ~3.5x smaller host->device upload,
+    decoded on device with pure vector shifts."""
+    from .kmers import canonical_kmers_packed_device
+
+    hi, lo, valid = jax.vmap(
+        lambda p, v: canonical_kmers_packed_device(p, v, k, length)
+    )(packed, valid_words)
+    return _count_multi_core(hi, lo, valid, acc_ids, min_count, num_acc)
+
+
+def _count_multi_core(hi, lo, valid, acc_ids, min_count: int, num_acc: int):
     acc = jnp.broadcast_to(acc_ids[:, None], hi.shape)
     hi, lo, valid, acc = (
         hi.reshape(-1), lo.reshape(-1), valid.reshape(-1), acc.reshape(-1)

@@ -336,7 +336,9 @@ def build_blooms_device_batch(
 
       1. ONE fused count dispatch -- a 3-key (accession, word) sort
          segments every accession's window stream
-         (ops.counting.count_kmers_device_multi); only the per-accession
+         over 2-bit host-packed reads
+         (ops.counting.count_kmers_device_multi_packed); only the
+         per-accession
          distinct-k-mer counts [B] cross the link, and the sorted word
          arrays stay device-resident;
       2. host solves each accession's BloomParam (bloom.cpp:10-121
@@ -351,11 +353,7 @@ def build_blooms_device_batch(
     """
     import jax.numpy as jnp
 
-    from ..ops.counting import (
-        count_kmers_device_multi,
-        filter_words_to_bytes,
-        set_filter_bits_multi,
-    )
+    from ..ops.counting import filter_words_to_bytes, set_filter_bits_multi
 
     results: list = [None] * len(jobs)
     small: list[int] = []
@@ -401,13 +399,19 @@ def build_blooms_device_batch(
     batch = _pad_reads_to_batch(flat_reads, k)
     acc_ids = np.zeros(batch.shape[0], dtype=np.int32)
     acc_ids[: len(flat_acc)] = flat_acc
-    # Padding rows carry no valid windows, but point them at slot 0 only
-    # if real; give them the last real slot -- harmless either way since
-    # invalid windows sort to the sentinel accession.
+    # Padding rows carry no valid windows; their accession slot is
+    # irrelevant (invalid windows sort to the sentinel accession).
     num_acc = len(small)
 
-    acc_s, hi_s, lo_s, selected, num_valid = count_kmers_device_multi(
-        jnp.asarray(batch), jnp.asarray(acc_ids), k, opts.min_kmer_count, num_acc
+    # 2-bit pack on the host: the read upload dominates ingest on PCIe-
+    # and tunnel-attached hosts, and the device decode is free.
+    from ..ops.counting import count_kmers_device_multi_packed
+    from ..ops.kmers import pack_reads_host
+
+    packed, valid_words = pack_reads_host(batch)
+    acc_s, hi_s, lo_s, selected, num_valid = count_kmers_device_multi_packed(
+        jnp.asarray(packed), jnp.asarray(valid_words), jnp.asarray(acc_ids),
+        k, opts.min_kmer_count, num_acc, batch.shape[1],
     )
     num_valid = np.asarray(num_valid)
 
