@@ -228,17 +228,32 @@ def _count_multi_core(hi, lo, valid, acc_ids, min_count: int, num_acc: int):
     return acc_s, hi_s, lo_s, selected, num_valid
 
 
-@partial(jax.jit, static_argnames=("k", "num_hash", "log2_filter_len", "num_acc"))
+@partial(jax.jit, static_argnames=("k", "num_hash", "log2_filter_len", "num_acc", "compact"))
 def set_filter_bits_multi(
     acc_s, hi_s, lo_s, selected, slot_of_acc,
     k: int, num_hash: int, log2_filter_len: int, num_acc: int,
+    compact: int = 0,
 ):
     """Batched scatter: every accession's murmur bits land in its own
     image of a [num_acc, 2**log2_filter_len / 32] packed stack in ONE
     scatter pass. ``slot_of_acc`` int32 [num_acc + 1] maps accession id
     -> image slot, or -1 to drop (accessions belonging to a different
     L-group); the +1 slot absorbs the invalid-window sentinel id.
+
+    ``compact`` (static, power-of-two >= the total selected count, or 0
+    to disable): XLA's scatter pays its per-row cost for DROPPED rows
+    too, so hashing/scattering the full window stream costs
+    window_count x num_hash updates even when few survive thresholding.
+    One cheap argsort-compaction first shrinks that to
+    selected_count x num_hash (measured 156 M updates/s either way --
+    compaction wins whenever selected << windows).
     """
+    if compact and compact < acc_s.shape[0]:
+        order = jnp.argsort(jnp.where(selected, jnp.uint8(0), jnp.uint8(1)))[:compact]
+        acc_s = acc_s[order]
+        hi_s = hi_s[order]
+        lo_s = lo_s[order]
+        selected = selected[order]
     L = 1 << log2_filter_len
     h = murmur32_device(hi_s, lo_s, k, num_hash)                  # [n, nh]
     # int32 index math caps num_acc * filter_len below 2^31; the batch

@@ -458,9 +458,16 @@ def build_blooms_device_batch(
             slot_of_acc = np.full(num_acc + 1, -1, dtype=np.int32)
             for s in h_slots:
                 slot_of_acc[s] = s
+            # Compaction bucket: pow2 over the total selected count, so
+            # the scatter pays selected x num_hash updates instead of
+            # windows x num_hash (dropped rows are not free).
+            total_sel = int(num_valid.sum())
+            compact = 1 << max(int(np.ceil(np.log2(max(total_sel, 1)))), 10)
+            if compact >= acc_s.shape[0]:
+                compact = 0
             packed = set_filter_bits_multi(
                 acc_s, hi_s, lo_s, selected, jnp.asarray(slot_of_acc),
-                k, nh, log2_L, num_acc,
+                k, nh, log2_L, num_acc, compact,
             )
             packed = np.asarray(packed)
             for s in h_slots:

@@ -31,6 +31,7 @@ def test_bench_smoke():
     assert rec["metric"] == "kmer_queries_per_sec_per_chip"
     assert rec["value"] > 0
     assert rec["vs_baseline"] > 0
+    assert rec["complete_match_kmer_queries_per_sec"] > 0
 
 
 def test_bench_scaling_smoke():

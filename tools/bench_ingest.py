@@ -71,6 +71,16 @@ def main() -> None:
     acc_ids = jnp.repeat(jnp.arange(ACCS, dtype=jnp.int32), READS)
     slot = jnp.arange(ACCS + 1, dtype=jnp.int32).at[ACCS].set(-1)
 
+    # Probe the selected count once to size the static compaction bucket
+    # (the production builder does the same off its num_valid readback).
+    nv = np.asarray(
+        count_kmers_device_multi(reads, acc_ids, K, MINCOUNT, ACCS)[4]
+    )
+    total_sel = int(nv.sum())
+    compact = 1 << max(int(np.ceil(np.log2(max(total_sel, 1)))), 10)
+    if compact >= reads.shape[0] * (reads.shape[1] - K + 1):
+        compact = 0
+
     @jax.jit
     def chained(reads, acc_ids, n):
         def body(i, acc):
@@ -79,7 +89,7 @@ def main() -> None:
                 r, acc_ids, K, MINCOUNT, ACCS
             )
             packed = set_filter_bits_multi(
-                acc_s, hi_s, lo_s, selected, slot, K, NH, LOG2L, ACCS
+                acc_s, hi_s, lo_s, selected, slot, K, NH, LOG2L, ACCS, compact
             )
             return acc + packed[0, 0] + nv[0].astype(jnp.uint32)
         return jax.lax.fori_loop(0, n, body, jnp.uint32(0))
