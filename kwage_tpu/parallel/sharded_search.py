@@ -173,12 +173,19 @@ class ShardedDatabase:
         self._complete = _sharded(_complete_kernel, mesh)
 
     def _wave_dbs(self):
-        """Yield device-resident signature matrices one wave at a time."""
+        """Yield device-resident signature matrices one wave at a time,
+        prefetching the next wave's transfer (device_put is async) so the
+        host->device copy overlaps the current wave's kernel."""
         if self.db is not None:
             yield self.db, self._waves[0][1]
             return
-        for chunk, real in self._waves:
-            yield jax.device_put(chunk, self._spec_db), real
+        pending = jax.device_put(self._waves[0][0], self._spec_db)
+        for i, (_, real) in enumerate(self._waves):
+            current = pending
+            if i + 1 < len(self._waves):
+                pending = jax.device_put(self._waves[i + 1][0], self._spec_db)
+            yield current, real
+            del current
 
     def _prep(self, queries: list[str]):
         idx, valid, nk = make_query_batch(
