@@ -351,6 +351,75 @@ def execute_bloom_task(
     return status, param
 
 
+def execute_bloom_batch(
+    tasks: list[tuple[int, str, FilterInfo, str]],
+    resolver: SourceResolver,
+    opt: "MaestroOptions",
+    bloom_path_fn,
+    on_downloaded=None,
+) -> list[tuple[int, int, "BloomParam | None", float]]:
+    """Batched worker-side Bloom task (local threads and remote workers):
+    resolve every source, then build the whole batch in (at most) two
+    device dispatches via build_blooms_device_batch.
+
+    ``tasks`` entries are (key, accession, FilterInfo, phase); the result
+    echoes each key with (status, param, dt). ``on_downloaded(key)``
+    fires after each successful non-streaming download.
+    """
+    from ..io.sequence import iter_sequences
+    from ..pipeline.make_bloom import build_blooms_device_batch
+    from ..sriracha.sra_source import DownloadError
+
+    t0 = time.time()
+    out: list[tuple[int, int, BloomParam | None, float]] = []
+    jobs: list[tuple[list[str], FilterInfo]] = []
+    job_meta: list[tuple[int, str, str | None]] = []  # (key, acc, cleanup path)
+    for key, acc, info, phase in tasks:
+        seqs: list[str] | None = None
+        path: str | None = None
+        try:
+            if phase == "full" and opt.stream_sra:
+                stream = resolver.open_stream(acc)
+                if stream is not None:
+                    # RAM-buffered for the batched device dispatch; no
+                    # disk materialization.
+                    seqs = list(stream)
+            if seqs is None:
+                path = resolver.lookup(acc) if phase == "bloom" else resolver.resolve(acc)
+                if path is None:
+                    out.append((key, STATUS_DOWNLOAD_FAIL, None, time.time() - t0))
+                    continue
+                if not opt.stream_sra and on_downloaded is not None:
+                    on_downloaded(key)
+                seqs = [q for _, q in iter_sequences(path)]
+        except DownloadError:
+            out.append((key, STATUS_DOWNLOAD_FAIL, None, time.time() - t0))
+            continue
+        except Exception:
+            out.append((key, STATUS_BLOOM_FAIL, None, time.time() - t0))
+            continue
+        jobs.append((seqs, info))
+        job_meta.append((key, acc, path))
+
+    if jobs:
+        recs = build_blooms_device_batch(jobs, opt.build_options())
+        for (key, acc, path), rec in zip(job_meta, recs):
+            if isinstance(rec, BloomInvalid):
+                status, param = STATUS_BLOOM_INVALID, None
+            elif isinstance(rec, Exception) or rec is None:
+                status, param = STATUS_BLOOM_FAIL, None
+            else:
+                try:
+                    write_bloom_file(bloom_path_fn(key), rec)
+                    status, param = STATUS_BLOOM_SUCCESS, rec.param
+                except Exception:
+                    status, param = STATUS_BLOOM_FAIL, None
+            if path is not None and not opt.save_sra:
+                resolver.cleanup(acc, path)
+            out.append((key, status, param, time.time() - t0))
+    return out
+
+
 class _LazyInfos:
     """Sequence view over a binary inventory that loads each FilterInfo
     from its file offset on access (parse_accession_loc memory profile:
@@ -559,65 +628,20 @@ class Maestro:
         """Device-build worker task for a BATCH of accessions: resolve
         each source, then build every Bloom filter in (at most) two
         device dispatches via build_blooms_device_batch."""
-        from ..io.sequence import iter_sequences
-        from ..pipeline.make_bloom import build_blooms_device_batch
-        from ..sriracha.sra_source import DownloadError
 
-        t0 = time.time()
-        out: list[tuple[int, int, BloomParam | None, float]] = []
-        jobs: list[tuple[list[str], FilterInfo]] = []
-        job_meta: list[tuple[int, str | None]] = []  # (idx, path-to-clean)
-        for idx, phase in items:
-            acc = self.accessions[idx]
-            seqs: list[str] | None = None
-            path: str | None = None
-            try:
-                if phase == "full" and self.opt.stream_sra:
-                    stream = self.resolver.open_stream(acc)
-                    if stream is not None:
-                        # RAM-buffered for the batched device dispatch; no
-                        # disk materialization.
-                        seqs = list(stream)
-                if seqs is None:
-                    path = (
-                        self.resolver.lookup(acc)
-                        if phase == "bloom"
-                        else self.resolver.resolve(acc)
-                    )
-                    if path is None:
-                        out.append((idx, STATUS_DOWNLOAD_FAIL, None, time.time() - t0))
-                        continue
-                    if not self.opt.stream_sra:
-                        s = int(self.status[idx])
-                        if not (STATUS_BLOOM_FAIL_1 <= s <= STATUS_BLOOM_FAIL_10):
-                            self.status[idx] = STATUS_DOWNLOAD_SUCCESS
-                    seqs = [q for _, q in iter_sequences(path)]
-            except DownloadError:
-                out.append((idx, STATUS_DOWNLOAD_FAIL, None, time.time() - t0))
-                continue
-            except Exception:
-                out.append((idx, STATUS_BLOOM_FAIL, None, time.time() - t0))
-                continue
-            jobs.append((seqs, self.infos[idx]))
-            job_meta.append((idx, path))
+        def on_downloaded(idx: int) -> None:
+            s = int(self.status[idx])
+            if not (STATUS_BLOOM_FAIL_1 <= s <= STATUS_BLOOM_FAIL_10):
+                self.status[idx] = STATUS_DOWNLOAD_SUCCESS
 
-        if jobs:
-            recs = build_blooms_device_batch(jobs, self.opt.build_options())
-            for (idx, path), rec in zip(job_meta, recs):
-                if isinstance(rec, BloomInvalid):
-                    status, param = STATUS_BLOOM_INVALID, None
-                elif isinstance(rec, Exception) or rec is None:
-                    status, param = STATUS_BLOOM_FAIL, None
-                else:
-                    try:
-                        write_bloom_file(self.bloom_path(idx), rec)
-                        status, param = STATUS_BLOOM_SUCCESS, rec.param
-                    except Exception:
-                        status, param = STATUS_BLOOM_FAIL, None
-                if path is not None and not self.opt.save_sra:
-                    self.resolver.cleanup(self.accessions[idx], path)
-                out.append((idx, status, param, time.time() - t0))
-        return out
+        return execute_bloom_batch(
+            [(idx, self.accessions[idx], self.infos[idx], phase)
+             for idx, phase in items],
+            self.resolver,
+            self.opt,
+            lambda idx: self.bloom_path(idx),
+            on_downloaded=on_downloaded,
+        )
 
     def _build_database(self, db_index: int, param: BloomParam,
                         members: list[int]) -> tuple[list[int], int, str, float]:

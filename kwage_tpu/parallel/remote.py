@@ -124,7 +124,7 @@ class CoordinatorServer:
         op = msg.get("op")
         with self._lock:
             if op == "next":
-                return self._next_task()
+                return self._next_task(max(int(msg.get("n", 1)), 1))
             if op == "downloaded":
                 idx = int(msg["idx"])
                 s = int(self.m.status[idx])
@@ -166,7 +166,7 @@ class CoordinatorServer:
                 # Pre-marked DATABASE_FAIL stands; restore-time
                 # restore_bloom recovers the members.
 
-    def _next_task(self) -> dict:
+    def _next_task(self, n: int = 1) -> dict:
         m = self.m
         self._requeue_overdue()
 
@@ -196,16 +196,24 @@ class CoordinatorServer:
             }
 
         # Priorities 2/3: restored downloads, retries, fresh cursor work.
-        item = m._next_work_item()
-        if item is not None:
+        # A device-building worker pulls up to its batch size in one go
+        # so its two fused dispatches cover the whole set.
+        items = []
+        while len(items) < n:
+            item = m._next_work_item()
+            if item is None:
+                break
             idx, phase = item
             self._in_flight_bloom[idx] = time.time()
-            return {
-                "op": "bloom",
+            items.append({
                 "idx": idx,
                 "accession": m.accessions[idx],
                 "phase": phase,
-            }
+            })
+        if len(items) == 1:
+            return {"op": "bloom", **items[0]}
+        if items:
+            return {"op": "bloom_batch", "items": items}
 
         if not idle or m._retry or m._download_ready or bool(
             (m.status == STATUS_BLOOM_SUCCESS).any()
@@ -263,9 +271,12 @@ class RemoteWorker:
 
         os.makedirs(self.opt.scratch_bloom_dir, exist_ok=True)
         os.makedirs(self.opt.scratch_database_dir, exist_ok=True)
+        pull_n = self.opt.device_batch if self.opt.device_build else 1
         n_tasks = 0
         while True:
-            task = _send_msg(self.address, {"op": "next", "worker": self.name})
+            task = _send_msg(
+                self.address, {"op": "next", "worker": self.name, "n": pull_n}
+            )
             op = task.get("op")
             if op == "quit":
                 return n_tasks
@@ -273,7 +284,31 @@ class RemoteWorker:
                 time.sleep(poll)
                 continue
             n_tasks += 1
-            if op == "bloom":
+            if op == "bloom_batch":
+                from .maestro import execute_bloom_batch
+
+                items = task["items"]
+                acc_of = {it["idx"]: it["accession"] for it in items}
+                results = execute_bloom_batch(
+                    [
+                        (it["idx"], it["accession"],
+                         self._load_info(it["accession"]), it["phase"])
+                        for it in items
+                    ],
+                    self.resolver,
+                    self.opt,
+                    lambda key: self._bloom_path(acc_of[key]),
+                    on_downloaded=lambda key: _send_msg(
+                        self.address, {"op": "downloaded", "idx": key}
+                    ),
+                )
+                for key, status, param, dt in results:
+                    _send_msg(self.address, {
+                        "op": "bloom_done", "idx": key, "status": status,
+                        "param": _param_to_dict(param) if param else None,
+                        "dt": dt, "mem": memory_usage(), "worker": self.name,
+                    })
+            elif op == "bloom":
                 idx = int(task["idx"])
                 acc = task["accession"]
                 t0 = time.time()

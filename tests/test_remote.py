@@ -136,3 +136,22 @@ def test_distributed_failures_and_completion(manifest, data_dir, tmp_path):
     assert int(m.status[2]) == STATUS_DOWNLOAD_FAIL
     assert int(m.status[0]) == STATUS_DATABASE_SUCCESS
     assert int(m.status[1]) == STATUS_DATABASE_SUCCESS
+
+
+def test_distributed_device_build_batch_pull(manifest, data_dir, golden_dir, tmp_path):
+    """A device-building remote worker pulls a whole batch per request and
+    builds it in fused dispatches; golden byte parity holds."""
+    infos = [FilterInfo(run_accession=str_to_accession(a))
+             for a in manifest["accessions"]]
+    write_inventory(str(tmp_path / "inventory.bin"), infos)
+    opt = _options(manifest, tmp_path, device_build=True, device_batch=4)
+    m = run_distributed_maestro(
+        opt, LocalFastaResolver(str(data_dir)), num_local_workers=1,
+        host="127.0.0.1",
+    )
+    assert all(s == STATUS_DATABASE_SUCCESS for s in m.status), m.summary()
+    with open(golden_dir / "e2e" / "digests.json") as f:
+        digests = json.load(f)
+    for gi in range(len(manifest["db_groups"])):
+        got = _sha(tmp_path / "db" / f"sra.{gi + 1}.db")
+        assert got == digests[f"sra.{gi}.db"], f"group {gi} differs"
