@@ -16,8 +16,9 @@ all ranks, README.md:217), so any worker can read any .bloom when
 packing a database file.
 
 Wire protocol: one JSON line per connection, one reply line back.
-  worker -> {"op": "next", "worker": name}
+  worker -> {"op": "next", "worker": name, "n": max_tasks}
   coord  -> {"op": "bloom", "idx": i, "accession": a, "phase": p}
+          | {"op": "bloom_batch", "items": [{idx, accession, phase}, ...]}
           | {"op": "db", "db_index": n, "param": {...}, "members": [...],
              "accessions": [...]}
           | {"op": "wait"} | {"op": "quit"}
@@ -265,7 +266,6 @@ class RemoteWorker:
         number of tasks executed."""
         import os
 
-        from ..io.bloom_file import read_bloom_file
         from ..pipeline.build_db import build_db_from_bloom_files
         from .maestro import STATUS_DATABASE_SUCCESS, STATUS_DATABASE_UPLOAD_FAIL
 

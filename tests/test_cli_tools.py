@@ -148,3 +148,25 @@ def test_sra_diff(tmp_path, capsys):
     # SRR4 remains unvisited in file 2 when file 1 exhausts (sra_diff.cpp:52-66)
     assert "1: SRR1" in out and "1: SRR3" in out
     assert "There are 1 accessions remaining in the second file" in out
+
+
+def test_dump_db_unsupported_compression_prints_header(artifacts, tmp_path, capsys):
+    """An RLE/unknown compression value still prints the full header and
+    exits 0 with the reference's bail message (dump_db.cpp:130-160)."""
+    import shutil
+    import struct
+
+    _, db_path, _ = artifacts
+    rle = tmp_path / "rle.db"
+    shutil.copy(db_path, rle)
+    data = bytearray(rle.read_bytes())
+    # Header field 9 (compression) at offset 32 (<IIIIIIIiI...): set RLE=1.
+    struct.pack_into("<I", data, 32, 1)
+    rle.write_bytes(bytes(data))
+
+    rc, out = _capture(dump_db.main, ["-i", str(rle)])
+    err = capsys.readouterr().err
+    assert rc == 0
+    assert "compression = RLE" in out
+    assert "kmer_len =" in out
+    assert "Compressed database files are not currently supported!" in err
