@@ -12,7 +12,13 @@ one scalar RMW per index inside a fori_loop.
 Run: python tools/exp_pallas_bitset.py  (add JAX_PLATFORMS=cpu for the
 interpret-mode correctness check only).
 
-Result is recorded in CLAUDE.md whichever way it lands.
+RESULT (v5e, measured 2026-08-17): XLA scatter 161.7 M updates/s;
+Pallas VMEM row-RMW 106.0 M updates/s. Mosaic cannot store scalars to
+VMEM, so the smallest possible RMW granularity is a (1, 128) lane row
+(load + one-hot OR + store per index), and that loses to XLA's tuned
+scatter loop by ~1.5x. Conclusion: XLA's scatter IS the filter-bit-set
+floor on this hardware; the production path keeps it (with selected-row
+compaction so only thresholded rows pay it).
 """
 
 from __future__ import annotations
