@@ -274,9 +274,19 @@ class RemoteWorker:
         pull_n = self.opt.device_batch if self.opt.device_build else 1
         n_tasks = 0
         while True:
-            task = _send_msg(
-                self.address, {"op": "next", "worker": self.name, "n": pull_n}
-            )
+            try:
+                task = _send_msg(
+                    self.address, {"op": "next", "worker": self.name, "n": pull_n}
+                )
+            except OSError:
+                # Coordinator gone: it shuts down once every accession is
+                # terminal, and a worker mid-poll can miss the final
+                # "quit" reply. Treat a vanished coordinator as shutdown
+                # (the reference's MAESTRO_QUIT analog).
+                import sys
+
+                print("coordinator unreachable; worker exiting", file=sys.stderr)
+                return n_tasks
             op = task.get("op")
             if op == "quit":
                 return n_tasks

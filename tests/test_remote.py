@@ -155,3 +155,61 @@ def test_distributed_device_build_batch_pull(manifest, data_dir, golden_dir, tmp
     for gi in range(len(manifest["db_groups"])):
         got = _sha(tmp_path / "db" / f"sra.{gi + 1}.db")
         assert got == digests[f"sra.{gi}.db"], f"group {gi} differs"
+
+
+def test_cli_coordinator_and_subprocess_worker(manifest, data_dir, tmp_path):
+    """The maestro CLI really wires --coordinator/--worker: a coordinator
+    (with one local worker) plus a separate WORKER PROCESS driven through
+    the CLI converge to all-terminal."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    accs = manifest["accessions"][:6]
+    infos = [FilterInfo(run_accession=str_to_accession(a)) for a in accs]
+    write_inventory(str(tmp_path / "inventory.bin"), infos)
+
+    # Pre-pick a free port for the coordinator.
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    common = [
+        "--meta", str(tmp_path / "inventory.bin"),
+        "--scratch.bloom", str(tmp_path / "bloom"),
+        "--scratch.database", str(tmp_path / "db"),
+        "--status", str(tmp_path / "status.bin"),
+        "--source-dir", str(data_dir),
+        "--min-kmer-count", str(manifest["min_kmer_count"]),
+        "-k", str(manifest["k"]),
+        "-p", str(manifest["fp"]),
+        "--len.min", str(manifest["minL"]),
+        "--len.max", str(manifest["maxL"]),
+        "--count-len.min", str(manifest["minLc"]),
+        "--count-len.max", str(manifest["maxLc"]),
+        "--save.bloom",
+    ]
+    env = dict(os.environ)
+    env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=2")
+    env["JAX_PLATFORMS"] = "cpu"
+    worker = subprocess.Popen(
+        [sys.executable, "-m", "kwage_tpu.cli.maestro", *common,
+         "--worker", f"127.0.0.1:{port}"],
+        env=env, stderr=subprocess.PIPE, text=True,
+    )
+    try:
+        from kwage_tpu.cli.maestro import main as maestro_main
+
+        rc = maestro_main([*common, "--workers", "1",
+                           "--coordinator", f"127.0.0.1:{port}"])
+        assert rc == 0
+        assert worker.wait(timeout=60) == 0, worker.stderr.read()
+    finally:
+        if worker.poll() is None:
+            worker.kill()
+
+    from kwage_tpu.io.status import read_status_file
+
+    status, _ = read_status_file(str(tmp_path / "status.bin"), len(accs))
+    assert (status == STATUS_DATABASE_SUCCESS).all(), status
