@@ -220,11 +220,15 @@ def _count_multi_core(hi, lo, valid, acc_ids, min_count: int, num_acc: int):
             & (ahead_hi == hi_s)
             & (ahead_lo == lo_s)
         )
-    num_valid = (
-        jnp.zeros(num_acc, jnp.int32)
-        .at[acc_s.astype(jnp.int32)]
-        .add(selected.astype(jnp.int32), mode="drop")
+    # Per-accession selected counts WITHOUT an n-element scatter-add
+    # (scatter costs ~6 ns/element even for counters): acc_s is sorted,
+    # so a cumsum + num_acc binary searches give exact segment totals.
+    cs = jnp.cumsum(selected.astype(jnp.int32))
+    ends = jnp.searchsorted(
+        acc_s, jnp.arange(1, num_acc + 1, dtype=jnp.uint32), side="left"
     )
+    upto = jnp.where(ends > 0, cs[jnp.maximum(ends - 1, 0)], 0)
+    num_valid = jnp.diff(jnp.concatenate([jnp.zeros(1, jnp.int32), upto]))
     return acc_s, hi_s, lo_s, selected, num_valid
 
 

@@ -18,6 +18,15 @@ the host link never enters the measurement (CLAUDE.md discipline).
 Env: INGEST_ACCS (8), INGEST_READS (8192 per acc batch), INGEST_LEN
 (384), INGEST_COV (4), INGEST_MINCOUNT (2), INGEST_HASH (5),
 INGEST_LOG2L (20).
+
+Measured (v5e, 25 Mbp batch): 21.2 Mbp/s. Speed-of-light context: the
+pipeline's irreducible element-granularity ops are the (acc, word) sort
+(~253 M elem/s for the 4-operand sort), the compaction gathers and the
+final scatter (~6 ns per random-access element either way), so this
+workload's floor is a few hundred ms/batch no matter how stages are
+fused — order 40-60 Mbp/s, not hundreds. The production build path
+amortizes everything behind batching and host pipelining and is
+host-parse/dispatch-bound, not kernel-bound (bench_build.py).
 """
 
 from __future__ import annotations
