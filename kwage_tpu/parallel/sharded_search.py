@@ -284,21 +284,47 @@ def sharded_search_files(
     accumulation order (file order, then filter index) and the descending
     stable result sort (output.h:27-32, kwage.cpp:190-201).
     """
+    import os
+
     from ..io.dbz_file import open_database
     from ..search.engine import MatchResult, query_threshold_count
 
     if not queries:
         return {}
     groups: dict = {}
+    headers = {}
     for fi, p in enumerate(db_paths):
-        param = open_database(p).header.param
-        groups.setdefault(param, []).append(fi)
+        r = open_database(p)
+        headers[fi] = r.header
+        groups.setdefault(r.header.param, []).append(fi)
+
+    # The budget also bounds HOST RAM: a param group whose fused matrix
+    # exceeds budget * n_shards splits into file chunks loaded one at a
+    # time (the single-chip path's chunked_groups discipline,
+    # ops/search.py) before the per-chunk column waves bound HBM.
+    if budget_bytes is None:
+        budget_bytes = int(os.environ.get("KWAGE_FUSION_BUDGET_BYTES", 8 << 30))
+    ram_cap = budget_bytes * mesh.shape["filters"]
+    chunked: list[tuple[object, list[int]]] = []
+    for param, file_idxs in groups.items():
+        chunk: list[int] = []
+        used = 0
+        for fi in file_idxs:
+            h = headers[fi]
+            sz = h.filter_len * ((h.slice_size + 3) // 4) * 4
+            if chunk and used + sz > ram_cap:
+                chunked.append((param, chunk))
+                chunk, used = [], 0
+            chunk.append(fi)
+            used += sz
+        if chunk:
+            chunked.append((param, chunk))
 
     results: dict[int, list] = {}
     buckets: dict[int, dict[int, list]] = {}  # qid -> file index -> hits
     readers = {}
 
-    for param, file_idxs in groups.items():
+    for param, file_idxs in chunked:
         sdb = ShardedDatabase.from_files(
             mesh, [db_paths[fi] for fi in file_idxs], budget_bytes
         )
