@@ -48,6 +48,8 @@ def usage() -> None:
     print("\t[--slice <slice number [0, N)]>] (not compatible with MPI)", file=e)
     print("\t[--of <number of slices, N>] (not compatible with MPI)", file=e)
     print("\t[--device (run the batched TPU search kernel)]", file=e)
+    print("\t[--threads <n> (host-path search threads over the read range; "
+          "the reference's OpenMP local-file split)]", file=e)
     print("\tSearch strategies", file=e)
     print("\t\t[--search-by-kmer] (default)", file=e)
     print(f"\t\t\t[-k <k-mer length>] (default is {DEFAULT_KMER_LENGTH})", file=e)
@@ -69,7 +71,8 @@ def main(argv: list[str] | None = None) -> int:
             "k:t:n:o:i:a:vh?",
             ["search-by-align", "search-by-kmer", "search-by-bloom",
              "read.len.min=", "read.complexity.min=", "max-results=",
-             "vv", "vvv", "vvvv", "retry=", "slice=", "of=", "device"],
+             "vv", "vvv", "vvvv", "retry=", "slice=", "of=", "device",
+             "threads="],
         )
     except getopt.GetoptError as e:
         print(e, file=sys.stderr)
@@ -113,6 +116,8 @@ def main(argv: list[str] | None = None) -> int:
             opt.slice_index = abs(int(val))
         elif flag == "--of":
             opt.num_slice = abs(int(val))
+        elif flag == "--threads":
+            opt.num_threads = max(1, int(val))
         elif flag == "--device":
             opt.use_device = True
         elif flag in ("-h", "-?"):

@@ -55,6 +55,10 @@ class SrirachaOptions:
     num_slice: int = 1
     verbose: int = SILENT
     use_device: bool = False
+    # Host-path search threads over sub-ranges of this rank's reads --
+    # the analog of the reference's OpenMP split of the local-file range
+    # (sra_stream.cpp:632-699; 5 reader threads measured optimal there).
+    num_threads: int = 1
 
 
 @dataclass
@@ -259,6 +263,34 @@ def search_accession(
             iter_reads_range(path, opt.slice_index, opt.num_slice),
             subject_kmers, opt, stats,
         )
+    if opt.num_threads > 1:
+        # Split this rank's range across threads, thread-local results,
+        # rank-0-style merge + re-cull -- the reference's OpenMP local-file
+        # split (sra_stream.cpp:634-699; worker merge main.cpp:462-531).
+        from concurrent.futures import ThreadPoolExecutor
+
+        reads = list(iter_reads_range(path, opt.slice_index, opt.num_slice))
+        if not reads:
+            return [[] for _ in subject_kmers]
+        nt = min(opt.num_threads, len(reads))
+        # assign_read_range spans the INCLUSIVE id range [first, last].
+        spans = [assign_read_range(0, len(reads) - 1, t, nt) for t in range(nt)]
+        per_stats = [StreamStats() for _ in range(nt)]
+        with ThreadPoolExecutor(max_workers=nt) as pool:
+            parts = list(
+                pool.map(
+                    lambda t: search_reads(
+                        iter(reads[spans[t][0] : spans[t][1]]),
+                        subject_kmers, opt, per_stats[t],
+                    ),
+                    range(nt),
+                )
+            )
+        if stats is not None:
+            for s in per_stats:
+                stats.num_reads += s.num_reads
+                stats.num_bases += s.num_bases
+        return merge_worker_results(parts, opt)
     return search_reads(
         iter_reads_range(path, opt.slice_index, opt.num_slice),
         subject_kmers, opt, stats,

@@ -172,3 +172,21 @@ def test_device_many_subject_groups():
     got = _read_batch_kernel_hash(reads, lengths, htables, k, ns_groups)
     for a, b in zip(got, want):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("threads", [2, 5])
+def test_threaded_host_search_matches_sequential(threads, data_dir, tmp_path):
+    """--threads N: thread-local sub-range search + rank-0-style merge
+    (sra_stream.cpp:634-699) produces the same TSV as one thread when the
+    result cap is not in play."""
+    case_args = [
+        "-k", "11", "-t", "0.4", "-n", "1",
+        "--max-results", "1000",
+        "-i", str(data_dir / "sriracha_queries.fasta"),
+        str(data_dir / "sriracha_reads.fasta"),
+    ]
+    out1 = tmp_path / "one.tsv"
+    outN = tmp_path / "n.tsv"
+    assert sriracha_main(case_args + ["-o", str(out1)]) == 0
+    assert sriracha_main(case_args + ["--threads", str(threads), "-o", str(outN)]) == 0
+    assert outN.read_text() == out1.read_text()
