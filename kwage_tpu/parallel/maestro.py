@@ -477,13 +477,13 @@ class Maestro:
         self._retry: deque[int] = deque()
         self._download_ready: deque[int] = deque()
         self._forced_flush = False
-        # Bounded bloom-attempt accounting for the non-streaming retry
-        # loop. The reference re-downloads after a bloom failure and the
-        # download-success event resets the status byte to
-        # STATUS_DOWNLOAD_SUCCESS (maestro_main.cpp:865), erasing the
-        # bloom attempt count -- a deterministic bloom failure retries
-        # forever there. We preserve the BLOOM_FAIL_n byte across the
-        # re-download instead so retries stay bounded by --retry.
+        # Bounded-retry deviation: the reference's download-success event
+        # resets the status byte to STATUS_DOWNLOAD_SUCCESS
+        # (maestro_main.cpp:865), erasing any BLOOM_FAIL_n attempt count,
+        # so a deterministic bloom failure retries forever there in
+        # download mode. The worker task here preserves the BLOOM_FAIL_n
+        # byte across the re-download (execute_bloom_task.on_downloaded)
+        # so retries stay bounded by --retry.
         self._last_checkpoint = 0.0
         self._last_download = 0.0
         self._start_time = time.time()
