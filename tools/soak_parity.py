@@ -110,6 +110,9 @@ for seed in range(base, base+rounds):
             print(f"SEED {seed}: HOST mismatch k={k} t={t} {fmt}"); fails += 1
         if open(o,"rb").read() != open(dv,"rb").read():
             print(f"SEED {seed}: DEVICE mismatch k={k} t={t} {fmt}"); fails += 1
+    except Exception as e:
+        print(f"SEED {seed}: round error: {type(e).__name__}: {e}", flush=True)
+        fails += 1
     finally:
         shutil.rmtree(work, ignore_errors=True)
 print(f"soak complete: {rounds} rounds, {fails} failures")
