@@ -65,6 +65,8 @@ def usage(out=sys.stderr) -> None:
     print("\t[--device (run the search on the TPU)] (engine extension)", file=out)
     print("\t[--threads <n> (host search threads; default OMP_NUM_THREADS/"
           "KWAGE_NUM_THREADS)] (engine extension)", file=out)
+    print("\t[--serve <port> (keep the databases device-resident and answer"
+          " JSON-line queries over TCP)] (engine extension)", file=out)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -78,10 +80,11 @@ def main(argv: list[str] | None = None) -> int:
     query_files: list[str] = []
     use_device = False
     num_threads = None
+    serve_port = None
 
     try:
         opts, args = getopt.gnu_getopt(
-            argv, "o:d:i:t:h?", ["o.csv", "o.json", "device", "threads="]
+            argv, "o:d:i:t:h?", ["o.csv", "o.json", "device", "threads=", "serve="]
         )
     except getopt.GetoptError as e:
         print(e, file=sys.stderr)
@@ -112,6 +115,8 @@ def main(argv: list[str] | None = None) -> int:
             use_device = True
         elif flag == "--threads":
             num_threads = max(1, int(val))
+        elif flag == "--serve":
+            serve_port = int(val)
 
     query_seqs = list(args)
 
@@ -119,6 +124,20 @@ def main(argv: list[str] | None = None) -> int:
     if not subject_files:
         print("Please provide at least one database file to search (-d)", file=sys.stderr)
         return 1
+    if serve_port is not None:
+        from ..search.resident import SearchServer
+
+        server = SearchServer(subject_files, port=serve_port)
+        print(
+            f"Serving {len(subject_files)} database files on port "
+            f"{server.address[1]}",
+            file=sys.stderr,
+        )
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            server.shutdown()
+        return 0
     if not query_files and not query_seqs:
         print("Please provide at least one query sequence or file", file=sys.stderr)
         return 1

@@ -1,0 +1,176 @@
+"""Device-resident search service: load once, query many times.
+
+The batch CLI (and the reference kwage binary) re-reads every database
+file per invocation — and the TPU path re-uploads the fused signature
+matrix each call. For serving, the matrix should live on device across
+requests. ResidentSearcher fuses same-shape .db/.dbz files once (same
+fusion/ordering rules as ops.search.search_files_device, so hit lists
+stay byte-identical to the host engine / reference binary) and keeps the
+device arrays + FilterInfo records resident; each query batch costs only
+its own gathers.
+
+serve() wraps it in a JSON-lines TCP loop (engine extension — the
+reference has no server):
+
+  request:  {"queries": ["ACGT...", ...], "threshold": 0.8,
+             "format": "json" | "csv"}         (one line)
+  response: {"ok": true, "output": "<rendered kwage JSON/CSV>"}
+            | {"ok": false, "error": "..."}
+
+The rendered output is byte-identical to what `kwage` would print for
+the same queries against the same files.
+"""
+
+from __future__ import annotations
+
+import json
+import socketserver
+import threading
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.search import (
+    db_bytes_to_words,
+    make_query_batch,
+    search_complete,
+    search_counts,
+    unpack_mask,
+)
+from .engine import MatchResult, query_threshold_count
+from .output import render_csv, render_json
+
+
+class ResidentSearcher:
+    """Fused database groups resident on device, searchable repeatedly."""
+
+    def __init__(self, db_paths: list[str]):
+        from ..io.dbz_file import open_database
+
+        self.db_paths = list(db_paths)
+        self._readers = [open_database(p) for p in self.db_paths]
+        groups: dict = {}
+        for fi, r in enumerate(self._readers):
+            groups.setdefault(r.header.param, []).append(fi)
+        # One fused device matrix + file spans per BloomParam group, in
+        # first-appearance order (matches search_files_device).
+        self._groups = []
+        for param, file_idxs in groups.items():
+            mats = []
+            spans = []
+            w0 = 0
+            for fi in file_idxs:
+                w = db_bytes_to_words(self._readers[fi].read_slices())
+                mats.append(w)
+                spans.append((fi, w0, w0 + w.shape[1]))
+                w0 += w.shape[1]
+            self._groups.append(
+                (param, jnp.asarray(np.hstack(mats)), spans)
+            )
+        self._info_cache: dict[tuple[int, int], object] = {}
+
+    def search(self, queries: list[tuple[int, str]], threshold: float):
+        """{query_id: [MatchResult]} — identical contract and ordering to
+        search_files_device / the host engine."""
+        if not queries:
+            return {}
+        results: dict[int, list] = {}
+        buckets: dict[int, dict[int, list]] = {}
+        for param, db, spans in self._groups:
+            idx, valid, nk = make_query_batch(
+                [q for _, q in queries],
+                param.kmer_len, param.num_hash, param.log_2_filter_len,
+            )
+            idx_d, valid_d = jnp.asarray(idx), jnp.asarray(valid)
+            if threshold == 1.0:
+                mask_words = np.asarray(search_complete(db, idx_d, valid_d))
+            else:
+                counts = np.asarray(search_counts(db, idx_d, valid_d))
+            for qi, (qid, _q) in enumerate(queries):
+                if nk[qi] == 0:
+                    continue
+                for fi, lo, hi in spans:
+                    nf = self._readers[fi].header.num_filter
+                    if threshold == 1.0:
+                        hits_mask = unpack_mask(mask_words[qi : qi + 1, lo:hi], nf)[0]
+                        hits = [(int(f), int(nk[qi])) for f in np.nonzero(hits_mask)[0]]
+                    else:
+                        c = counts[qi, 32 * lo : 32 * hi][:nf]
+                        qt = query_threshold_count(threshold, int(nk[qi]))
+                        hits = [(int(f), int(c[f])) for f in np.nonzero(c >= qt)[0]]
+                    if hits:
+                        buckets.setdefault(qid, {}).setdefault(fi, []).extend(
+                            (f, nm, int(nk[qi])) for f, nm in hits
+                        )
+        for qid, per_file in buckets.items():
+            out = []
+            for fi in sorted(per_file):
+                for f, nm, n in per_file[fi]:
+                    info = self._info_cache.get((fi, f))
+                    if info is None:
+                        info = self._readers[fi].read_filter_info(f)
+                        self._info_cache[(fi, f)] = info
+                    out.append(MatchResult(nm, n, info))
+            out.sort(key=lambda m: -m.num_kmers_found)
+            results[qid] = out
+        return results
+
+    def render(self, queries: list[str], threshold: float, fmt: str = "json") -> str:
+        """Rendered hit lists, byte-identical to the kwage CLI for the
+        same command-line queries (ids 'command line seq i')."""
+        pairs = [(i, q) for i, q in enumerate(queries)]
+        res = self.search(pairs, threshold)
+        ordered = [
+            (f"command line seq {i}", res[i]) for i in sorted(res)
+        ]
+        if fmt == "csv":
+            return render_csv(ordered)
+        return render_json(ordered, threshold)
+
+
+class SearchServer:
+    """JSON-lines TCP server around a ResidentSearcher."""
+
+    def __init__(self, db_paths: list[str], host: str = "0.0.0.0", port: int = 0):
+        searcher = ResidentSearcher(db_paths)
+        self.searcher = searcher
+        lock = threading.Lock()  # one chip = one resource: serialize
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self) -> None:
+                for raw in self.rfile:
+                    line = raw.decode("utf-8").strip()
+                    if not line:
+                        continue
+                    try:
+                        req = json.loads(line)
+                        queries = [str(q) for q in req["queries"]]
+                        threshold = float(req.get("threshold", 1.0))
+                        if not 0.0 < threshold <= 1.0:
+                            raise ValueError("0.0 < threshold <= 1.0 required")
+                        fmt = req.get("format", "json")
+                        with lock:
+                            out = searcher.render(queries, threshold, fmt)
+                        reply = {"ok": True, "output": out}
+                    except Exception as e:  # noqa: BLE001 -- wire boundary
+                        reply = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+                    self.wfile.write((json.dumps(reply) + "\n").encode("utf-8"))
+                    self.wfile.flush()
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((host, port), Handler)
+        self.address = self._server.server_address
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+
+    def serve_forever(self) -> None:
+        self._server.serve_forever()
+
+    def shutdown(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
