@@ -42,31 +42,61 @@ from .output import render_csv, render_json
 
 
 class ResidentSearcher:
-    """Fused database groups resident on device, searchable repeatedly."""
+    """Fused database groups resident on device, searchable repeatedly.
 
-    def __init__(self, db_paths: list[str]):
+    HBM discipline: fused matrices stay device-resident up to
+    ``budget_bytes`` (default KWAGE_FUSION_BUDGET_BYTES, the same knob
+    as the batch paths); overflow chunks stay host-side and upload per
+    search call, so an over-HBM corpus serves correctly at reduced
+    throughput instead of OOMing.
+    """
+
+    def __init__(self, db_paths: list[str], budget_bytes: int | None = None):
+        import os
+
         from ..io.dbz_file import open_database
 
+        if budget_bytes is None:
+            budget_bytes = int(os.environ.get("KWAGE_FUSION_BUDGET_BYTES", 8 << 30))
         self.db_paths = list(db_paths)
         self._readers = [open_database(p) for p in self.db_paths]
         groups: dict = {}
         for fi, r in enumerate(self._readers):
             groups.setdefault(r.header.param, []).append(fi)
-        # One fused device matrix + file spans per BloomParam group, in
-        # first-appearance order (matches search_files_device).
+        # Fused matrix chunks + file spans per BloomParam group, in
+        # first-appearance order (matches search_files_device). Each
+        # chunk is at most budget_bytes; chunks are device-resident until
+        # the budget is spent, host-resident after.
         self._groups = []
+        self.resident_bytes = 0
         for param, file_idxs in groups.items():
-            mats = []
-            spans = []
-            w0 = 0
+            chunk: list[int] = []
+            used = 0
+            chunks: list[list[int]] = []
             for fi in file_idxs:
-                w = db_bytes_to_words(self._readers[fi].read_slices())
-                mats.append(w)
-                spans.append((fi, w0, w0 + w.shape[1]))
-                w0 += w.shape[1]
-            self._groups.append(
-                (param, jnp.asarray(np.hstack(mats)), spans)
-            )
+                h = self._readers[fi].header
+                sz = h.filter_len * ((h.slice_size + 3) // 4) * 4
+                if chunk and used + sz > budget_bytes:
+                    chunks.append(chunk)
+                    chunk, used = [], 0
+                chunk.append(fi)
+                used += sz
+            if chunk:
+                chunks.append(chunk)
+            for chunk in chunks:
+                mats = []
+                spans = []
+                w0 = 0
+                for fi in chunk:
+                    w = db_bytes_to_words(self._readers[fi].read_slices())
+                    mats.append(w)
+                    spans.append((fi, w0, w0 + w.shape[1]))
+                    w0 += w.shape[1]
+                fused = np.hstack(mats)
+                if self.resident_bytes + fused.nbytes <= budget_bytes:
+                    self.resident_bytes += fused.nbytes
+                    fused = jnp.asarray(fused)
+                self._groups.append((param, fused, spans))
         self._info_cache: dict[tuple[int, int], object] = {}
 
     def search(self, queries: list[tuple[int, str]], threshold: float):
@@ -77,6 +107,8 @@ class ResidentSearcher:
         results: dict[int, list] = {}
         buckets: dict[int, dict[int, list]] = {}
         for param, db, spans in self._groups:
+            if isinstance(db, np.ndarray):  # over-budget chunk: upload per call
+                db = jnp.asarray(db)
             idx, valid, nk = make_query_batch(
                 [q for _, q in queries],
                 param.kmer_len, param.num_hash, param.log_2_filter_len,

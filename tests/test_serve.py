@@ -105,3 +105,20 @@ def test_search_server_round_trips(db_dir, data_dir, tmp_path):
             assert json.loads(f.readline())["ok"]
     finally:
         server.shutdown()
+
+
+def test_resident_budget_chunks_match(db_dir, data_dir, tmp_path):
+    """A tiny HBM budget forces per-call-upload chunks; output stays
+    byte-identical to the fully-resident server."""
+    from kwage_tpu.cli.kwage import find_db_files
+    from kwage_tpu.io.sequence import iter_sequences
+    from kwage_tpu.search.resident import ResidentSearcher
+
+    db, _ = db_dir
+    files = find_db_files([db])
+    queries = [s for _, s in iter_sequences(str(data_dir / "queries.fasta"))][:3]
+    full = ResidentSearcher(files)
+    tiny = ResidentSearcher(files, budget_bytes=1 << 10)
+    assert tiny.resident_bytes <= 1 << 10
+    for threshold in (1.0, 0.5):
+        assert tiny.render(queries, threshold) == full.render(queries, threshold)
