@@ -1,6 +1,8 @@
 from .mesh import make_search_mesh
 from .sharded_search import (
     ShardedDatabase,
+    build_sharded_groups,
+    search_sharded_groups,
     sharded_search_counts,
     sharded_search_complete,
     sharded_search_files,

@@ -268,29 +268,25 @@ class ShardedDatabase:
         return mask[:, : self.num_filter], nk
 
 
-def sharded_search_files(
+def build_sharded_groups(
     mesh: Mesh,
     db_paths: list[str],
-    queries: list[tuple[int, str]],
-    threshold: float,
     budget_bytes: int | None = None,
 ):
-    """Mesh-sharded search over many database files -> {query_id:
-    [MatchResult]}, the multi-chip analog of ops.search.search_files_device.
+    """Fuse .db/.dbz files into budget-disciplined ShardedDatabase groups.
 
-    Same-shape files fuse into one ShardedDatabase per BloomParam group
-    (column waves bounded by the per-device HBM budget); hit lists are
-    identical to the host engine / reference binary, including
-    accumulation order (file order, then filter index) and the descending
-    stable result sort (output.h:27-32, kwage.cpp:190-201).
+    Returns [(ShardedDatabase, file_indices)] in first-appearance order.
+    The budget bounds HOST RAM too: a BloomParam group whose fused matrix
+    exceeds budget * n_shards splits into file chunks loaded one at a
+    time (the single-chip chunked_groups discipline, ops/search.py)
+    before the per-chunk column waves bound HBM. Keep the returned groups
+    alive to serve many query batches without reloading (the mesh
+    serving primitive; see search/resident.py for the single-chip one).
     """
     import os
 
     from ..io.dbz_file import open_database
-    from ..search.engine import MatchResult, query_threshold_count
 
-    if not queries:
-        return {}
     groups: dict = {}
     headers = {}
     for fi, p in enumerate(db_paths):
@@ -298,36 +294,56 @@ def sharded_search_files(
         headers[fi] = r.header
         groups.setdefault(r.header.param, []).append(fi)
 
-    # The budget also bounds HOST RAM: a param group whose fused matrix
-    # exceeds budget * n_shards splits into file chunks loaded one at a
-    # time (the single-chip path's chunked_groups discipline,
-    # ops/search.py) before the per-chunk column waves bound HBM.
     if budget_bytes is None:
         budget_bytes = int(os.environ.get("KWAGE_FUSION_BUDGET_BYTES", 8 << 30))
     ram_cap = budget_bytes * mesh.shape["filters"]
-    chunked: list[tuple[object, list[int]]] = []
-    for param, file_idxs in groups.items():
+    chunked: list[list[int]] = []
+    for _param, file_idxs in groups.items():
         chunk: list[int] = []
         used = 0
         for fi in file_idxs:
             h = headers[fi]
             sz = h.filter_len * ((h.slice_size + 3) // 4) * 4
             if chunk and used + sz > ram_cap:
-                chunked.append((param, chunk))
+                chunked.append(chunk)
                 chunk, used = [], 0
             chunk.append(fi)
             used += sz
         if chunk:
-            chunked.append((param, chunk))
+            chunked.append(chunk)
 
+    return [
+        (
+            ShardedDatabase.from_files(
+                mesh, [db_paths[fi] for fi in chunk], budget_bytes
+            ),
+            chunk,
+        )
+        for chunk in chunked
+    ]
+
+
+def search_sharded_groups(
+    sharded_groups,
+    db_paths: list[str],
+    queries: list[tuple[int, str]],
+    threshold: float,
+):
+    """Search prebuilt budget-disciplined groups -> {query_id:
+    [MatchResult]}; hit lists identical to the host engine / reference
+    binary, including accumulation order (file order, then filter index)
+    and the descending stable result sort (output.h:27-32,
+    kwage.cpp:190-201)."""
+    from ..io.dbz_file import open_database
+    from ..search.engine import MatchResult, query_threshold_count
+
+    if not queries:
+        return {}
     results: dict[int, list] = {}
     buckets: dict[int, dict[int, list]] = {}  # qid -> file index -> hits
     readers = {}
 
-    for param, file_idxs in chunked:
-        sdb = ShardedDatabase.from_files(
-            mesh, [db_paths[fi] for fi in file_idxs], budget_bytes
-        )
+    for sdb, file_idxs in sharded_groups:
         qtexts = [q for _, q in queries]
         if threshold == 1.0:
             mask, nk = sdb.complete_cols(qtexts)
@@ -359,3 +375,20 @@ def sharded_search_files(
         out.sort(key=lambda m: -m.num_kmers_found)
         results[qid] = out
     return results
+
+
+def sharded_search_files(
+    mesh: Mesh,
+    db_paths: list[str],
+    queries: list[tuple[int, str]],
+    threshold: float,
+    budget_bytes: int | None = None,
+):
+    """Mesh-sharded search over many database files -> {query_id:
+    [MatchResult]}, the multi-chip analog of ops.search.search_files_device.
+    One-shot convenience over build_sharded_groups + search_sharded_groups.
+    """
+    if not queries:
+        return {}
+    groups = build_sharded_groups(mesh, db_paths, budget_bytes)
+    return search_sharded_groups(groups, db_paths, queries, threshold)

@@ -133,3 +133,61 @@ def test_hbm_budget_waves_match_unbudgeted(corpus, mesh_shape, budget):
     np.testing.assert_array_equal(
         waved.total_hits(queries, 0.3), resident.total_hits(queries, 0.3)
     )
+
+
+def test_resident_sharded_groups_reusable(tmp_path, data_dir, golden_dir):
+    """build_sharded_groups once, search many times (the mesh serving
+    primitive): results identical to the one-shot sharded_search_files."""
+    import json
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from kwage_tpu.core import FilterInfo, str_to_accession
+    from kwage_tpu.io.inventory import write_inventory
+    from kwage_tpu.io.sequence import iter_sequences
+    from kwage_tpu.parallel.maestro import LocalFastaResolver, Maestro, MaestroOptions
+    from kwage_tpu.parallel.sharded_search import (
+        build_sharded_groups,
+        search_sharded_groups,
+        sharded_search_files,
+    )
+
+    with open(golden_dir / "e2e" / "manifest.json") as f:
+        man = json.load(f)
+    write_inventory(str(tmp_path / "inv.bin"),
+                    [FilterInfo(run_accession=str_to_accession(a))
+                     for a in man["accessions"][:5]])
+    opt = MaestroOptions(
+        metadata_file=str(tmp_path / "inv.bin"),
+        scratch_bloom_dir=str(tmp_path / "bloom"),
+        scratch_database_dir=str(tmp_path / "db"),
+        status_file=str(tmp_path / "status.bin"),
+        kmer_len=man["k"], min_kmer_count=man["min_kmer_count"],
+        false_positive_probability=man["fp"],
+        min_log_2_filter_len=man["minL"], max_log_2_filter_len=man["maxL"],
+        min_log_2_count_len=man["minLc"], max_log_2_count_len=man["maxLc"],
+    )
+    m = Maestro(opt, LocalFastaResolver(str(data_dir)))
+    m.restore()
+    m.run()
+    import os
+
+    files = sorted(
+        os.path.join(tmp_path, "db", f)
+        for f in os.listdir(tmp_path / "db") if f.endswith(".db")
+    )
+    queries = [(i, s) for i, (_, s) in
+               enumerate(iter_sequences(str(data_dir / "queries.fasta")))][:3]
+    mesh = make_search_mesh(2, 4)
+    groups = build_sharded_groups(mesh, files, budget_bytes=1 << 10)
+    for threshold in (1.0, 0.5):
+        got = search_sharded_groups(groups, files, queries, threshold)
+        want = sharded_search_files(mesh, files, queries, threshold,
+                                    budget_bytes=1 << 10)
+        assert set(got) == set(want)
+        for qid in want:
+            g = [(r.num_kmers_found, r.num_query_kmer,
+                  int(r.subject_info.run_accession)) for r in got[qid]]
+            w = [(r.num_kmers_found, r.num_query_kmer,
+                  int(r.subject_info.run_accession)) for r in want[qid]]
+            assert g == w
