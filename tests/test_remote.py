@@ -213,3 +213,40 @@ def test_cli_coordinator_and_subprocess_worker(manifest, data_dir, tmp_path):
 
     status, _ = read_status_file(str(tmp_path / "status.bin"), len(accs))
     assert (status == STATUS_DATABASE_SUCCESS).all(), status
+
+
+def test_task_timeout_requeues_abandoned_task(manifest, data_dir, tmp_path):
+    """--task-timeout: a worker that takes a task and vanishes without
+    reporting gets its pre-marked task re-queued and finished by a live
+    worker (engine extension over the reference's stall-until-restart)."""
+    import json as _json
+    import socket
+
+    from kwage_tpu.parallel.remote import _send_msg
+
+    accs = manifest["accessions"][:4]
+    infos = [FilterInfo(run_accession=str_to_accession(a)) for a in accs]
+    write_inventory(str(tmp_path / "inventory.bin"), infos)
+    opt = _options(manifest, tmp_path)
+
+    m = Maestro(opt, LocalFastaResolver(str(data_dir)))
+    m.restore()
+    coord = CoordinatorServer(m, host="127.0.0.1", task_timeout=1.0)
+    coord.start()
+    try:
+        # A "worker" that pulls one bloom task and dies silently.
+        task = _send_msg(coord.address, {"op": "next", "worker": "ghost"})
+        assert task["op"] == "bloom", task
+        abandoned = task["idx"]
+        time.sleep(1.2)  # exceed the timeout
+
+        worker = RemoteWorker(opt, LocalFastaResolver(str(data_dir)),
+                              coord.address, name="live")
+        t = threading.Thread(target=worker.run, daemon=True)
+        t.start()
+        coord.wait()
+        t.join(timeout=30)
+    finally:
+        coord.shutdown()
+    assert int(m.status[abandoned]) == STATUS_DATABASE_SUCCESS, m.summary()
+    assert all(s == STATUS_DATABASE_SUCCESS for s in m.status), m.summary()
