@@ -58,6 +58,15 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.kn_digest_file.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64)]
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.kn_scan_file.restype = ctypes.c_int
+    lib.kn_scan_file.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, u32, u64p, u64p, u64p, u64p]
+    lib.kn_pack_file.restype = ctypes.c_int
+    lib.kn_pack_file.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, u32, u64, u64, u64, u64,
+        u32p, u32p, u64p]
     lib.kn_canonical_kmers.restype = u64
     lib.kn_canonical_kmers.argtypes = [
         ctypes.c_char_p, u64, u32, ctypes.POINTER(ctypes.c_uint64)]
@@ -195,6 +204,49 @@ def scan_file_native(path: str, file_format: int) -> tuple[int, int]:
             bp += len(seq)
         return spots, bp
     return _digest_file(lib, None, path, file_format)
+
+
+def scan_file_batch_native(path: str, file_format: int, min_len: int):
+    """Batch-sizing scan: (spots, bp, rows_with_len>=min_len, max_len),
+    or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    spots = ctypes.c_uint64()
+    bp = ctypes.c_uint64()
+    rows = ctypes.c_uint64()
+    max_len = ctypes.c_uint64()
+    rc = lib.kn_scan_file(
+        path.encode(), file_format, min_len,
+        ctypes.byref(spots), ctypes.byref(bp),
+        ctypes.byref(rows), ctypes.byref(max_len),
+    )
+    if rc != 0:
+        raise OSError(f"native scan of {path} failed (code {rc})")
+    return spots.value, bp.value, rows.value, max_len.value
+
+
+def pack_file_native(path: str, file_format: int, min_len: int,
+                     row_off: int, max_rows: int,
+                     packed: np.ndarray, validw: np.ndarray) -> int:
+    """Pack a file's reads (len >= min_len) straight into zeroed 2-bit
+    batch rows starting at row_off (the pack_reads_host layout, with NO
+    intermediate Python strings). Returns the number of rows written."""
+    lib = get_lib()
+    assert lib is not None, "pack_file_native requires the native library"
+    assert packed.dtype == np.uint32 and validw.dtype == np.uint32
+    assert packed.flags["C_CONTIGUOUS"] and validw.flags["C_CONTIGUOUS"]
+    rows = ctypes.c_uint64()
+    rc = lib.kn_pack_file(
+        path.encode(), file_format, min_len, row_off, max_rows,
+        packed.shape[1], validw.shape[1],
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        validw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.byref(rows),
+    )
+    if rc != 0:
+        raise OSError(f"native pack of {path} failed (code {rc})")
+    return rows.value
 
 
 def canonical_kmers_native(seq: str | bytes, k: int) -> np.ndarray:

@@ -353,24 +353,23 @@ struct KnRecordBuf {
   ~KnRecordBuf() { free(data); }
 };
 
-// format: 0 = FASTA, 1 = FASTQ. b may be null (pass 1: just count).
+// Shared streaming parser: calls on_record(data, len) for every record.
+// format: 0 = FASTA, 1 = FASTQ.
 // Returns 0 on success, -1 open failure, -2 truncated FASTQ, -3 read error.
-int kn_digest_file(KnBuilder* b, const char* path, int format,
-                   uint64_t* out_spots, uint64_t* out_bp) {
+}  // extern "C" (template needs C++ linkage; re-entered below)
+template <class F>
+static int kn_parse_file(const char* path, int format, F&& on_record) {
   gzFile f = gzopen(path, "rb");
   if (!f) return -1;
 
   const uint64_t kBuf = 1 << 20;
   char* buf = static_cast<char*>(malloc(kBuf));
   KnRecordBuf rec;
-  uint64_t spots = 0, bp = 0;
   int rc = 0;
 
   auto flush_record = [&]() {
     if (rec.len == 0) return;
-    ++spots;
-    bp += rec.len;
-    if (b) kn_add_seq(b, rec.data, rec.len);
+    on_record(rec.data, rec.len);
     rec.len = 0;
   };
 
@@ -431,8 +430,81 @@ int kn_digest_file(KnBuilder* b, const char* path, int format,
   }
   free(buf);
   gzclose(f);
+  return rc;
+}
+extern "C" {
+
+// b may be null (pass 1: just count).
+int kn_digest_file(KnBuilder* b, const char* path, int format,
+                   uint64_t* out_spots, uint64_t* out_bp) {
+  uint64_t spots = 0, bp = 0;
+  const int rc = kn_parse_file(path, format, [&](const char* d, uint64_t n) {
+    ++spots;
+    bp += n;
+    if (b) kn_add_seq(b, d, n);
+  });
   if (out_spots) *out_spots = spots;
   if (out_bp) *out_bp = bp;
+  return rc;
+}
+
+// Batch-sizing scan: every record counts toward spots/bp; records with
+// len >= min_len count toward rows/max_len (the device batch's rows).
+int kn_scan_file(const char* path, int format, uint32_t min_len,
+                 uint64_t* out_spots, uint64_t* out_bp,
+                 uint64_t* out_rows, uint64_t* out_max_len) {
+  uint64_t spots = 0, bp = 0, rows = 0, max_len = 0;
+  const int rc = kn_parse_file(path, format, [&](const char*, uint64_t n) {
+    ++spots;
+    bp += n;
+    if (n >= min_len) {
+      ++rows;
+      if (n > max_len) max_len = n;
+    }
+  });
+  if (out_spots) *out_spots = spots;
+  if (out_bp) *out_bp = bp;
+  if (out_rows) *out_rows = rows;
+  if (out_max_len) *out_max_len = max_len;
+  return rc;
+}
+
+// Pack records with len >= min_len straight into a zeroed row-major
+// 2-bit batch (no intermediate strings): row r starting at row_off gets
+// base j's code in packed[r*words16 + j/16] bits 2*(j%16) (A=0, C=1,
+// G=2, T=3, case-insensitive) and its validity bit in
+// validw[r*words32 + j/32] bit j%32 -- the exact layout of
+// ops.kmers.pack_reads_host / unpack_reads_device. Rows beyond max_rows
+// are dropped (caller sizes from kn_scan_file).
+int kn_pack_file(const char* path, int format, uint32_t min_len,
+                 uint64_t row_off, uint64_t max_rows,
+                 uint64_t words16, uint64_t words32,
+                 uint32_t* packed, uint32_t* validw, uint64_t* out_rows) {
+  uint8_t code_lut[256];
+  uint8_t valid_lut[256];
+  memset(code_lut, 0, sizeof(code_lut));
+  memset(valid_lut, 0, sizeof(valid_lut));
+  const char* bases = "ACGT";
+  for (int i = 0; i < 4; ++i) {
+    code_lut[(uint8_t)bases[i]] = i;
+    code_lut[(uint8_t)(bases[i] + 32)] = i;  // lowercase
+    valid_lut[(uint8_t)bases[i]] = 1;
+    valid_lut[(uint8_t)(bases[i] + 32)] = 1;
+  }
+  uint64_t rows = 0;
+  const int rc = kn_parse_file(path, format, [&](const char* d, uint64_t n) {
+    if (n < min_len || rows >= max_rows) return;
+    uint32_t* prow = packed + (row_off + rows) * words16;
+    uint32_t* vrow = validw + (row_off + rows) * words32;
+    const uint64_t limit = n < words16 * 16 ? n : words16 * 16;
+    for (uint64_t j = 0; j < limit; ++j) {
+      const uint8_t c = (uint8_t)d[j];
+      prow[j >> 4] |= (uint32_t)code_lut[c] << (2 * (j & 15));
+      vrow[j >> 5] |= (uint32_t)valid_lut[c] << (j & 31);
+    }
+    ++rows;
+  });
+  if (out_rows) *out_rows = rows;
   return rc;
 }
 

@@ -366,16 +366,15 @@ def execute_bloom_batch(
     echoes each key with (status, param, dt). ``on_downloaded(key)``
     fires after each successful non-streaming download.
     """
-    from ..io.sequence import iter_sequences
     from ..pipeline.make_bloom import build_blooms_device_batch
     from ..sriracha.sra_source import DownloadError
 
     t0 = time.time()
     out: list[tuple[int, int, BloomParam | None, float]] = []
-    jobs: list[tuple[list[str], FilterInfo]] = []
+    jobs: list[tuple[list[str] | str, FilterInfo]] = []
     job_meta: list[tuple[int, str, str | None]] = []  # (key, acc, cleanup path)
     for key, acc, info, phase in tasks:
-        seqs: list[str] | None = None
+        source: list[str] | str | None = None
         path: str | None = None
         try:
             if phase == "full" and opt.stream_sra:
@@ -383,22 +382,24 @@ def execute_bloom_batch(
                 if stream is not None:
                     # RAM-buffered for the batched device dispatch; no
                     # disk materialization.
-                    seqs = list(stream)
-            if seqs is None:
+                    source = list(stream)
+            if source is None:
                 path = resolver.lookup(acc) if phase == "bloom" else resolver.resolve(acc)
                 if path is None:
                     out.append((key, STATUS_DOWNLOAD_FAIL, None, time.time() - t0))
                     continue
                 if not opt.stream_sra and on_downloaded is not None:
                     on_downloaded(key)
-                seqs = [q for _, q in iter_sequences(path)]
+                # Pass the path through: the batch builder parses and
+                # 2-bit-packs it natively (zero Python strings).
+                source = path
         except DownloadError:
             out.append((key, STATUS_DOWNLOAD_FAIL, None, time.time() - t0))
             continue
         except Exception:
             out.append((key, STATUS_BLOOM_FAIL, None, time.time() - t0))
             continue
-        jobs.append((seqs, info))
+        jobs.append((source, info))
         job_meta.append((key, acc, path))
 
     if jobs:

@@ -350,17 +350,65 @@ def build_blooms_device_batch(
     Returns one entry per job: a BloomFilterRecord, or the Exception the
     job raised (BloomInvalid for infeasible sizing). Jobs larger than
     chunk_bp fall back to the chunked single-accession builder.
+
+    A job's source may be a LIST of sequences or a local FASTA/FASTQ(.gz)
+    PATH: paths parse and 2-bit-pack directly in the native library
+    (kn_scan_file/kn_pack_file) with zero intermediate Python strings --
+    the host-side parse is the pipelined device build's main host cost.
     """
     import jax.numpy as jnp
 
-    from ..ops.counting import filter_words_to_bytes, set_filter_bits_multi
+    from ..io.sequence import FASTQ, UNKNOWN_SEQUENCE, get_file_type
+    from ..native import (
+        available as native_available,
+        pack_file_native,
+        scan_file_batch_native,
+    )
 
+    def _native_path(src) -> bool:
+        return (
+            isinstance(src, str)
+            and native_available()
+            and get_file_type(src) != UNKNOWN_SEQUENCE
+        )
+    from ..ops.counting import (
+        count_kmers_device_multi_packed,
+        filter_words_to_bytes,
+        set_filter_bits_multi,
+    )
+    from ..ops.kmers import pack_reads_host
+
+    k = opts.kmer_len
     results: list = [None] * len(jobs)
+
+    def _src_iter(src):
+        if isinstance(src, str):
+            from ..io.sequence import iter_sequences
+
+            return (q for _, q in iter_sequences(src))
+        return iter(src)
+
+    # Scan every job: (bp, spots, long-read rows, max long-read length).
+    # Native scan for paths; Python materialization otherwise.
+    scans: dict[int, tuple[int, int, int, int]] = {}
+    seq_cache: dict[int, list[str]] = {}
     small: list[int] = []
-    for j, (seqs, _info) in enumerate(jobs):
-        if sum(len(s) for s in seqs) > chunk_bp:
+    for j, (src, _info) in enumerate(jobs):
+        if _native_path(src):
+            fmt = 1 if get_file_type(src) == FASTQ else 0
+            spots, bp, rows, max_len = scan_file_batch_native(src, fmt, k)
+        else:
+            seqs = src if isinstance(src, list) else list(_src_iter(src))
+            seq_cache[j] = seqs
+            spots, bp = len(seqs), sum(len(x) for x in seqs)
+            longs = [len(x) for x in seqs if len(x) >= k]
+            rows, max_len = len(longs), max(longs, default=0)
+        scans[j] = (bp, spots, rows, max_len)
+        if bp > chunk_bp:
             try:
-                results[j] = build_bloom_device(iter(seqs), opts, jobs[j][1], chunk_bp)
+                results[j] = build_bloom_device(
+                    _src_iter(seq_cache.get(j, src)), opts, jobs[j][1], chunk_bp
+                )
             except Exception as e:  # noqa: BLE001 -- per-job fault isolation
                 results[j] = e
         else:
@@ -368,7 +416,6 @@ def build_blooms_device_batch(
     if not small:
         return results
 
-    k = opts.kmer_len
     max_kmers = approximate_max_kmers(
         opts.false_positive_probability,
         opts.hash_func,
@@ -376,42 +423,58 @@ def build_blooms_device_batch(
         opts.max_log_2_filter_len,
     )
 
-    # One padded block for the whole batch. Slot s holds job small[s].
-    flat_reads: list[str] = []
-    flat_acc: list[int] = []
+    # One padded packed block for the whole batch. Slot s = job small[s].
     bp_spots: dict[int, tuple[int, int]] = {}
     no_long_read: set[int] = set()
+    live: list[int] = []  # slots with rows
+    total_rows = 0
+    max_len = k
     for s, j in enumerate(small):
-        seqs = jobs[j][0]
-        num_bp = sum(len(x) for x in seqs)
-        bp_spots[j] = (num_bp, len(seqs))
-        long_reads = [x for x in seqs if len(x) >= k]
-        if not long_reads:
+        bp, spots, rows, mlen = scans[j]
+        bp_spots[j] = (bp, spots)
+        if rows == 0:
             no_long_read.add(j)
+            results[j] = BloomInvalid("no reads of length >= k")
             continue
-        flat_reads.extend(long_reads)
-        flat_acc.extend([s] * len(long_reads))
-    for j in no_long_read:
-        results[j] = BloomInvalid("no reads of length >= k")
-    if not flat_reads:
+        live.append(s)
+        total_rows += rows
+        max_len = max(max_len, mlen)
+    if total_rows == 0:
         return results
 
-    batch = _pad_reads_to_batch(flat_reads, k)
-    acc_ids = np.zeros(batch.shape[0], dtype=np.int32)
-    acc_ids[: len(flat_acc)] = flat_acc
-    # Padding rows carry no valid windows; their accession slot is
-    # irrelevant (invalid windows sort to the sentinel accession).
+    # Bucketed dims (every distinct shape is a fresh XLA compile).
+    blen = max(128, -(-max_len // 128) * 128)
+    rows_bucket = max(64, 1 << int(np.ceil(np.log2(total_rows))))
+    w16, w32 = blen // 16, blen // 32
+    packed = np.zeros((rows_bucket, w16), dtype=np.uint32)
+    valid_words = np.zeros((rows_bucket, w32), dtype=np.uint32)
+    acc_ids = np.zeros(rows_bucket, dtype=np.int32)
+    row = 0
+    for s in live:
+        j = small[s]
+        src = jobs[j][0]
+        if j in seq_cache or not _native_path(src):
+            seqs = seq_cache.get(j) or list(_src_iter(src))
+            longs = [x for x in seqs if len(x) >= k]
+            block = np.zeros((len(longs), blen), dtype=np.uint8)
+            for i, x in enumerate(longs):
+                block[i, : len(x)] = np.frombuffer(x.encode("ascii"), np.uint8)
+            p, v = pack_reads_host(block)
+            n = len(longs)
+            packed[row : row + n] = p
+            valid_words[row : row + n] = v
+        else:
+            fmt = 1 if get_file_type(src) == FASTQ else 0
+            n = pack_file_native(
+                src, fmt, k, row, scans[j][2], packed, valid_words
+            )
+        acc_ids[row : row + n] = s
+        row += n
     num_acc = len(small)
 
-    # 2-bit pack on the host: the read upload dominates ingest on PCIe-
-    # and tunnel-attached hosts, and the device decode is free.
-    from ..ops.counting import count_kmers_device_multi_packed
-    from ..ops.kmers import pack_reads_host
-
-    packed, valid_words = pack_reads_host(batch)
     acc_s, hi_s, lo_s, selected, num_valid = count_kmers_device_multi_packed(
         jnp.asarray(packed), jnp.asarray(valid_words), jnp.asarray(acc_ids),
-        k, opts.min_kmer_count, num_acc, batch.shape[1],
+        k, opts.min_kmer_count, num_acc, blen,
     )
     num_valid = np.asarray(num_valid)
 
@@ -445,7 +508,7 @@ def build_blooms_device_batch(
                 j = small[s]
                 try:
                     results[j] = build_bloom_device(
-                        iter(jobs[j][0]), opts, jobs[j][1], chunk_bp
+                        _src_iter(jobs[j][0]), opts, jobs[j][1], chunk_bp
                     )
                 except Exception as e:  # noqa: BLE001
                     results[j] = e

@@ -111,3 +111,51 @@ def test_fastq_missing_quality_line_raises(tmp_path, seqs):
         scan_file_native(str(path), FASTQ)
     with pytest.raises(ValueError):
         list(iter_sequences(str(path)))
+
+
+def test_native_scan_and_pack_match_python(tmp_path):
+    """kn_scan_file/kn_pack_file == the Python parse + pack_reads_host on
+    multi-line, lowercase, N-containing, whitespace-laden FASTA."""
+    import numpy as np
+
+    from kwage_tpu.io.sequence import iter_sequences
+    from kwage_tpu.native import (
+        available,
+        pack_file_native,
+        scan_file_batch_native,
+    )
+    from kwage_tpu.ops.kmers import pack_reads_host
+
+    if not available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    fa = tmp_path / "tricky.fasta"
+    fa.write_text(
+        ">r1 desc\nACGTacgtNNACGT\nGGTT aa\n"
+        ">r2\nAC\n"              # shorter than k: scanned, not packed
+        ">r3\n\n"                 # empty: skipped entirely
+        ">r4\ntTtTgGgGcCcCaAaA\n"
+    )
+    k = 5
+    spots, bp, rows, max_len = scan_file_batch_native(str(fa), 0, k)
+    seqs = [s for _, s in iter_sequences(str(fa))]
+    longs = [s for s in seqs if len(s) >= k]
+    assert spots == len(seqs)
+    assert bp == sum(len(s) for s in seqs)
+    assert rows == len(longs)
+    assert max_len == max(len(s) for s in longs)
+
+    blen = 128
+    packed = np.zeros((4, blen // 16), np.uint32)
+    valid = np.zeros((4, blen // 32), np.uint32)
+    n = pack_file_native(str(fa), 0, k, 1, rows, packed, valid)  # row_off=1
+    assert n == rows
+    block = np.zeros((len(longs), blen), np.uint8)
+    for i, s in enumerate(longs):
+        block[i, : len(s)] = np.frombuffer(s.encode(), np.uint8)
+    p_want, v_want = pack_reads_host(block)
+    assert np.array_equal(packed[1 : 1 + n], p_want)
+    assert np.array_equal(valid[1 : 1 + n], v_want)
+    assert not packed[0].any() and not valid[0].any()
