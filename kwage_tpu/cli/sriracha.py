@@ -198,8 +198,12 @@ def main(argv: list[str] | None = None) -> int:
                     while True:
                         stats_try = _SS()
                         try:
+                            # Per-fragment records with the reference's
+                            # (spot, 1-based subindex) numbering -- TSV
+                            # rows render as idx.sub (main.cpp:560-578).
                             reads = (
-                                (seq, i, 1) for i, seq in stream_accession(acc)
+                                (seq, i, sub)
+                                for i, sub, seq in stream_accession(acc)
                             )
                             if opt.use_device:
                                 results = search_reads_device(

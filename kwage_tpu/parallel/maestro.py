@@ -201,10 +201,13 @@ class StreamingResolver(SourceResolver):
 
     def open_stream(self, accession: str):
         """Pipe reads straight off fasterq-dump --stdout: no .sra staging,
-        no FASTQ materialization (sriracha/sra_source.stream_accession)."""
+        no FASTQ materialization (sriracha/sra_source.stream_accession).
+        Each mate FRAGMENT arrives as its own read, matching the
+        reference's per-fragment READ_LEN split (sra_stream.cpp:358-377)
+        -- no chimeric k-mers spanning a mate junction."""
         from ..sriracha.sra_source import stream_accession
 
-        return (seq for _, seq in stream_accession(accession))
+        return (seq for _, _, seq in stream_accession(accession))
 
     def cleanup(self, accession: str, path: str) -> None:
         import shutil

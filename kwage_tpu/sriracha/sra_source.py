@@ -16,6 +16,7 @@ import os
 import shutil
 import subprocess
 import tempfile
+import threading
 
 # SRADownloadStatus (sra_stream.h:6-22). Success must stay the smallest
 # value: the reference reconciles ranks with Allreduce(MAX).
@@ -102,8 +103,12 @@ def resolve_accession(accession: str, scratch: str | None = None) -> str:
     scratch = scratch or tempfile.mkdtemp(prefix=f"sriracha.{accession}.")
     os.makedirs(scratch, exist_ok=True)
     try:
+        # --split-spot keeps each spot's mate fragments as separate
+        # records, matching the reference's per-fragment READ_LEN split
+        # (SriRachA/sra_stream.cpp:221-413) -- a chimeric k-mer spanning
+        # a mate junction must never exist.
         proc = subprocess.run(
-            [fasterq, "--concatenate-reads", "-O", scratch, accession],
+            [fasterq, "--split-spot", "-O", scratch, accession],
             capture_output=True,
             text=True,
             timeout=24 * 3600,
@@ -127,53 +132,85 @@ def resolve_accession(accession: str, scratch: str | None = None) -> str:
 
 
 def stream_accession(accession: str):
-    """Yield (read_index, sequence) straight off a fasterq-dump pipe.
+    """Yield (read_index, read_subindex, sequence) per FRAGMENT straight
+    off a fasterq-dump pipe.
 
     The streaming shape of the reference's VDB cursor path
     (SriRachA/sra_stream.cpp:90-211): reads flow into the consumer as
     they arrive, peak scratch usage is ZERO regardless of accession size
-    (no .sra staging, no FASTQ materialization). Read indices are
-    1-based like the cursor's row ids. A nonzero toolkit exit raises a
-    classified DownloadError -- after any partial yield, the caller's
-    retry loop restarts the whole accession, matching the reference's
-    per-accession retry (SriRachA/main.cpp:401-445).
+    (no .sra staging, no FASTQ materialization). --split-spot keeps each
+    spot's mate fragments as separate records, so the per-fragment
+    callback semantics of the reference's READ_LEN split hold exactly
+    (sra_stream.cpp:358-377: per_read_function(seq, index, i + 1)):
+    read_index is the 1-based spot row id, read_subindex the 1-based
+    fragment ordinal within the spot. Consecutive records sharing a spot
+    id (the header's first token, ``<accession>.<spot>``) are fragments
+    of one spot; the trailing integer of that token carries the toolkit's
+    own row id when present.
+
+    stderr is drained by a background thread for the whole stream: a
+    chatty toolkit that emits more than the ~64 KiB pipe buffer of
+    progress/warnings must not deadlock the read loop. A nonzero toolkit
+    exit raises a classified DownloadError -- after any partial yield,
+    the caller's retry loop restarts the whole accession, matching the
+    reference's per-accession retry (SriRachA/main.cpp:401-445).
     """
     fasterq = _find_fasterq()
     proc = subprocess.Popen(
-        [fasterq, "--concatenate-reads", "--stdout", accession],
+        [fasterq, "--split-spot", "--stdout", accession],
         stdout=subprocess.PIPE,
         stderr=subprocess.PIPE,
         text=True,
     )
-    idx = 0
+    stderr_parts: list[str] = []
+    drain = threading.Thread(
+        target=lambda: stderr_parts.append(proc.stderr.read()), daemon=True
+    )
+    drain.start()
+    n_frag = 0
+    spot_idx = 0
+    sub_idx = 0
+    prev_key: str | None = None
     try:
-        # fasterq-dump --stdout emits strict 4-line FASTQ records.
+        # fasterq-dump --stdout emits 4-line FASTQ records (2-line FASTA
+        # with --fasta); one record per fragment under --split-spot.
         while True:
             header = proc.stdout.readline()
             if not header:
                 break
             seq = proc.stdout.readline().strip()
-            proc.stdout.readline()  # '+'
-            proc.stdout.readline()  # quality
-            if not header.startswith(("@", ">")):
+            if header.startswith("@"):
+                proc.stdout.readline()  # '+'
+                proc.stdout.readline()  # quality
+            elif not header.startswith(">"):
                 raise DownloadError(
                     SRA_DOWNLOAD_READ_FORMAT_ERROR,
                     f"unexpected stream record for {accession}: {header[:40]!r}",
                 )
-            idx += 1
-            yield idx, seq
+            fields = header[1:].split(None, 1)
+            key = fields[0] if fields else ""
+            if key and key == prev_key:
+                sub_idx += 1
+            else:
+                tail = key.rsplit(".", 1)[-1]
+                spot_idx = int(tail) if tail.isdigit() else spot_idx + 1
+                sub_idx = 1
+                prev_key = key
+            n_frag += 1
+            yield spot_idx, sub_idx, seq
     finally:
         if proc.poll() is None:
             proc.kill()
         rc = proc.wait()
-        stderr = proc.stderr.read()
+        drain.join()
+        stderr = "".join(stderr_parts)
         proc.stdout.close()
         proc.stderr.close()
     if rc != 0:
         raise DownloadError(
             _classify_stderr(stderr), stderr.strip() or "fasterq-dump failed"
         )
-    if idx == 0:
+    if n_frag == 0:
         raise DownloadError(
             SRA_DOWNLOAD_FILE_READ_ERROR, f"no reads streamed for {accession}"
         )

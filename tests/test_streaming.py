@@ -25,11 +25,21 @@ if not os.path.isfile(src):
     sys.stderr.write(f"err: invalid accession '{acc}'\\n")
     sys.exit(3)
 fail = os.path.isfile(os.path.join(d, acc + ".fail"))
+chatty = os.path.isfile(os.path.join(d, acc + ".chatty"))
 if "--stdout" in args or "-Z" in args:
     with open(src) as f:
         lines = f.readlines()
     n = len(lines) // 2 if fail else len(lines)
-    sys.stdout.write("".join(lines[: n - n % 4]))
+    n -= n % 4
+    half = (n // 2) - (n // 2) % 4
+    sys.stdout.write("".join(lines[:half]))
+    sys.stdout.flush()
+    if chatty:
+        # >64 KiB of mid-stream progress chatter: the parent must drain
+        # stderr concurrently or this blocks before the second half.
+        sys.stderr.write("spots read      : 1,234,567\\n" * 20000)
+        sys.stderr.flush()
+    sys.stdout.write("".join(lines[half:n]))
     sys.stdout.flush()
     if fail:
         sys.stderr.write("timeout: connection reset by peer\\n")
@@ -65,6 +75,17 @@ def _write_fastq(sradir, acc, seqs):
             f.write(f"@{acc}.{i + 1}\n{s}\n+\n{'I' * len(s)}\n")
 
 
+def _write_fastq_spots(sradir, acc, spots):
+    """Split-spot store: one record per FRAGMENT, consecutive fragments of
+    a spot share the ``<acc>.<spot>`` id token (what the real
+    fasterq-dump --split-spot emits)."""
+    with open(sradir / f"{acc}.fastq", "w") as f:
+        for i, frags in enumerate(spots):
+            for s in frags:
+                f.write(f"@{acc}.{i + 1} {i + 1} length={len(s)}\n"
+                        f"{s}\n+\n{'I' * len(s)}\n")
+
+
 def _rand_seqs(n, length, seed=0):
     rng = np.random.default_rng(seed)
     return ["".join(rng.choice(list("ACGT"), size=length)) for _ in range(n)]
@@ -76,7 +97,37 @@ def test_stream_accession_yields_indexed_reads(fake_toolkit):
     seqs = _rand_seqs(5, 80)
     _write_fastq(fake_toolkit, "SRR5550001", seqs)
     got = list(stream_accession("SRR5550001"))
-    assert got == [(i + 1, s) for i, s in enumerate(seqs)]
+    assert got == [(i + 1, 1, s) for i, s in enumerate(seqs)]
+
+
+def test_stream_accession_paired_end_fragments(fake_toolkit):
+    """Paired-end spots stream as separate fragments with the reference's
+    (1-based spot, 1-based subindex) numbering
+    (SriRachA/sra_stream.cpp:358-377)."""
+    from kwage_tpu.sriracha.sra_source import stream_accession
+
+    seqs = _rand_seqs(6, 70, seed=7)
+    spots = [[seqs[0], seqs[1]], [seqs[2]], [seqs[3], seqs[4], seqs[5]]]
+    _write_fastq_spots(fake_toolkit, "SRR5550040", spots)
+    got = list(stream_accession("SRR5550040"))
+    want = [
+        (i + 1, j + 1, s)
+        for i, frags in enumerate(spots)
+        for j, s in enumerate(frags)
+    ]
+    assert got == want
+
+
+def test_stream_chatty_stderr_does_not_deadlock(fake_toolkit):
+    """A toolkit emitting >64 KiB of stderr chatter mid-stream must not
+    deadlock the read loop (stderr drains in a background thread)."""
+    from kwage_tpu.sriracha.sra_source import stream_accession
+
+    seqs = _rand_seqs(16, 60, seed=9)
+    _write_fastq(fake_toolkit, "SRR5550041", seqs)
+    (fake_toolkit / "SRR5550041.chatty").touch()
+    got = [s for _, _, s in stream_accession("SRR5550041")]
+    assert got == seqs
 
 
 def test_stream_failure_classified_network(fake_toolkit):
@@ -94,7 +145,7 @@ def test_stream_failure_classified_network(fake_toolkit):
     (fake_toolkit / "SRR5550002.fail").touch()
     got = []
     with pytest.raises(DownloadError) as ei:
-        for _, s in stream_accession("SRR5550002"):
+        for _, _, s in stream_accession("SRR5550002"):
             got.append(s)
     assert ei.value.status == SRA_DOWNLOAD_NETWORK_FAILURE
     assert is_retryable(ei.value.status)
@@ -202,6 +253,106 @@ def test_maestro_stream_failure_is_bloom_classed(fake_toolkit, tmp_path):
     m.restore()
     m.run()
     assert int(m.status[0]) == STATUS_BLOOM_FAIL, m.summary()
+
+
+def test_maestro_stream_paired_end_fragment_parity(fake_toolkit, tmp_path):
+    """Streamed maestro on a paired-end accession builds a .bloom
+    byte-identical to the materialized PER-FRAGMENT build: mates digest as
+    separate reads, so no chimeric k-mer spanning a mate junction exists
+    (the reference's READ_LEN split, SriRachA/sra_stream.cpp:358-377)."""
+    from kwage_tpu.core import FilterInfo, str_to_accession
+    from kwage_tpu.io.bloom_file import read_bloom_file
+    from kwage_tpu.io.inventory import write_inventory
+    from kwage_tpu.parallel.maestro import (
+        Maestro,
+        MaestroOptions,
+        STATUS_DATABASE_SUCCESS,
+        StreamingResolver,
+    )
+    from kwage_tpu.pipeline.make_bloom import BuildOptions, build_bloom_from_sequences
+
+    acc = "SRR5550042"
+    frags = _rand_seqs(10, 90, seed=21)
+    spots = [frags[i : i + 2] for i in range(0, 10, 2)]  # 5 paired-end spots
+    _write_fastq_spots(fake_toolkit, acc, spots)
+    info = FilterInfo(run_accession=str_to_accession(acc),
+                      number_of_bases=sum(len(s) for s in frags))
+    write_inventory(str(tmp_path / "inv.bin"), [info])
+
+    opt = MaestroOptions(
+        metadata_file=str(tmp_path / "inv.bin"),
+        scratch_bloom_dir=str(tmp_path / "bloom"),
+        scratch_database_dir=str(tmp_path / "db"),
+        status_file=str(tmp_path / "status.bin"),
+        kmer_len=31, min_kmer_count=1,
+        min_log_2_filter_len=12, max_log_2_filter_len=16,
+        min_log_2_count_len=12, max_log_2_count_len=16,
+        num_workers=1, stream_sra=True, save_bloom=True,
+    )
+    m = Maestro(opt, StreamingResolver(str(tmp_path / "ss")))
+    m.restore()
+    m.run()
+    assert all(s == STATUS_DATABASE_SUCCESS for s in m.status), m.summary()
+
+    bopts = BuildOptions(kmer_len=31, min_kmer_count=1,
+                         min_log_2_filter_len=12, max_log_2_filter_len=16,
+                         min_log_2_count_len=12, max_log_2_count_len=16)
+    # Ground truth: every FRAGMENT as its own read. A concatenated-mate
+    # build (the round-2 behavior) would admit chimeric junction k-mers
+    # and differ.
+    want = build_bloom_from_sequences(iter(frags), bopts, FilterInfo(
+        run_accession=str_to_accession(acc),
+        number_of_bases=sum(len(s) for s in frags)))
+    rec = read_bloom_file(str(tmp_path / "bloom" / f"{acc}.bloom"))
+    assert rec.param == want.param
+    assert rec.bits.tobytes() == want.bits.tobytes()
+    chimeric = build_bloom_from_sequences(
+        iter(["".join(p) for p in spots]), bopts, FilterInfo(
+            run_accession=str_to_accession(acc),
+            number_of_bases=sum(len(s) for s in frags)))
+    assert rec.bits.tobytes() != chimeric.bits.tobytes()
+
+
+def test_sriracha_stream_paired_end_tsv_subindices(fake_toolkit, data_dir, tmp_path):
+    """Streamed sriracha on a paired-end accession emits idx.sub rows
+    matching the per-fragment ground truth (TSV format
+    SriRachA/main.cpp:560-578)."""
+    from kwage_tpu.cli.sriracha import main as sriracha_main
+    from kwage_tpu.io.sequence import iter_sequences
+    from kwage_tpu.sriracha.engine import (
+        SrirachaOptions,
+        format_results,
+        load_subject_kmers,
+        search_reads,
+    )
+
+    reads = [s for _, s in iter_sequences(str(data_dir / "sriracha_reads.fasta"))]
+    spots = [reads[i : i + 2] for i in range(0, len(reads) - len(reads) % 2, 2)]
+    acc = "SRR5550043"
+    _write_fastq_spots(fake_toolkit, acc, spots)
+
+    out = tmp_path / "out.tsv"
+    rc = sriracha_main([
+        "-k", "11", "-t", "0.4", "-n", "1",
+        "-i", str(data_dir / "sriracha_queries.fasta"),
+        "-o", str(out), acc,
+    ])
+    assert rc == 0
+    got = out.read_text()
+
+    opt = SrirachaOptions(kmer_len=11, kmer_match_threshold=0.4, min_valid_kmer=1)
+    subjects = load_subject_kmers([str(data_dir / "sriracha_queries.fasta")], 11)
+    frag_iter = [
+        (s, i + 1, j + 1)
+        for i, fr in enumerate(spots)
+        for j, s in enumerate(fr)
+    ]
+    results = search_reads(iter(frag_iter), subjects, opt)
+    want = format_results(acc, subjects, results) + "//\n"
+    assert got == want
+    # Second fragments really render as idx.2 rows.
+    assert any("\t" in line and line.split("\t")[1].endswith(".2")
+               for line in got.splitlines())
 
 
 def test_sriracha_cli_streams_remote_accession(fake_toolkit, data_dir, tmp_path):
