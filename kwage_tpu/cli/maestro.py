@@ -77,7 +77,7 @@ def usage() -> None:
     print("\t[--device-transpose (bit-slice transpose on the TPU)] (engine extension)", file=e)
     print("\t[--lazy-inventory (index the inventory; load records on demand)] (engine extension)", file=e)
     print("\t[--device-batch <N> (accessions fused per device dispatch, default 8)] (engine extension)", file=e)
-    print("\t[--coordinator <host:port> (serve the work queue to remote workers over DCN)] (engine extension)", file=e)
+    print("\t[--coordinator <host:port> (serve the work queue to remote workers over DCN; UNAUTHENTICATED protocol -- bind loopback or a trusted network only)] (engine extension)", file=e)
     print("\t[--worker <host:port> (pull tasks from a remote coordinator)] (engine extension)", file=e)
     print("\t[--task-timeout <sec> (coordinator re-queues overdue tasks)] (engine extension)", file=e)
 
@@ -243,7 +243,7 @@ def main(argv: list[str] | None = None) -> int:
         maestro = run_distributed_maestro(
             opt, resolver,
             num_local_workers=opt.num_workers,
-            host=host or "0.0.0.0", port=int(port),
+            host=host or "127.0.0.1", port=int(port),
             task_timeout=task_timeout,
         )
     else:

@@ -772,15 +772,22 @@ class Maestro:
         self._retry.append(idx)
         return False
 
-    def _next_work_item(self) -> tuple[int, str] | None:
+    def _next_work_item(self, block_delay: bool = True) -> tuple[int, str] | str | None:
         """Pop the next dispatchable accession: restored downloads first
         (bloom phase), then the retry deque (no pre-mark,
-        maestro_main.cpp:1640-1647), then fresh work off the cursor."""
+        maestro_main.cpp:1640-1647), then fresh work off the cursor.
+
+        With ``block_delay=False`` (the coordinator path, which holds the
+        scheduling lock) an unelapsed --delay returns the string "delay"
+        instead of sleeping, so completion RPCs are never blocked behind
+        the throttle."""
         if self._download_ready:
             return self._download_ready.popleft(), "bloom"
         if self.opt.download_delay > 0:
             wait_for = self._last_download + self.opt.download_delay - time.time()
             if wait_for > 0:
+                if not block_delay:
+                    return "delay"
                 time.sleep(wait_for)
         if self._retry:
             idx = self._retry.popleft()

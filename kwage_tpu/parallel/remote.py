@@ -22,17 +22,21 @@ Wire protocol: one JSON line per connection, one reply line back.
           | {"op": "db", "db_index": n, "param": {...}, "members": [...],
              "accessions": [...]}
           | {"op": "wait"} | {"op": "quit"}
-  worker -> {"op": "downloaded", "idx": i}                  (interim event)
+  worker -> {"op": "downloaded", "idx": i, "eid": id}       (interim event)
   worker -> {"op": "bloom_done", "idx": i, "status": s, "param": {...}|null,
-             "dt": t, "mem": f, "worker": name}
+             "dt": t, "mem": f, "worker": name, "eid": id}
   worker -> {"op": "db_done", "db_index": n, "members": [...], "status": s,
-             "dt": t, "mem": f, "worker": name}
+             "dt": t, "mem": f, "worker": name, "eid": id}
 
 Fault model: like the reference, a vanished worker stalls its pre-marked
 task until the job restarts (the status byte was pre-marked at dispatch,
 maestro_main.cpp:1404-1408, so a restart retries it); an optional
 ``task_timeout`` re-queues overdue tasks instead (engine extension).
-"""
+Event delivery is at-least-once: workers buffer undelivered completion
+events locally and retry/reconnect (a transient coordinator outage never
+kills a worker mid-task), and the coordinator dedupes replays by the
+per-worker event id ``eid`` (a delivered event whose REPLY was lost gets
+resent, and must not double-apply)."""
 
 from __future__ import annotations
 
@@ -93,14 +97,24 @@ class CoordinatorServer:
     downloads, retries, fresh work (maestro_main.cpp:404-456).
     """
 
-    def __init__(self, maestro: Maestro, host: str = "0.0.0.0", port: int = 0,
+    def __init__(self, maestro: Maestro, host: str = "127.0.0.1", port: int = 0,
                  task_timeout: float | None = None):
+        # The protocol is unauthenticated (like the reference's MPI world):
+        # default to loopback; binding a routable address is an explicit
+        # choice to be made only on a trusted network.
         self.m = maestro
         self.task_timeout = task_timeout
         self._lock = threading.Lock()
         self._in_flight_bloom: dict[int, float] = {}         # idx -> dispatch time
         self._in_flight_db: dict[int, tuple[list[int], float]] = {}
         self._db_members_in_flight: set[int] = set()
+        # Replay dedupe: event ids already applied (bounded FIFO). A
+        # worker whose send was processed but whose REPLY line was lost
+        # resends the same eid; applying it twice would double-count
+        # throughput and double-queue retries.
+        from collections import OrderedDict
+
+        self._seen_eids: OrderedDict[str, None] = OrderedDict()
         self._done = threading.Event()
         coord = self
 
@@ -121,11 +135,24 @@ class CoordinatorServer:
 
     # -- scheduling under the lock ----------------------------------------
 
+    def _is_replay(self, msg: dict) -> bool:
+        eid = msg.get("eid")
+        if eid is None:
+            return False
+        if eid in self._seen_eids:
+            return True
+        self._seen_eids[eid] = None
+        if len(self._seen_eids) > 8192:
+            self._seen_eids.popitem(last=False)
+        return False
+
     def _handle(self, msg: dict) -> dict:
         op = msg.get("op")
         with self._lock:
             if op == "next":
                 return self._next_task(max(int(msg.get("n", 1)), 1))
+            if op in ("downloaded", "bloom_done", "db_done") and self._is_replay(msg):
+                return {"op": "ok", "dup": True}
             if op == "downloaded":
                 idx = int(msg["idx"])
                 s = int(self.m.status[idx])
@@ -198,10 +225,16 @@ class CoordinatorServer:
 
         # Priorities 2/3: restored downloads, retries, fresh cursor work.
         # A device-building worker pulls up to its batch size in one go
-        # so its two fused dispatches cover the whole set.
+        # so its two fused dispatches cover the whole set. block_delay
+        # is off: sleeping the --delay throttle here would hold the
+        # scheduling lock and stall every completion RPC behind it.
         items = []
+        delayed = False
         while len(items) < n:
-            item = m._next_work_item()
+            item = m._next_work_item(block_delay=False)
+            if item == "delay":
+                delayed = True
+                break
             if item is None:
                 break
             idx, phase = item
@@ -216,7 +249,8 @@ class CoordinatorServer:
         if items:
             return {"op": "bloom_batch", "items": items}
 
-        if not idle or m._retry or m._download_ready or bool(
+        if delayed or not idle or m._retry or m._download_ready or \
+                m._cursor < m._end or bool(
             (m.status == STATUS_BLOOM_SUCCESS).any()
         ):
             return {"op": "wait"}
@@ -250,16 +284,60 @@ class RemoteWorker:
     run several (threads or processes, one per host) for a fleet."""
 
     def __init__(self, opt: MaestroOptions, resolver: SourceResolver,
-                 address: tuple[str, int], name: str = ""):
+                 address: tuple[str, int], name: str = "",
+                 event_retry_sec: float = 600.0):
+        from collections import deque
+
         self.opt = opt
         self.resolver = resolver
         self.address = tuple(address)
         self.name = name or socket.gethostname()
+        # At-least-once event delivery: undelivered completion events
+        # buffer locally and retry in order; the coordinator dedupes
+        # replays by eid. A coordinator blackholed longer than
+        # event_retry_sec is treated as gone.
+        self.event_retry_sec = event_retry_sec
+        self._pending: deque[dict] = deque()
+        self._eid = 0
 
     def _bloom_path(self, accession: str) -> str:
         import os
 
         return os.path.join(self.opt.scratch_bloom_dir, accession + ".bloom")
+
+    def _queue_event(self, msg: dict) -> None:
+        msg = dict(msg)
+        msg["eid"] = f"{self.name}:{self._eid}"
+        self._eid += 1
+        self._pending.append(msg)
+
+    def _try_flush_once(self) -> None:
+        """Single best-effort drain pass (no sleeping): used for interim
+        events fired from inside a build, which must not block it."""
+        while self._pending:
+            try:
+                _send_msg(self.address, self._pending[0])
+            except OSError:
+                return
+            self._pending.popleft()
+
+    def _flush_events(self) -> bool:
+        """Deliver every buffered event in order, retrying with backoff
+        until event_retry_sec expires. True = drained."""
+        deadline = time.time() + self.event_retry_sec
+        backoff = 0.05
+        while self._pending:
+            try:
+                _send_msg(self.address, self._pending[0])
+            except OSError:
+                if time.time() >= deadline:
+                    return False
+                time.sleep(backoff)
+                backoff = min(backoff * 2, 2.0)
+                continue
+            self._pending.popleft()
+            backoff = 0.05
+        return True
 
     def run(self, poll: float = 0.2) -> int:
         """Process tasks until the coordinator says quit. Returns the
@@ -299,6 +377,10 @@ class RemoteWorker:
 
                 items = task["items"]
                 acc_of = {it["idx"]: it["accession"] for it in items}
+                def _on_downloaded_batch(key: int) -> None:
+                    self._queue_event({"op": "downloaded", "idx": key})
+                    self._try_flush_once()
+
                 results = execute_bloom_batch(
                     [
                         (it["idx"], it["accession"],
@@ -308,16 +390,16 @@ class RemoteWorker:
                     self.resolver,
                     self.opt,
                     lambda key: self._bloom_path(acc_of[key]),
-                    on_downloaded=lambda key: _send_msg(
-                        self.address, {"op": "downloaded", "idx": key}
-                    ),
+                    on_downloaded=_on_downloaded_batch,
                 )
                 for key, status, param, dt in results:
-                    _send_msg(self.address, {
+                    self._queue_event({
                         "op": "bloom_done", "idx": key, "status": status,
                         "param": _param_to_dict(param) if param else None,
                         "dt": dt, "mem": memory_usage(), "worker": self.name,
                     })
+                if not self._flush_events():
+                    return n_tasks
             elif op == "bloom":
                 idx = int(task["idx"])
                 acc = task["accession"]
@@ -326,19 +408,24 @@ class RemoteWorker:
                 # locally (the reference ships it in the MPI message;
                 # shared storage makes the seek equivalent).
                 info = self._load_info(acc)
+
+                def _on_downloaded() -> None:
+                    self._queue_event({"op": "downloaded", "idx": idx})
+                    self._try_flush_once()
+
                 status, param = execute_bloom_task(
                     acc, info, task["phase"], self.resolver, self.opt,
                     self._bloom_path(acc),
-                    on_downloaded=lambda: _send_msg(
-                        self.address, {"op": "downloaded", "idx": idx}
-                    ),
+                    on_downloaded=_on_downloaded,
                 )
-                _send_msg(self.address, {
+                self._queue_event({
                     "op": "bloom_done", "idx": idx, "status": status,
                     "param": _param_to_dict(param) if param else None,
                     "dt": time.time() - t0, "mem": memory_usage(),
                     "worker": self.name,
                 })
+                if not self._flush_events():
+                    return n_tasks
             elif op == "db":
                 t0 = time.time()
                 dbi = int(task["db_index"])
@@ -370,12 +457,14 @@ class RemoteWorker:
                             os.unlink(b)
                         except OSError:
                             pass
-                _send_msg(self.address, {
+                self._queue_event({
                     "op": "db_done", "db_index": dbi,
                     "members": task["members"], "status": status,
                     "dt": time.time() - t0, "mem": memory_usage(),
                     "worker": self.name,
                 })
+                if not self._flush_events():
+                    return n_tasks
             else:
                 raise RuntimeError(f"unexpected coordinator reply: {task}")
 
@@ -398,7 +487,7 @@ def run_distributed_maestro(
     opt: MaestroOptions,
     resolver: SourceResolver,
     num_local_workers: int = 0,
-    host: str = "0.0.0.0",
+    host: str = "127.0.0.1",
     port: int = 0,
     task_timeout: float | None = None,
 ) -> Maestro:

@@ -92,6 +92,9 @@ class ShardedDatabase:
     than budget*n_shards streams through the mesh in column waves -- the
     sharded analog of the reference's 1 GiB transpose-buffer discipline
     (build_db.cpp:236-248). A single-wave corpus stays device-resident.
+    Multi-wave streaming prefetches the NEXT wave while the current one
+    computes, so two waves are transiently resident; waves are therefore
+    sized at budget_bytes/2 per device, keeping the peak within budget.
     """
 
     def __init__(self, mesh: Mesh, param, slices: np.ndarray, num_filter: int,
@@ -138,6 +141,14 @@ class ShardedDatabase:
         # Columns per wave: the per-device budget times the shard count,
         # floored to at least one column per shard.
         max_cols = max((budget_bytes * n_shards) // max(bytes_per_word_col, 1), n_shards)
+        if words.shape[1] > max_cols:
+            # Multi-wave: _wave_dbs keeps the prefetched next wave resident
+            # alongside the current one, so halve the per-wave footprint to
+            # hold the documented per-device budget at peak.
+            max_cols = max(
+                (budget_bytes // 2 * n_shards) // max(bytes_per_word_col, 1),
+                n_shards,
+            )
         # (padded word matrix, real unpadded filter-column count) per wave.
         self._waves: list[tuple[np.ndarray, int]] = []
         self._spec_db = NamedSharding(mesh, P(None, "filters"))

@@ -163,7 +163,9 @@ class ResidentSearcher:
 class SearchServer:
     """JSON-lines TCP server around a ResidentSearcher."""
 
-    def __init__(self, db_paths: list[str], host: str = "0.0.0.0", port: int = 0):
+    def __init__(self, db_paths: list[str], host: str = "127.0.0.1", port: int = 0):
+        # Unauthenticated JSON protocol: loopback by default; bind a
+        # routable address only on a trusted network.
         searcher = ResidentSearcher(db_paths)
         self.searcher = searcher
         lock = threading.Lock()  # one chip = one resource: serialize

@@ -215,6 +215,98 @@ def test_cli_coordinator_and_subprocess_worker(manifest, data_dir, tmp_path):
     assert (status == STATUS_DATABASE_SUCCESS).all(), status
 
 
+def test_blackholed_coordinator_buffered_events_converge(
+    manifest, data_dir, tmp_path, monkeypatch
+):
+    """A coordinator blackholed for a window mid-run: workers buffer their
+    completion events and retry/reconnect; the job still converges with no
+    stalled tasks and no double-applied events."""
+    import kwage_tpu.parallel.remote as remote_mod
+
+    accs = manifest["accessions"]
+    infos = [FilterInfo(run_accession=str_to_accession(a)) for a in accs]
+    write_inventory(str(tmp_path / "inventory.bin"), infos)
+    opt = _options(manifest, tmp_path)
+
+    real_send = remote_mod._send_msg
+    blackhole_until = time.time() + 1.2
+
+    def flaky_send(address, msg, timeout=30.0):
+        # Completion/interim events bounce during the outage window; task
+        # pulls keep working (the ADVICE failure mode: delivery, not pull).
+        if msg.get("op") != "next" and time.time() < blackhole_until:
+            raise OSError("blackholed")
+        return real_send(address, msg, timeout)
+
+    monkeypatch.setattr(remote_mod, "_send_msg", flaky_send)
+
+    m = Maestro(opt, LocalFastaResolver(str(data_dir)))
+    m.restore()
+    coord = CoordinatorServer(m, host="127.0.0.1")
+    coord.start()
+    threads = []
+    try:
+        for name in ("w0", "w1"):
+            worker = RemoteWorker(opt, LocalFastaResolver(str(data_dir)),
+                                  coord.address, name=name)
+            t = threading.Thread(target=worker.run, daemon=True)
+            t.start()
+            threads.append(t)
+        coord.wait()
+        for t in threads:
+            t.join(timeout=30)
+    finally:
+        coord.shutdown()
+    assert all(s == STATUS_DATABASE_SUCCESS for s in m.status), m.summary()
+
+
+def test_lost_reply_replay_is_deduped(manifest, data_dir, tmp_path, monkeypatch):
+    """An event whose send was PROCESSED but whose reply line was lost is
+    resent by the worker and dropped by the coordinator's eid dedupe:
+    throughput counters apply exactly once."""
+    import kwage_tpu.parallel.remote as remote_mod
+
+    accs = manifest["accessions"][:3]
+    infos = [FilterInfo(run_accession=str_to_accession(a),
+                        number_of_bases=1000)
+             for a in accs]
+    write_inventory(str(tmp_path / "inventory.bin"), infos)
+    opt = _options(manifest, tmp_path)
+
+    real_send = remote_mod._send_msg
+    dropped = {"n": 0}
+
+    def lossy_send(address, msg, timeout=30.0):
+        reply = real_send(address, msg, timeout)
+        if msg.get("op") == "bloom_done" and dropped["n"] < 2 \
+                and not reply.get("dup"):
+            # Delivered and applied -- but the reply vanishes.
+            dropped["n"] += 1
+            raise OSError("reply lost")
+        return reply
+
+    monkeypatch.setattr(remote_mod, "_send_msg", lossy_send)
+
+    m = Maestro(opt, LocalFastaResolver(str(data_dir)))
+    m.restore()
+    coord = CoordinatorServer(m, host="127.0.0.1")
+    coord.start()
+    try:
+        worker = RemoteWorker(opt, LocalFastaResolver(str(data_dir)),
+                              coord.address, name="w0")
+        t = threading.Thread(target=worker.run, daemon=True)
+        t.start()
+        coord.wait()
+        t.join(timeout=30)
+    finally:
+        coord.shutdown()
+    assert dropped["n"] == 2
+    assert all(s == STATUS_DATABASE_SUCCESS for s in m.status), m.summary()
+    # Each accession's number_of_bases counted exactly once despite the
+    # replayed bloom_done events.
+    assert m._total_bp == 1000 * len(accs), m._total_bp
+
+
 def test_task_timeout_requeues_abandoned_task(manifest, data_dir, tmp_path):
     """--task-timeout: a worker that takes a task and vanishes without
     reporting gets its pre-marked task re-queued and finished by a live
