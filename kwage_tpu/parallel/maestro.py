@@ -46,7 +46,7 @@ from ..core.params import (
     DEFAULT_SRA_MIN_KMER_COUNT,
     filters_per_file_quota,
 )
-from ..io.bloom_file import BLOOM_MAGIC_COMPLETE, read_bloom_file, write_bloom_file
+from ..io.bloom_file import read_bloom_file, write_bloom_file
 from ..io.inventory import read_inventory
 from ..io.status import read_status_file, write_status_file
 from ..pipeline.build_db import build_db_from_bloom_files
@@ -481,6 +481,12 @@ class Maestro:
         self._retry: deque[int] = deque()
         self._download_ready: deque[int] = deque()
         self._forced_flush = False
+        # Event-driven BloomParam -> member-index map, the analog of the
+        # reference's in-memory quota bookkeeping
+        # (maestro_main.cpp:87-106): bloom-success events append; quota
+        # packing pops. Rebuilt from scratch files only in restore() --
+        # the event loop itself never opens a .bloom.
+        self._groups: dict[BloomParam, list[int]] = {}
         # Bounded-retry deviation: the reference's download-success event
         # resets the status byte to STATUS_DOWNLOAD_SUCCESS
         # (maestro_main.cpp:865), erasing any BLOOM_FAIL_n attempt count,
@@ -547,20 +553,25 @@ class Maestro:
         # recovered by re-packing, exactly like the reference pushes it
         # back into m_bloom); a missing or incomplete file rolls back to
         # INIT. STATUS_DATABASE_UPLOAD_FAIL is deliberately NOT recovered
-        # (the .db left S3-side; manual_db repairs it).
+        # (the .db left S3-side; manual_db repairs it). This is the ONE
+        # place scratch .bloom headers are read: the per-shape group map
+        # rebuilds here and is maintained event-driven afterwards.
+        self._groups = {}
         recoverable = (self.status == STATUS_BLOOM_SUCCESS) | (
             self.status == STATUS_DATABASE_FAIL
         )
         for i in np.nonzero(recoverable)[0]:
             path = self.bloom_path(int(i))
-            ok = False
-            if os.path.isfile(path):
-                try:
-                    with open(path, "rb") as f:
-                        ok = f.read(1)[0] == BLOOM_MAGIC_COMPLETE
-                except OSError:
-                    ok = False
-            self.status[i] = STATUS_BLOOM_SUCCESS if ok else STATUS_INIT
+            param = None
+            try:
+                param = read_bloom_file(path, with_bits=False).param
+            except (OSError, ValueError, EOFError):
+                param = None
+            if param is None:
+                self.status[i] = STATUS_INIT
+            else:
+                self.status[i] = STATUS_BLOOM_SUCCESS
+                self._groups.setdefault(param, []).append(int(i))
 
     def checkpoint(self, force: bool = False) -> None:
         now = time.time()
@@ -804,6 +815,7 @@ class Maestro:
         opt = self.opt
         if status == STATUS_BLOOM_SUCCESS:
             self.status[idx] = STATUS_BLOOM_SUCCESS
+            self._groups.setdefault(param, []).append(idx)
             bp = self.infos[idx].number_of_bases or 0
             self._total_bp += bp
             self._total_filter_bytes += param.filter_len // 8
@@ -832,30 +844,27 @@ class Maestro:
                 f"({'final' if final else STATUS_NAMES[int(self.status[idx])]})"
             )
 
-    def _ready_groups(self) -> list[tuple[BloomParam, list[int]]]:
-        """BloomParam groups at (or past) quota, discovered by rescanning
-        BLOOM_SUCCESS scratch files (doubles as restore_bloom). Once the
-        forced flush triggers, quotas drop to zero permanently and every
-        nonempty group packs (maestro_main.cpp:410-415)."""
-        groups: dict[BloomParam, list[int]] = {}
-        for i in np.nonzero(self.status == STATUS_BLOOM_SUCCESS)[0]:
-            path = self.bloom_path(int(i))
-            try:
-                param = read_bloom_file(path, with_bits=False).param
-            except (OSError, ValueError, EOFError):
-                self.status[i] = STATUS_INIT
-                continue
-            groups.setdefault(param, []).append(int(i))
-
+    def _take_ready_groups(self) -> list[tuple[BloomParam, list[int]]]:
+        """Pop BloomParam groups at (or past) quota from the event-driven
+        group map -- O(groups) per round with ZERO file opens (the
+        reference's in-memory bookkeeping, maestro_main.cpp:87-106;
+        headers are read only by restore()). Once the forced flush
+        triggers, quotas drop to zero permanently and every nonempty
+        group packs (maestro_main.cpp:410-415). Returned members are
+        removed from the map: the caller owns their dispatch."""
         out = []
-        for param, members in sorted(groups.items()):
+        for param in sorted(self._groups):
+            members = self._groups[param]
             quota = filters_per_file_quota(param.log_2_filter_len)
             members.sort()
             while len(members) >= quota:
                 out.append((param, members[:quota]))
-                members = members[quota:]
+                del members[:quota]
             if members and self._forced_flush:
-                out.append((param, members))
+                out.append((param, list(members)))
+                members.clear()
+            if not members:
+                del self._groups[param]
         return out
 
     def run(self) -> None:
@@ -881,23 +890,24 @@ class Maestro:
                 if self._cursor >= self._end and not self._download_ready and not futures:
                     self._forced_flush = True
 
-                # Priority 1: database packing.
-                if not in_flight_db:
-                    for param, members in self._ready_groups():
-                        db_index = self.database_index
-                        self.database_index += 1
-                        self._log(
-                            f"[maestro] building database {db_index} "
-                            f"(L={param.log_2_filter_len}, h={param.num_hash}, "
-                            f"{len(members)} filters)"
-                        )
-                        fut = pool.submit(self._build_database, db_index, param, list(members))
-                        futures[fut] = "db"
-                        in_flight_db.update(members)
-                        # Pre-mark as failed so a crash retries on restart
-                        # (maestro_main.cpp:1404-1408).
-                        for i in members:
-                            self.status[i] = STATUS_DATABASE_FAIL
+                # Priority 1: database packing. Ready groups pop off the
+                # event-driven map, so a group can never be re-discovered
+                # while its build is in flight.
+                for param, members in self._take_ready_groups():
+                    db_index = self.database_index
+                    self.database_index += 1
+                    self._log(
+                        f"[maestro] building database {db_index} "
+                        f"(L={param.log_2_filter_len}, h={param.num_hash}, "
+                        f"{len(members)} filters)"
+                    )
+                    fut = pool.submit(self._build_database, db_index, param, list(members))
+                    futures[fut] = "db"
+                    in_flight_db.update(members)
+                    # Pre-mark as failed so a crash retries on restart
+                    # (maestro_main.cpp:1404-1408).
+                    for i in members:
+                        self.status[i] = STATUS_DATABASE_FAIL
 
                 # Priority 2: Bloom creation from restored downloads;
                 # priority 3: retries, then fresh work off the cursor
@@ -926,9 +936,7 @@ class Maestro:
                     # fresh cursor exhausted, nothing staged, no retries,
                     # no Bloom filters awaiting database packing, all
                     # workers idle. Pending blooms loop once more so the
-                    # forced flush packs them (each extra pass either packs
-                    # a group or rolls an unreadable .bloom back to INIT,
-                    # so this converges).
+                    # forced flush pops their (now quota-free) groups.
                     if not (
                         self._cursor < self._end
                         or self._download_ready

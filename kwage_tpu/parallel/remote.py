@@ -115,6 +115,11 @@ class CoordinatorServer:
         from collections import OrderedDict
 
         self._seen_eids: OrderedDict[str, None] = OrderedDict()
+        # Ready db groups popped from the maestro's event-driven map,
+        # awaiting a pulling worker (one served per "next" request).
+        from collections import deque
+
+        self._pending_db: deque = deque()
         self._done = threading.Event()
         coord = self
 
@@ -204,11 +209,13 @@ class CoordinatorServer:
         if m._cursor >= m._end and not m._download_ready and idle:
             m._forced_flush = True
 
-        # Priority 1: database packing (any free worker can take a group;
-        # members leave the pool via the DATABASE_FAIL pre-mark).
-        for param, members in m._ready_groups():
-            if any(i in self._db_members_in_flight for i in members):
-                continue
+        # Priority 1: database packing (any free worker can take a group).
+        # Ready groups pop off the event-driven map into a dispatch deque;
+        # one db task is served per pull.
+        for g in m._take_ready_groups():
+            self._pending_db.append(g)
+        if self._pending_db:
+            param, members = self._pending_db.popleft()
             dbi = m.database_index
             m.database_index += 1
             for i in members:
@@ -249,8 +256,8 @@ class CoordinatorServer:
         if items:
             return {"op": "bloom_batch", "items": items}
 
-        if delayed or not idle or m._retry or m._download_ready or \
-                m._cursor < m._end or bool(
+        if delayed or not idle or self._pending_db or m._retry \
+                or m._download_ready or m._cursor < m._end or bool(
             (m.status == STATUS_BLOOM_SUCCESS).any()
         ):
             return {"op": "wait"}

@@ -362,3 +362,38 @@ def test_lazy_inventory_produces_reference_databases(manifest, data_dir, golden_
         digests = json.load(f)
     for gi in range(len(manifest["db_groups"])):
         assert _sha(tmp_path / "db" / f"sra.{gi + 1}.db") == digests[f"sra.{gi}.db"]
+
+
+def test_event_loop_opens_no_bloom_headers(manifest, data_dir, tmp_path, monkeypatch):
+    """The scheduler's packing decisions are event-driven (the in-memory
+    BloomParam group map, maestro_main.cpp:87-106 analog): a full run
+    opens ZERO .bloom headers from the event loop -- header reads happen
+    only in restore(). Guards against the O(pending) rescan-per-round
+    regression."""
+    import kwage_tpu.parallel.maestro as maestro_mod
+
+    _write_inventory(manifest, tmp_path)
+    opt = _options(manifest, tmp_path)
+    m = Maestro(opt, LocalFastaResolver(str(data_dir)))
+    m.restore()  # fresh job: nothing to rescan
+
+    calls = {"n": 0}
+    real = maestro_mod.read_bloom_file
+
+    def counting(path, with_bits=True):
+        calls["n"] += 1
+        return real(path, with_bits)
+
+    monkeypatch.setattr(maestro_mod, "read_bloom_file", counting)
+    m.run()
+    assert all(s == STATUS_DATABASE_SUCCESS for s in m.status), m.summary()
+    assert calls["n"] == 0, f"event loop opened {calls['n']} .bloom headers"
+
+    # And a restart rescans exactly once per recovered accession, not per
+    # scheduling round.
+    m2 = Maestro(opt, LocalFastaResolver(str(data_dir)))
+    calls["n"] = 0
+    m2.restore()
+    n_restore = calls["n"]
+    m2.run()
+    assert calls["n"] == n_restore, "event loop reopened headers after restore"
