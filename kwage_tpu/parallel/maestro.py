@@ -354,6 +354,29 @@ def execute_bloom_task(
     return status, param
 
 
+def _take_until_bp(stream, limit_bp: int) -> tuple[list[str], int, bool]:
+    """Buffer reads off ``stream`` until limit_bp bases are held. Returns
+    (buffered reads, buffered bases, stream_exhausted)."""
+    buf: list[str] = []
+    bp = 0
+    for seq in stream:
+        buf.append(seq)
+        bp += len(seq)
+        if bp > limit_bp:
+            return buf, bp, False
+    return buf, bp, True
+
+
+# A streamed accession joins the fused batch dispatch only while its
+# buffered prefix stays under this many bases; past it, the rest of the
+# stream feeds the chunked single-accession device builder directly, so
+# worker RAM is bounded regardless of accession size (the reference's
+# streaming shape, SriRachA/sra_stream.cpp:90-211). Matches the batch
+# builder's own big-job routing threshold (make_bloom.chunk_bp).
+# Overridable via KWAGE_STREAM_BUFFER_BP (engine extension).
+STREAM_BATCH_BUFFER_BP = int(os.environ.get("KWAGE_STREAM_BUFFER_BP", 8_000_000))
+
+
 def execute_bloom_batch(
     tasks: list[tuple[int, str, FilterInfo, str]],
     resolver: SourceResolver,
@@ -367,9 +390,13 @@ def execute_bloom_batch(
 
     ``tasks`` entries are (key, accession, FilterInfo, phase); the result
     echoes each key with (status, param, dt). ``on_downloaded(key)``
-    fires after each successful non-streaming download.
+    fires after each successful non-streaming download. Streamed sources
+    larger than STREAM_BATCH_BUFFER_BP never materialize: they build
+    through the chunked device path straight off the pipe.
     """
-    from ..pipeline.make_bloom import build_blooms_device_batch
+    from itertools import chain
+
+    from ..pipeline.make_bloom import build_bloom_device, build_blooms_device_batch
     from ..sriracha.sra_source import DownloadError
 
     t0 = time.time()
@@ -383,9 +410,35 @@ def execute_bloom_batch(
             if phase == "full" and opt.stream_sra:
                 stream = resolver.open_stream(acc)
                 if stream is not None:
-                    # RAM-buffered for the batched device dispatch; no
-                    # disk materialization.
-                    source = list(stream)
+                    buf, _bp, exhausted = _take_until_bp(
+                        stream, STREAM_BATCH_BUFFER_BP
+                    )
+                    if exhausted:
+                        # Small accession: the bounded buffer joins the
+                        # fused batch dispatch.
+                        source = buf
+                    else:
+                        # Big accession: chunked KMC-style device build
+                        # directly off the live pipe -- peak RAM is the
+                        # chunk plus the distinct-k-mer set, independent
+                        # of accession size.
+                        try:
+                            rec = build_bloom_device(
+                                chain(buf, stream), opt.build_options(), info
+                            )
+                            write_bloom_file(bloom_path_fn(key), rec)
+                            out.append((key, STATUS_BLOOM_SUCCESS, rec.param,
+                                        time.time() - t0))
+                        except DownloadError:
+                            out.append((key, STATUS_DOWNLOAD_FAIL, None,
+                                        time.time() - t0))
+                        except BloomInvalid:
+                            out.append((key, STATUS_BLOOM_INVALID, None,
+                                        time.time() - t0))
+                        except Exception:
+                            out.append((key, STATUS_BLOOM_FAIL, None,
+                                        time.time() - t0))
+                        continue
             if source is None:
                 path = resolver.lookup(acc) if phase == "bloom" else resolver.resolve(acc)
                 if path is None:

@@ -258,14 +258,28 @@ def search_reads_device(
     opt: SrirachaOptions,
     stats: StreamStats | None = None,
     batch_size: int = 512,
+    span_reads: int | None = None,
 ) -> list[list[SearchMatch]]:
     """Device-batched equivalent of engine.search_reads (bit-identical
     output) for every reference-legal k (1..32,
-    SriRachA/search_by_kmer.cpp:94-98)."""
+    SriRachA/search_by_kmer.cpp:94-98).
+
+    The read iterator is consumed in spans of ``span_reads`` (default
+    16 x batch_size): each span is bucketed/batched on device and its
+    scalar gates applied in read order before the next span
+    materializes, so host RAM is bounded by the span -- independent of
+    accession size (the reference streams read ranges the same way,
+    sra_stream.cpp:525-543). Gate state (perfect-match early-skip,
+    intermediate culls) carries across spans, so output is identical to
+    a fully materialized run."""
+    from itertools import islice
+
     ns = len(subject_kmers)
     if ns == 0:
         return []
     ns_groups = tuple(min(32, ns - g) for g in range(0, ns, 32))
+    if span_reads is None:
+        span_reads = 16 * batch_size
 
     # Dense-LUT fast path: one membership table per group of <= 32 subjects.
     use_table = opt.kmer_len <= _table_k_limit()
@@ -300,11 +314,8 @@ def search_reads_device(
             block, lengths, hash_tables, opt.kmer_len, ns_groups
         )
 
-    reads = list(read_iter)
     results: list[list[SearchMatch]] = [[] for _ in range(ns)]
     num_perfect = [0] * ns
-    if not reads:
-        return results
 
     # Bucket by padded length so jit recompiles only per bucket size.
     def pad_len(n):
@@ -313,53 +324,62 @@ def search_reads_device(
             p *= 2
         return p
 
-    order = np.arange(len(reads))
-    buckets: dict[int, list[int]] = {}
-    for i, (seq, _, _) in enumerate(reads):
-        if stats is not None:
-            stats.num_reads += 1
-            stats.num_bases += len(seq)
-        buckets.setdefault(pad_len(max(len(seq), opt.kmer_len)), []).append(i)
+    read_iter = iter(read_iter)
+    while True:
+        reads = list(islice(read_iter, span_reads))
+        if not reads:
+            break
 
-    counts = np.zeros((len(reads), ns), dtype=np.int64)
-    nk = np.zeros(len(reads), dtype=np.int64)
-    nu = np.zeros(len(reads), dtype=np.int64)
-    for L, idxs in sorted(buckets.items()):
-        for start in range(0, len(idxs), batch_size):
-            chunk = idxs[start : start + batch_size]
-            # Row count pads to the full batch (zero rows = zero-length
-            # reads, masked out): a ragged final chunk would otherwise be
-            # a fresh shape and a fresh XLA compile.
-            block = np.zeros((batch_size, L), dtype=np.uint8)
-            lengths = np.zeros(batch_size, dtype=np.int32)
-            for r, i in enumerate(chunk):
-                seq = reads[i][0]
-                block[r, : len(seq)] = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
-                lengths[r] = len(seq)
-            c, k_, u_ = run_batch(jnp.asarray(block), jnp.asarray(lengths))
-            counts[chunk] = np.asarray(c)[: len(chunk)]
-            nk[chunk] = np.asarray(k_)[: len(chunk)]
-            nu[chunk] = np.asarray(u_)[: len(chunk)]
+        buckets: dict[int, list[int]] = {}
+        for i, (seq, _, _) in enumerate(reads):
+            if stats is not None:
+                stats.num_reads += 1
+                stats.num_bases += len(seq)
+            buckets.setdefault(pad_len(max(len(seq), opt.kmer_len)), []).append(i)
 
-    # Sequential gates + accumulation (preserves the engine's exact
-    # perfect-match early-skip and intermediate-cull semantics).
-    for i, (seq, ridx, sidx) in enumerate(reads):
-        if len(seq) < opt.min_read_length or nk[i] < opt.min_valid_kmer:
-            continue
-        if np.float32(nu[i]) / np.float32(nk[i]) < np.float32(opt.min_read_complexity):
-            continue
-        for s in range(ns):
-            if num_perfect[s] >= opt.max_num_match:
+        counts = np.zeros((len(reads), ns), dtype=np.int64)
+        nk = np.zeros(len(reads), dtype=np.int64)
+        nu = np.zeros(len(reads), dtype=np.int64)
+        for L, idxs in sorted(buckets.items()):
+            for start in range(0, len(idxs), batch_size):
+                chunk = idxs[start : start + batch_size]
+                # Row count pads to the full batch (zero rows =
+                # zero-length reads, masked out): a ragged final chunk
+                # would otherwise be a fresh shape and a fresh XLA
+                # compile.
+                block = np.zeros((batch_size, L), dtype=np.uint8)
+                lengths = np.zeros(batch_size, dtype=np.int32)
+                for r, i in enumerate(chunk):
+                    seq = reads[i][0]
+                    block[r, : len(seq)] = np.frombuffer(
+                        seq.encode("ascii"), dtype=np.uint8
+                    )
+                    lengths[r] = len(seq)
+                c, k_, u_ = run_batch(jnp.asarray(block), jnp.asarray(lengths))
+                counts[chunk] = np.asarray(c)[: len(chunk)]
+                nk[chunk] = np.asarray(k_)[: len(chunk)]
+                nu[chunk] = np.asarray(u_)[: len(chunk)]
+
+        # Sequential gates + accumulation (preserves the engine's exact
+        # perfect-match early-skip and intermediate-cull semantics;
+        # num_perfect and the cull state carry across spans).
+        for i, (seq, ridx, sidx) in enumerate(reads):
+            if len(seq) < opt.min_read_length or nk[i] < opt.min_valid_kmer:
                 continue
-            score = np.float32(counts[i, s]) / np.float32(nu[i])
-            if score >= np.float32(opt.kmer_match_threshold):
-                bucket = results[s]
-                bucket.append(SearchMatch(ridx, sidx, float(score), seq))
-                if score == 1.0:
-                    num_perfect[s] += 1
-                if opt.max_num_match > 0 and len(bucket) > 10 * opt.max_num_match:
-                    bucket.sort(key=SearchMatch.sort_key)
-                    del bucket[opt.max_num_match :]
+            if np.float32(nu[i]) / np.float32(nk[i]) < np.float32(opt.min_read_complexity):
+                continue
+            for s in range(ns):
+                if num_perfect[s] >= opt.max_num_match:
+                    continue
+                score = np.float32(counts[i, s]) / np.float32(nu[i])
+                if score >= np.float32(opt.kmer_match_threshold):
+                    bucket = results[s]
+                    bucket.append(SearchMatch(ridx, sidx, float(score), seq))
+                    if score == 1.0:
+                        num_perfect[s] += 1
+                    if opt.max_num_match > 0 and len(bucket) > 10 * opt.max_num_match:
+                        bucket.sort(key=SearchMatch.sort_key)
+                        del bucket[opt.max_num_match :]
 
     for bucket in results:
         bucket.sort(key=SearchMatch.sort_key)

@@ -190,3 +190,49 @@ def test_threaded_host_search_matches_sequential(threads, data_dir, tmp_path):
     assert sriracha_main(case_args + ["-o", str(out1)]) == 0
     assert sriracha_main(case_args + ["--threads", str(threads), "-o", str(outN)]) == 0
     assert outN.read_text() == out1.read_text()
+
+
+def test_device_search_spans_stream_bounded(data_dir, monkeypatch):
+    """search_reads_device consumes its read iterator in bounded spans:
+    results stay bit-identical to the host engine across span boundaries
+    (perfect-match/cull state carries over), and the first device batch
+    runs BEFORE the iterator is exhausted (no full materialization)."""
+    import kwage_tpu.sriracha.device as dev_mod
+    from kwage_tpu.io.sequence import iter_sequences
+    from kwage_tpu.sriracha.device import search_reads_device
+    from kwage_tpu.sriracha.engine import (
+        SrirachaOptions,
+        load_subject_kmers,
+        search_reads,
+    )
+
+    reads = [s for _, s in iter_sequences(str(data_dir / "sriracha_reads.fasta"))]
+    reads = (reads * 4)[:50]  # > several spans at span_reads=8
+    tuples = [(s, i + 1, 1) for i, s in enumerate(reads)]
+    subjects = load_subject_kmers([str(data_dir / "sriracha_queries.fasta")], 11)
+    opt = SrirachaOptions(kmer_len=11, kmer_match_threshold=0.4,
+                          min_valid_kmer=1, max_num_match=5)
+
+    state = {"exhausted": False, "exhausted_at_first_kernel": None}
+
+    def gen():
+        for t in tuples:
+            yield t
+        state["exhausted"] = True
+
+    real_kernel = dev_mod._read_batch_kernel_tables
+
+    def spy_kernel(*a, **kw):
+        if state["exhausted_at_first_kernel"] is None:
+            state["exhausted_at_first_kernel"] = state["exhausted"]
+        return real_kernel(*a, **kw)
+
+    monkeypatch.setattr(dev_mod, "_read_batch_kernel_tables", spy_kernel)
+    got = search_reads_device(gen(), subjects, opt, batch_size=4, span_reads=8)
+    want = search_reads(iter(tuples), subjects, opt)
+    assert [[(m.read_index, m.read_subindex, m.score, m.read_seq) for m in b]
+            for b in got] == \
+           [[(m.read_index, m.read_subindex, m.score, m.read_seq) for m in b]
+            for b in want]
+    assert state["exhausted_at_first_kernel"] is False, \
+        "device search materialized the whole stream before dispatching"

@@ -355,6 +355,79 @@ def test_sriracha_stream_paired_end_tsv_subindices(fake_toolkit, data_dir, tmp_p
                for line in got.splitlines())
 
 
+def test_bloom_batch_streams_big_accessions_unbuffered(tmp_path, monkeypatch):
+    """execute_bloom_batch never materializes a streamed accession bigger
+    than the batch buffer: the chunked device builder starts consuming
+    the live pipe BEFORE the stream is exhausted, and the result is
+    byte-identical to the host build (bounded-RAM streaming, the
+    reference's sra_stream.cpp:90-211 shape)."""
+    import kwage_tpu.parallel.maestro as maestro_mod
+    import kwage_tpu.pipeline.make_bloom as mb_mod
+    from kwage_tpu.core import FilterInfo, str_to_accession
+    from kwage_tpu.io.bloom_file import read_bloom_file
+    from kwage_tpu.parallel.maestro import (
+        MaestroOptions,
+        STATUS_BLOOM_SUCCESS,
+        SourceResolver,
+        execute_bloom_batch,
+    )
+    from kwage_tpu.pipeline.make_bloom import BuildOptions, build_bloom_from_sequences
+
+    seqs = _rand_seqs(40, 150, seed=33)  # 6000 bp total
+
+    class SpyResolver(SourceResolver):
+        exhausted = False
+
+        def open_stream(self, accession):
+            def gen():
+                for s in seqs:
+                    yield s
+                SpyResolver.exhausted = True
+            return gen()
+
+    state = {"exhausted_at_build": None}
+    real_build = mb_mod.build_bloom_device
+
+    def spy_build(stream, opts, info, chunk_bp=8_000_000):
+        if state["exhausted_at_build"] is None:
+            state["exhausted_at_build"] = SpyResolver.exhausted
+        return real_build(stream, opts, info, chunk_bp)
+
+    monkeypatch.setattr(maestro_mod, "STREAM_BATCH_BUFFER_BP", 2000)
+    monkeypatch.setattr(mb_mod, "build_bloom_device", spy_build)
+
+    opt = MaestroOptions(
+        scratch_bloom_dir=str(tmp_path / "bloom"),
+        kmer_len=31, min_kmer_count=1,
+        min_log_2_filter_len=12, max_log_2_filter_len=16,
+        min_log_2_count_len=12, max_log_2_count_len=16,
+        stream_sra=True, device_build=True,
+    )
+    import os
+
+    os.makedirs(opt.scratch_bloom_dir, exist_ok=True)
+    acc = "SRR5550050"
+    info = FilterInfo(run_accession=str_to_accession(acc),
+                      number_of_bases=sum(len(s) for s in seqs))
+    path = str(tmp_path / "bloom" / f"{acc}.bloom")
+    out = execute_bloom_batch(
+        [(0, acc, info, "full")], SpyResolver(), opt, lambda key: path
+    )
+    assert out[0][1] == STATUS_BLOOM_SUCCESS, out
+    assert state["exhausted_at_build"] is False, \
+        "batch path materialized the whole stream before building"
+
+    bopts = BuildOptions(kmer_len=31, min_kmer_count=1,
+                         min_log_2_filter_len=12, max_log_2_filter_len=16,
+                         min_log_2_count_len=12, max_log_2_count_len=16)
+    want = build_bloom_from_sequences(iter(seqs), bopts, FilterInfo(
+        run_accession=str_to_accession(acc),
+        number_of_bases=sum(len(s) for s in seqs)))
+    rec = read_bloom_file(path)
+    assert rec.param == want.param
+    assert rec.bits.tobytes() == want.bits.tobytes()
+
+
 def test_sriracha_cli_streams_remote_accession(fake_toolkit, data_dir, tmp_path):
     """A non-local accession streams through the pipe and produces the
     same TSV as searching the equivalent local file."""
