@@ -173,6 +173,24 @@ extern "C" {
 
 constexpr uint32_t kChunk = 4096;  // k-mers hashed per pipeline chunk
 
+// Touched-line tracking: valid-bit planes are 2**max_log2_filter_len
+// bits (512 MB each at the default maxL=32) but only ~num_valid_kmer
+// lines of each are ever written. The fold must OR the WHOLE plane at
+// stride 2**L (make_bloom.cpp:337-354); skipping lines never written is
+// byte-exact (zero contributes nothing to OR) and turns the reference's
+// 2.5 GB/accession fold scan into a sparse walk.
+constexpr uint32_t kTouchShift = 6;  // 64-byte lines
+
+// Valid-k-mer hash storage strategy: a threshold-crossing k-mer's
+// kMaxPlanes seed hashes are appended to a flat vector while it stays
+// small (kMaxPlanes u32 per k-mer; identical information to the plane
+// bits, so the fold is byte-exact either way) and spilled into the
+// reference-shaped bit planes only past kVecMaxKmers. Small accessions
+// -- the overwhelming majority under the default maxL=32 -- therefore
+// never touch (or page-fault) the 5 x 512 MB planes the reference
+// allocates per accession (make_bloom.cpp:103,163).
+constexpr uint64_t kVecMaxKmers = 1ull << 24;  // 16M k-mers = 320 MB
+
 struct KnBuilder {
   uint32_t k;
   uint32_t min_count;
@@ -183,6 +201,12 @@ struct KnBuilder {
   uint64_t num_bp;
   uint8_t* cells;        // low nibble: plane A count, high nibble: plane B
   uint8_t* planes[kMaxPlanes];
+  uint64_t* touched[kMaxPlanes];  // bitmap of written 64-byte plane lines
+  uint64_t touched_words;
+  uint32_t* hash_vec;    // [cap * kMaxPlanes] valid-k-mer seed hashes
+  uint64_t hash_vec_cap;
+  uint64_t vec_max;      // spill threshold (kVecMaxKmers; env-overridable)
+  bool vec_mode;
   uint32_t* hash_buf;    // [kChunk * 8] chunked hash pipeline scratch
 };
 
@@ -204,9 +228,21 @@ KnBuilder* kn_new(uint32_t k, uint32_t min_count, uint32_t log2_count_len,
   b->num_valid_kmer = 0;
   b->num_bp = 0;
   b->cells = static_cast<uint8_t*>(calloc(1ull << log2_count_len, 1));
+  b->touched_words = (b->plane_bytes >> kTouchShift >> 6) + 1;
   for (uint32_t h = 0; h < kMaxPlanes; ++h) {
-    b->planes[h] = static_cast<uint8_t*>(calloc(b->plane_bytes, 1));
+    b->planes[h] = nullptr;   // allocated lazily on vector spill
+    b->touched[h] = nullptr;
   }
+  b->vec_mode = true;
+  // KWAGE_VEC_MAX_KMERS overrides the spill threshold (tests shrink it
+  // to exercise the plane path cheaply).
+  const char* vm = getenv("KWAGE_VEC_MAX_KMERS");
+  b->vec_max = vm ? strtoull(vm, nullptr, 10) : kVecMaxKmers;
+  if (b->vec_max < 1) b->vec_max = 1;
+  b->hash_vec_cap = 1ull << 16;
+  if (b->hash_vec_cap > b->vec_max) b->hash_vec_cap = b->vec_max;
+  b->hash_vec = static_cast<uint32_t*>(
+      malloc(b->hash_vec_cap * kMaxPlanes * sizeof(uint32_t)));
   b->hash_buf = static_cast<uint32_t*>(malloc(kChunk * 8 * sizeof(uint32_t)));
   return b;
 }
@@ -214,9 +250,36 @@ KnBuilder* kn_new(uint32_t k, uint32_t min_count, uint32_t log2_count_len,
 void kn_free(KnBuilder* b) {
   if (!b) return;
   free(b->cells);
-  for (uint32_t h = 0; h < kMaxPlanes; ++h) free(b->planes[h]);
+  for (uint32_t h = 0; h < kMaxPlanes; ++h) {
+    free(b->planes[h]);
+    free(b->touched[h]);
+  }
+  free(b->hash_vec);
   free(b->hash_buf);
   delete b;
+}
+
+// Move from vector mode to plane mode: allocate the reference-shaped
+// planes and replay every stored hash into them. Called at most once
+// per accession (when num_valid_kmer crosses kVecMaxKmers).
+static void kn_spill_to_planes(KnBuilder* b) {
+  for (uint32_t h = 0; h < kMaxPlanes; ++h) {
+    b->planes[h] = static_cast<uint8_t*>(calloc(b->plane_bytes, 1));
+    b->touched[h] =
+        static_cast<uint64_t*>(calloc(b->touched_words, sizeof(uint64_t)));
+  }
+  for (uint64_t i = 0; i < b->num_valid_kmer; ++i) {
+    const uint32_t* hv = b->hash_vec + i * kMaxPlanes;
+    for (uint32_t h = 0; h < kMaxPlanes; ++h) {
+      const uint64_t bit = hv[h] & b->seq_mask;
+      b->planes[h][bit >> 3] |= static_cast<uint8_t>(1u << (bit & 7));
+      const uint64_t line = bit >> 3 >> kTouchShift;
+      b->touched[h][line >> 6] |= 1ull << (line & 63);
+    }
+  }
+  free(b->hash_vec);
+  b->hash_vec = nullptr;
+  b->vec_mode = false;
 }
 
 uint64_t kn_num_valid_kmer(const KnBuilder* b) { return b->num_valid_kmer; }
@@ -241,11 +304,31 @@ inline void kn_update_one(KnBuilder* b, const uint32_t* hashes) {
 
   if (mn < b->min_count) {
     if (mn == b->min_count - 1) {
-      ++b->num_valid_kmer;
-      for (uint32_t h = 0; h < kMaxPlanes; ++h) {
-        const uint64_t bit = hashes[h] & b->seq_mask;
-        b->planes[h][bit >> 3] |= static_cast<uint8_t>(1u << (bit & 7));
+      if (b->vec_mode) {
+        if (b->num_valid_kmer == b->hash_vec_cap) {
+          if (b->hash_vec_cap >= b->vec_max) {
+            kn_spill_to_planes(b);
+          } else {
+            b->hash_vec_cap *= 2;
+            if (b->hash_vec_cap > b->vec_max) b->hash_vec_cap = b->vec_max;
+            b->hash_vec = static_cast<uint32_t*>(realloc(
+                b->hash_vec,
+                b->hash_vec_cap * kMaxPlanes * sizeof(uint32_t)));
+          }
+        }
       }
+      if (b->vec_mode) {
+        uint32_t* hv = b->hash_vec + b->num_valid_kmer * kMaxPlanes;
+        for (uint32_t h = 0; h < kMaxPlanes; ++h) hv[h] = hashes[h];
+      } else {
+        for (uint32_t h = 0; h < kMaxPlanes; ++h) {
+          const uint64_t bit = hashes[h] & b->seq_mask;
+          b->planes[h][bit >> 3] |= static_cast<uint8_t>(1u << (bit & 7));
+          const uint64_t line = bit >> 3 >> kTouchShift;
+          b->touched[h][line >> 6] |= 1ull << (line & 63);
+        }
+      }
+      ++b->num_valid_kmer;
     }
     if (v0 == mn) *c0 = static_cast<uint8_t>((*c0 & 0xf0) | (((*c0 & 0x0f) + 1) & 0x0f));
     if (v1 == mn) *c1 = static_cast<uint8_t>((*c1 & 0xf0) | (((*c1 & 0x0f) + 1) & 0x0f));
@@ -305,7 +388,7 @@ void kn_add_seq(KnBuilder* b, const char* seq, uint64_t len) {
         prefetch_byte(b->cells + (hp[1] & b->count_mask));
         prefetch_byte(b->cells + (hp[2] & b->count_mask));
         prefetch_byte(b->cells + (hp[3] & b->count_mask));
-        if (prefetch_planes) {
+        if (prefetch_planes && !b->vec_mode) {
           for (uint32_t h = 0; h < kMaxPlanes; ++h) {
             prefetch_byte(b->planes[h] + ((hp[h] & b->seq_mask) >> 3));
           }
@@ -317,15 +400,51 @@ void kn_add_seq(KnBuilder* b, const char* seq, uint64_t len) {
 }
 
 // Fold the first num_hash planes (length 2**maxL) into a 2**L filter with
-// byte-wise OR at stride (make_bloom.cpp:337-354 equivalent).
+// byte-wise OR at stride (make_bloom.cpp:337-354 equivalent). Only the
+// touched 64-byte lines are walked: untouched lines are zero and OR
+// contributes nothing, so the result is byte-identical to the reference's
+// full-plane scan while the cost scales with num_valid_kmer, not with
+// 2**max_log2_filter_len.
 void kn_fold(const KnBuilder* b, uint32_t log2_filter_len, uint32_t num_hash,
              uint8_t* out) {
   const uint64_t dst_bytes = (1ull << log2_filter_len) / 8;
+  const uint64_t dst_mask = dst_bytes - 1;  // dst_bytes is a power of two
+  const uint64_t line_bytes = 1ull << kTouchShift;
   memset(out, 0, dst_bytes);
+  if (b->vec_mode) {
+    // Vector fold: bit (hash & seq_mask) % 2**L == hash & (2**L - 1)
+    // for L <= maxL, identical to the plane fold's strided OR.
+    const uint64_t bit_mask = (1ull << log2_filter_len) - 1;
+    const uint32_t nh = num_hash < kMaxPlanes ? num_hash : kMaxPlanes;
+    for (uint64_t i = 0; i < b->num_valid_kmer; ++i) {
+      const uint32_t* hv = b->hash_vec + i * kMaxPlanes;
+      for (uint32_t h = 0; h < nh; ++h) {
+        const uint64_t bit = (hv[h] & b->seq_mask) & bit_mask;
+        out[bit >> 3] |= static_cast<uint8_t>(1u << (bit & 7));
+      }
+    }
+    return;
+  }
   for (uint32_t h = 0; h < num_hash && h < kMaxPlanes; ++h) {
     const uint8_t* src = b->planes[h];
-    for (uint64_t i = 0; i < b->plane_bytes; i += dst_bytes) {
-      for (uint64_t j = 0; j < dst_bytes; ++j) out[j] |= src[i + j];
+    const uint64_t* tw = b->touched[h];
+    for (uint64_t w = 0; w < b->touched_words; ++w) {
+      uint64_t t = tw[w];
+      while (t) {
+        const uint64_t line = (w << 6) + __builtin_ctzll(t);
+        t &= t - 1;
+        const uint64_t base = line << kTouchShift;
+        if (dst_bytes >= line_bytes && base + line_bytes <= b->plane_bytes) {
+          // base is line-aligned and dst_bytes is a multiple of the line,
+          // so (base & dst_mask) stays 8-byte aligned: OR u64 lanes.
+          uint64_t* d = reinterpret_cast<uint64_t*>(out + (base & dst_mask));
+          const uint64_t* s = reinterpret_cast<const uint64_t*>(src + base);
+          for (uint64_t j = 0; j < line_bytes / 8; ++j) d[j] |= s[j];
+        } else {
+          const uint64_t end = std::min(base + line_bytes, b->plane_bytes);
+          for (uint64_t i = base; i < end; ++i) out[i & dst_mask] |= src[i];
+        }
+      }
     }
   }
 }

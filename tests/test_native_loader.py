@@ -159,3 +159,44 @@ def test_native_scan_and_pack_match_python(tmp_path):
     assert np.array_equal(packed[1 : 1 + n], p_want)
     assert np.array_equal(valid[1 : 1 + n], v_want)
     assert not packed[0].any() and not valid[0].any()
+
+
+def test_vector_mode_and_spill_fold_parity(monkeypatch):
+    """The native builder's valid-k-mer hash vector (and its spill to the
+    reference-shaped bit planes past KWAGE_VEC_MAX_KMERS) folds to bytes
+    identical to the Python oracle at the production default maxL=32 --
+    where the reference allocates 5 x 512 MB planes per accession
+    (make_bloom.cpp:103,163) and the vector path allocates ~20 B per
+    valid k-mer instead."""
+    import numpy as np
+
+    from kwage_tpu.core import FilterInfo
+    from kwage_tpu.native import available
+    from kwage_tpu.native.fallback import PyCountingBuilder
+    from kwage_tpu.pipeline.make_bloom import BuildOptions, build_bloom_from_sequences
+
+    if not available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(7)
+    genome = "".join(rng.choice(list("ACGT"), size=20000))
+    seqs = [genome[p : p + 150] for p in rng.integers(0, 20000 - 150, size=500)]
+    opt = BuildOptions(kmer_len=31, min_kmer_count=2)  # default maxL=32
+
+    pb = PyCountingBuilder(31, 2, 20, 32)
+    for s in seqs:
+        pb.add_sequence(s)
+
+    for vec_max in (None, "500"):  # vector-only, then forced mid-stream spill
+        if vec_max is None:
+            monkeypatch.delenv("KWAGE_VEC_MAX_KMERS", raising=False)
+        else:
+            monkeypatch.setenv("KWAGE_VEC_MAX_KMERS", vec_max)
+        rec = build_bloom_from_sequences(
+            iter(seqs), opt, FilterInfo(), num_bp_hint=75000
+        )
+        want = pb.fold(rec.param.log_2_filter_len, rec.param.num_hash)
+        assert want.tobytes() == rec.bits.tobytes(), f"vec_max={vec_max}"
+    assert pb.num_valid_kmer > 500  # the spill really triggered
