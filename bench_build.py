@@ -23,7 +23,7 @@ import numpy as np
 N_ACC = int(os.environ.get("BUILD_N_ACC", "32"))
 BP = int(os.environ.get("BUILD_BP", "300000"))
 WORKERS = int(os.environ.get("BUILD_WORKERS", "4"))
-DEVICE_BATCH = int(os.environ.get("BUILD_DEVICE_BATCH", "8"))
+DEVICE_BATCH = int(os.environ.get("BUILD_DEVICE_BATCH", "16"))
 
 
 def main() -> None:
@@ -91,9 +91,9 @@ def main() -> None:
                 max_log_2_filter_len=24,
                 min_log_2_count_len=18,
                 max_log_2_count_len=24,
-                # Device mode: TWO workers pipeline host parsing/packing
-                # against batched device dispatch (fastest measured; more
-                # only contend on the one chip).
+                # Device mode: the scheduler runs its own two-stage
+                # pipeline (1 parse thread + 1 device dispatcher);
+                # num_workers only sizes the db-packing pool there.
                 num_workers=2 if device_build else WORKERS,
                 device_build=device_build,
                 device_batch=DEVICE_BATCH,

@@ -250,7 +250,11 @@ class MaestroOptions:
     # count sort and one scatter per batch amortize the host<->device
     # round trips that dominate per-accession builds (see
     # pipeline.make_bloom.build_blooms_device_batch). 1 disables.
-    device_batch: int = 8
+    # 16 measured fastest with the two-stage pipelined dispatcher
+    # (62.3 filters/s vs 58.8 at 8 and 53.1 at 32 on the bench_build
+    # workload); the two per-batch sync round trips amortize while the
+    # data-proportional term still fits the dispatch-ahead window.
+    device_batch: int = 16
     # Write zlib-chunked .dbz database files (engine extension).
     compress_db: bool = False
     # Transpose on device via the Pallas packed bit-transpose (engine
@@ -377,32 +381,42 @@ def _take_until_bp(stream, limit_bp: int) -> tuple[list[str], int, bool]:
 STREAM_BATCH_BUFFER_BP = int(os.environ.get("KWAGE_STREAM_BUFFER_BP", 8_000_000))
 
 
-def execute_bloom_batch(
+@dataclass
+class BloomBatchWork:
+    """Host-prepared batch of Bloom tasks awaiting device execution."""
+
+    out: list                 # early (status) events: failures, routed jobs
+    jobs: list                # fused-batch jobs [(source, FilterInfo)]
+    job_meta: list            # (key, accession, cleanup path) per job
+    big_streams: list         # (key, read iterator, FilterInfo): live pipes
+    prep: "object | None"     # make_bloom.DeviceBatchPrep for the fused jobs
+    t0: float
+
+
+def prepare_bloom_batch(
     tasks: list[tuple[int, str, FilterInfo, str]],
     resolver: SourceResolver,
     opt: "MaestroOptions",
-    bloom_path_fn,
     on_downloaded=None,
-) -> list[tuple[int, int, "BloomParam | None", float]]:
-    """Batched worker-side Bloom task (local threads and remote workers):
-    resolve every source, then build the whole batch in (at most) two
-    device dispatches via build_blooms_device_batch.
-
-    ``tasks`` entries are (key, accession, FilterInfo, phase); the result
-    echoes each key with (status, param, dt). ``on_downloaded(key)``
-    fires after each successful non-streaming download. Streamed sources
-    larger than STREAM_BATCH_BUFFER_BP never materialize: they build
-    through the chunked device path straight off the pipe.
-    """
+) -> BloomBatchWork:
+    """Host phase of the batched worker task: resolve/stream every
+    source and 2-bit-pack the fused block (make_bloom.prepare_device_batch).
+    No device work: safe on a parse thread while the device runs another
+    batch. ``tasks`` entries are (key, accession, FilterInfo, phase);
+    ``on_downloaded(key)`` fires after each successful non-streaming
+    download. Streamed sources larger than STREAM_BATCH_BUFFER_BP never
+    materialize -- their buffered prefix plus the live pipe are handed to
+    the device phase for a chunked build."""
     from itertools import chain
 
-    from ..pipeline.make_bloom import build_bloom_device, build_blooms_device_batch
+    from ..pipeline.make_bloom import prepare_device_batch
     from ..sriracha.sra_source import DownloadError
 
     t0 = time.time()
     out: list[tuple[int, int, BloomParam | None, float]] = []
     jobs: list[tuple[list[str] | str, FilterInfo]] = []
     job_meta: list[tuple[int, str, str | None]] = []  # (key, acc, cleanup path)
+    big_streams: list = []
     for key, acc, info, phase in tasks:
         source: list[str] | str | None = None
         path: str | None = None
@@ -418,26 +432,12 @@ def execute_bloom_batch(
                         # fused batch dispatch.
                         source = buf
                     else:
-                        # Big accession: chunked KMC-style device build
-                        # directly off the live pipe -- peak RAM is the
-                        # chunk plus the distinct-k-mer set, independent
-                        # of accession size.
-                        try:
-                            rec = build_bloom_device(
-                                chain(buf, stream), opt.build_options(), info
-                            )
-                            write_bloom_file(bloom_path_fn(key), rec)
-                            out.append((key, STATUS_BLOOM_SUCCESS, rec.param,
-                                        time.time() - t0))
-                        except DownloadError:
-                            out.append((key, STATUS_DOWNLOAD_FAIL, None,
-                                        time.time() - t0))
-                        except BloomInvalid:
-                            out.append((key, STATUS_BLOOM_INVALID, None,
-                                        time.time() - t0))
-                        except Exception:
-                            out.append((key, STATUS_BLOOM_FAIL, None,
-                                        time.time() - t0))
+                        # Big accession: hand the buffered prefix + live
+                        # pipe to the device phase for a chunked
+                        # KMC-style build -- peak RAM is the chunk plus
+                        # the distinct-k-mer set, independent of
+                        # accession size.
+                        big_streams.append((key, chain(buf, stream), info))
                         continue
             if source is None:
                 path = resolver.lookup(acc) if phase == "bloom" else resolver.resolve(acc)
@@ -458,9 +458,51 @@ def execute_bloom_batch(
         jobs.append((source, info))
         job_meta.append((key, acc, path))
 
-    if jobs:
-        recs = build_blooms_device_batch(jobs, opt.build_options())
-        for (key, acc, path), rec in zip(job_meta, recs):
+    prep = prepare_device_batch(jobs, opt.build_options()) if jobs else None
+    return BloomBatchWork(out=out, jobs=jobs, job_meta=job_meta,
+                          big_streams=big_streams, prep=prep, t0=t0)
+
+
+def finish_bloom_batch(
+    work: BloomBatchWork,
+    resolver: SourceResolver,
+    opt: "MaestroOptions",
+    bloom_path_fn,
+    handles=None,
+    state=None,
+) -> list[tuple[int, int, "BloomParam | None", float]]:
+    """Device phase of the batched worker task: run/finish the fused
+    dispatches, build any streamed big jobs off their live pipes, write
+    the .bloom files, classify every outcome. ``state`` carries an
+    already-dispatched scatter (pipelined path: the filter transfer is
+    in flight when this runs)."""
+    from ..pipeline.make_bloom import (
+        build_bloom_device,
+        complete_device_batch,
+        finish_device_batch,
+    )
+    from ..sriracha.sra_source import DownloadError
+
+    out = list(work.out)
+    t0 = work.t0
+    for key, stream, info in work.big_streams:
+        try:
+            rec = build_bloom_device(stream, opt.build_options(), info)
+            write_bloom_file(bloom_path_fn(key), rec)
+            out.append((key, STATUS_BLOOM_SUCCESS, rec.param, time.time() - t0))
+        except DownloadError:
+            out.append((key, STATUS_DOWNLOAD_FAIL, None, time.time() - t0))
+        except BloomInvalid:
+            out.append((key, STATUS_BLOOM_INVALID, None, time.time() - t0))
+        except Exception:
+            out.append((key, STATUS_BLOOM_FAIL, None, time.time() - t0))
+
+    if work.prep is not None:
+        if state is not None:
+            recs = complete_device_batch(work.prep, opt.build_options(), state)
+        else:
+            recs = finish_device_batch(work.prep, opt.build_options(), handles)
+        for (key, acc, path), rec in zip(work.job_meta, recs):
             if isinstance(rec, BloomInvalid):
                 status, param = STATUS_BLOOM_INVALID, None
             elif isinstance(rec, Exception) or rec is None:
@@ -475,6 +517,101 @@ def execute_bloom_batch(
                 resolver.cleanup(acc, path)
             out.append((key, status, param, time.time() - t0))
     return out
+
+
+def execute_bloom_batch(
+    tasks: list[tuple[int, str, FilterInfo, str]],
+    resolver: SourceResolver,
+    opt: "MaestroOptions",
+    bloom_path_fn,
+    on_downloaded=None,
+) -> list[tuple[int, int, "BloomParam | None", float]]:
+    """Batched worker-side Bloom task (remote workers and the
+    non-pipelined path): prepare + finish back to back. The local
+    device-build scheduler instead software-pipelines the two phases
+    across batches (see Maestro._run)."""
+    work = prepare_bloom_batch(tasks, resolver, opt, on_downloaded)
+    return finish_bloom_batch(work, resolver, opt, bloom_path_fn)
+
+
+class _DeviceDispatcher:
+    """Single owner of ALL device dispatches in device-build mode (one
+    chip = one resource: concurrent jit dispatch from threads contends,
+    measured 8x worse through a tunnel). Two-stage software pipeline:
+
+      stage A (batch i):  count dispatch -> nv readback -> solve ->
+                          scatter dispatch -> START async filter copy
+      stage B (batch i-1): collect the (in-flight) filter bytes, write
+                           the .bloom files, classify outcomes
+
+    The loop runs A(i) then B(i-1): batch i-1's filter transfer rides
+    under batch i's count kernel + readback wait. Dispatch ORDER keeps
+    each batch's scatter ahead of the next batch's count, so no batch's
+    critical path queues behind another's compute (the naive
+    dispatch-ahead variant did exactly that and measured SLOWER)."""
+
+    _STOP = object()
+
+    def __init__(self, maestro: "Maestro"):
+        import queue
+        import threading
+
+        self.m = maestro
+        self.q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, work: BloomBatchWork) -> Future:
+        fut: Future = Future()
+        self.q.put((work, fut))
+        return fut
+
+    def stop(self) -> None:
+        self.q.put(self._STOP)
+        self._thread.join()
+
+    def _run(self) -> None:
+        import queue
+
+        from ..pipeline.make_bloom import (
+            dispatch_device_batch,
+            scatter_device_batch,
+        )
+
+        tail = None  # (work, fut, scatter state) awaiting stage B
+        stopped = False
+        while not (stopped and tail is None):
+            item = None
+            if not stopped:
+                try:
+                    item = self.q.get(block=tail is None)
+                except queue.Empty:
+                    item = None
+            if item is self._STOP:
+                stopped = True
+                item = None
+            new_tail = None
+            if item is not None:
+                work, fut = item
+                try:
+                    state = None
+                    if work.prep is not None:
+                        opts = self.m.opt.build_options()
+                        handles = dispatch_device_batch(work.prep, opts)
+                        state = scatter_device_batch(work.prep, opts, handles)
+                    new_tail = (work, fut, state)
+                except Exception as e:  # noqa: BLE001
+                    fut.set_exception(e)
+            if tail is not None:
+                work, fut, state = tail
+                try:
+                    fut.set_result(finish_bloom_batch(
+                        work, self.m.resolver, self.m.opt, self.m.bloom_path,
+                        state=state,
+                    ))
+                except Exception as e:  # noqa: BLE001
+                    fut.set_exception(e)
+            tail = new_tail
 
 
 class _LazyInfos:
@@ -690,25 +827,35 @@ class Maestro:
         )
         return idx, status, param, time.time() - t0
 
+    def _on_downloaded_event(self, idx: int) -> None:
+        s = int(self.status[idx])
+        if not (STATUS_BLOOM_FAIL_1 <= s <= STATUS_BLOOM_FAIL_10):
+            self.status[idx] = STATUS_DOWNLOAD_SUCCESS
+
     def _process_accession_batch(
         self, items: list[tuple[int, str]]
     ) -> list[tuple[int, int, BloomParam | None, float]]:
         """Device-build worker task for a BATCH of accessions: resolve
         each source, then build every Bloom filter in (at most) two
-        device dispatches via build_blooms_device_batch."""
-
-        def on_downloaded(idx: int) -> None:
-            s = int(self.status[idx])
-            if not (STATUS_BLOOM_FAIL_1 <= s <= STATUS_BLOOM_FAIL_10):
-                self.status[idx] = STATUS_DOWNLOAD_SUCCESS
-
+        device dispatches via execute_bloom_batch (non-pipelined path)."""
         return execute_bloom_batch(
             [(idx, self.accessions[idx], self.infos[idx], phase)
              for idx, phase in items],
             self.resolver,
             self.opt,
             lambda idx: self.bloom_path(idx),
-            on_downloaded=on_downloaded,
+            on_downloaded=self._on_downloaded_event,
+        )
+
+    def _prepare_batch_host(self, items: list[tuple[int, str]]) -> BloomBatchWork:
+        """Host half of the pipelined device build (runs on the parse
+        thread while the device executes another batch)."""
+        return prepare_bloom_batch(
+            [(idx, self.accessions[idx], self.infos[idx], phase)
+             for idx, phase in items],
+            self.resolver,
+            self.opt,
+            on_downloaded=self._on_downloaded_event,
         )
 
     def _build_database(self, db_index: int, param: BloomParam,
@@ -934,6 +1081,38 @@ class Maestro:
         futures: dict[Future, str] = {}
         in_flight_db: set[int] = set()
 
+        # Pipelined device-build mode: ONE parse thread feeds host-packed
+        # batches to ONE device dispatcher with a two-deep dispatch-ahead
+        # window (measured: >2 full workers contend on the one chip, and
+        # a pool cannot overlap a batch's upload with another's readback
+        # from the same thread). Three batches in flight total.
+        pipelined = opt.device_build and opt.device_batch > 1
+        parse_pool = ThreadPoolExecutor(max_workers=1) if pipelined else None
+        dispatcher = _DeviceDispatcher(self) if pipelined else None
+        bloom_cap = 3 if pipelined else opt.num_workers
+
+        def _submit_pipelined(items: list[tuple[int, str]]) -> Future:
+            final: Future = Future()
+
+            def _chain(pf: Future, final: Future = final) -> None:
+                e = pf.exception()
+                if e is not None:
+                    final.set_exception(e)
+                    return
+                dfut = dispatcher.submit(pf.result())
+
+                def _copy(d: Future, final: Future = final) -> None:
+                    de = d.exception()
+                    if de is not None:
+                        final.set_exception(de)
+                    else:
+                        final.set_result(d.result())
+
+                dfut.add_done_callback(_copy)
+
+            parse_pool.submit(self._prepare_batch_host, items).add_done_callback(_chain)
+            return final
+
         with ThreadPoolExecutor(max_workers=opt.num_workers) as pool:
             while True:
                 # Forced flush: no fresh work left, nothing staged, all
@@ -965,9 +1144,11 @@ class Maestro:
                 # Priority 2: Bloom creation from restored downloads;
                 # priority 3: retries, then fresh work off the cursor
                 # (download+bloom merged in one task). Device builds fuse
-                # up to --device-batch accessions into one worker task.
+                # up to --device-batch accessions into one batch, fed
+                # through the parse->dispatch pipeline.
                 batch_n = opt.device_batch if opt.device_build else 1
-                while len(futures) < opt.num_workers:
+                n_bloom = sum(1 for v in futures.values() if v != "db")
+                while n_bloom < bloom_cap:
                     item = self._next_work_item()
                     if item is None:
                         break
@@ -978,11 +1159,15 @@ class Maestro:
                             if nxt is None:
                                 break
                             items.append(nxt)
-                        fut = pool.submit(self._process_accession_batch, items)
+                        if pipelined:
+                            fut = _submit_pipelined(items)
+                        else:
+                            fut = pool.submit(self._process_accession_batch, items)
                         futures[fut] = "bloom_batch"
                     else:
                         fut = pool.submit(self._process_accession, *item)
                         futures[fut] = "bloom"
+                    n_bloom += 1
 
                 if not futures:
                     # Completion condition (maestro_main.cpp:341-346):
@@ -1024,6 +1209,9 @@ class Maestro:
                 self.checkpoint()
                 self.display_status()
 
+        if pipelined:
+            dispatcher.stop()
+            parse_pool.shutdown()
         self.checkpoint(force=True)
         self.display_status(force=True)
 

@@ -322,48 +322,52 @@ def build_bloom_device(
     )
 
 
-def build_blooms_device_batch(
+@dataclass
+class DeviceBatchPrep:
+    """Host-side output of prepare_device_batch: everything the device
+    phase needs, with zero device work done yet. Lets a dispatcher
+    thread overlap the (native, GIL-released) parse/pack of batch i+1
+    with the in-flight device compute of batch i."""
+
+    jobs: list
+    results: list                     # pre-filled big-job/empty slots... (None = pending)
+    small: list                       # job indices in the fused block
+    big: list                         # job indices routed to the chunked builder
+    bp_spots: dict
+    no_long_read: set
+    packed: "np.ndarray | None"       # [rows_bucket, blen/16] uint32
+    valid_words: "np.ndarray | None"
+    acc_ids: "np.ndarray | None"
+    blen: int = 0
+    seq_cache: dict = None  # type: ignore[assignment]
+    chunk_bp: int = 8_000_000
+
+
+def _src_iter(src):
+    if isinstance(src, str):
+        from ..io.sequence import iter_sequences
+
+        return (q for _, q in iter_sequences(src))
+    return iter(src)
+
+
+def prepare_device_batch(
     jobs: list[tuple[list[str], FilterInfo]],
     opts: BuildOptions,
     chunk_bp: int = 8_000_000,
-) -> list:
-    """Batched TPU Bloom construction: MANY accessions per device dispatch.
-
-    The single-accession device path pays ~3 host<->device round trips
-    per accession (count readback, index re-upload, filter readback),
-    which dominates end-to-end build rate on PCIe/tunnel-attached hosts.
-    This path amortizes them across the whole batch:
-
-      1. ONE fused count dispatch -- a 3-key (accession, word) sort
-         segments every accession's window stream
-         over 2-bit host-packed reads
-         (ops.counting.count_kmers_device_multi_packed); only the
-         per-accession
-         distinct-k-mer counts [B] cross the link, and the sorted word
-         arrays stay device-resident;
-      2. host solves each accession's BloomParam (bloom.cpp:10-121
-         semantics, including the approximate_max_kmers abort);
-      3. ONE batched scatter per L-group builds every filter image in a
-         single pass (ops.counting.set_filter_bits_multi) and the packed
-         filters read back together.
-
-    Returns one entry per job: a BloomFilterRecord, or the Exception the
-    job raised (BloomInvalid for infeasible sizing). Jobs larger than
-    chunk_bp fall back to the chunked single-accession builder.
-
-    A job's source may be a LIST of sequences or a local FASTA/FASTQ(.gz)
-    PATH: paths parse and 2-bit-pack directly in the native library
-    (kn_scan_file/kn_pack_file) with zero intermediate Python strings --
-    the host-side parse is the pipelined device build's main host cost.
-    """
-    import jax.numpy as jnp
-
+) -> DeviceBatchPrep:
+    """Host phase of the batched device build: scan every source, route
+    oversized jobs to the chunked builder, and 2-bit-pack the rest into
+    one padded block (native kn_scan_file/kn_pack_file for paths -- zero
+    Python strings). Pure host/native work: safe to run in a parse
+    thread while the device executes another batch."""
     from ..io.sequence import FASTQ, UNKNOWN_SEQUENCE, get_file_type
     from ..native import (
         available as native_available,
         pack_file_native,
         scan_file_batch_native,
     )
+    from ..ops.kmers import pack_reads_host
 
     def _native_path(src) -> bool:
         return (
@@ -371,28 +375,15 @@ def build_blooms_device_batch(
             and native_available()
             and get_file_type(src) != UNKNOWN_SEQUENCE
         )
-    from ..ops.counting import (
-        count_kmers_device_multi_packed,
-        filter_words_to_bytes,
-        set_filter_bits_multi,
-    )
-    from ..ops.kmers import pack_reads_host
 
     k = opts.kmer_len
     results: list = [None] * len(jobs)
 
-    def _src_iter(src):
-        if isinstance(src, str):
-            from ..io.sequence import iter_sequences
-
-            return (q for _, q in iter_sequences(src))
-        return iter(src)
-
     # Scan every job: (bp, spots, long-read rows, max long-read length).
-    # Native scan for paths; Python materialization otherwise.
     scans: dict[int, tuple[int, int, int, int]] = {}
     seq_cache: dict[int, list[str]] = {}
     small: list[int] = []
+    big: list[int] = []
     for j, (src, _info) in enumerate(jobs):
         if _native_path(src):
             fmt = 1 if get_file_type(src) == FASTQ else 0
@@ -404,43 +395,32 @@ def build_blooms_device_batch(
             longs = [len(x) for x in seqs if len(x) >= k]
             rows, max_len = len(longs), max(longs, default=0)
         scans[j] = (bp, spots, rows, max_len)
-        if bp > chunk_bp:
-            try:
-                results[j] = build_bloom_device(
-                    _src_iter(seq_cache.get(j, src)), opts, jobs[j][1], chunk_bp
-                )
-            except Exception as e:  # noqa: BLE001 -- per-job fault isolation
-                results[j] = e
-        else:
-            small.append(j)
-    if not small:
-        return results
+        (big if bp > chunk_bp else small).append(j)
 
-    max_kmers = approximate_max_kmers(
-        opts.false_positive_probability,
-        opts.hash_func,
-        opts.min_log_2_filter_len,
-        opts.max_log_2_filter_len,
+    prep = DeviceBatchPrep(
+        jobs=jobs, results=results, small=small, big=big, bp_spots={},
+        no_long_read=set(), packed=None, valid_words=None, acc_ids=None,
+        seq_cache=seq_cache, chunk_bp=chunk_bp,
     )
+    if not small:
+        return prep
 
     # One padded packed block for the whole batch. Slot s = job small[s].
-    bp_spots: dict[int, tuple[int, int]] = {}
-    no_long_read: set[int] = set()
     live: list[int] = []  # slots with rows
     total_rows = 0
     max_len = k
     for s, j in enumerate(small):
         bp, spots, rows, mlen = scans[j]
-        bp_spots[j] = (bp, spots)
+        prep.bp_spots[j] = (bp, spots)
         if rows == 0:
-            no_long_read.add(j)
+            prep.no_long_read.add(j)
             results[j] = BloomInvalid("no reads of length >= k")
             continue
         live.append(s)
         total_rows += rows
         max_len = max(max_len, mlen)
     if total_rows == 0:
-        return results
+        return prep
 
     # Bucketed dims (every distinct shape is a fresh XLA compile).
     blen = max(128, -(-max_len // 128) * 128)
@@ -470,19 +450,70 @@ def build_blooms_device_batch(
             )
         acc_ids[row : row + n] = s
         row += n
+    prep.packed, prep.valid_words, prep.acc_ids = packed, valid_words, acc_ids
+    prep.blen = blen
+    return prep
+
+
+def dispatch_device_batch(prep: DeviceBatchPrep, opts: BuildOptions):
+    """Upload the packed block and dispatch the fused count kernel.
+    Returns opaque device handles (dispatch is async: the caller can
+    dispatch batch i+1 before blocking on batch i's readback), or None
+    when the batch has no fused rows."""
+    import jax.numpy as jnp
+
+    from ..ops.counting import count_kmers_device_multi_packed
+
+    if prep.packed is None:
+        return None
+    return count_kmers_device_multi_packed(
+        jnp.asarray(prep.packed), jnp.asarray(prep.valid_words),
+        jnp.asarray(prep.acc_ids),
+        opts.kmer_len, opts.min_kmer_count, len(prep.small), prep.blen,
+    )
+
+
+@dataclass
+class DeviceScatterState:
+    """Output of scatter_device_batch: per-group device filter images
+    (host transfer already started async) plus the solved params."""
+
+    params: dict              # slot -> BloomParam
+    scatters: list            # (h_slots, device packed filter words)
+    fallback_slots: list      # slots routed to the per-accession builder
+
+
+def scatter_device_batch(prep: DeviceBatchPrep, opts: BuildOptions, handles):
+    """Middle device phase: block on the count readback, solve each
+    accession's BloomParam, dispatch the batched scatters and START the
+    async device->host copy of every filter image. Returns immediately
+    after the dispatches: the caller can overlap the filter transfer
+    with the NEXT batch's count kernel before calling
+    complete_device_batch."""
+    import jax.numpy as jnp
+
+    from ..ops.counting import set_filter_bits_multi
+
+    results, small = prep.results, prep.small
+    k = opts.kmer_len
+    state = DeviceScatterState(params={}, scatters=[], fallback_slots=[])
+    if prep.packed is None:
+        return state
+    acc_s, hi_s, lo_s, selected, num_valid = handles
+    num_valid = np.asarray(num_valid)
     num_acc = len(small)
 
-    acc_s, hi_s, lo_s, selected, num_valid = count_kmers_device_multi_packed(
-        jnp.asarray(packed), jnp.asarray(valid_words), jnp.asarray(acc_ids),
-        k, opts.min_kmer_count, num_acc, blen,
+    max_kmers = approximate_max_kmers(
+        opts.false_positive_probability,
+        opts.hash_func,
+        opts.min_log_2_filter_len,
+        opts.max_log_2_filter_len,
     )
-    num_valid = np.asarray(num_valid)
 
     # Host: per-accession adaptive sizing; group accessions by chosen L.
     groups: dict[int, list[int]] = {}  # log2_filter_len -> slots
-    params: dict[int, BloomParam] = {}
     for s, j in enumerate(small):
-        if j in no_long_read:
+        if j in prep.no_long_read:
             continue
         nv = int(num_valid[s])
         if nv > max_kmers:
@@ -498,25 +529,18 @@ def build_blooms_device_batch(
         except ValueError as e:
             results[j] = BloomInvalid(str(e))
             continue
-        params[s] = p
+        state.params[s] = p
         groups.setdefault(p.log_2_filter_len, []).append(s)
 
     for log2_L, slots in sorted(groups.items()):
         if num_acc << log2_L >= 1 << 31:
             # int32 flat-index headroom: fall back per accession.
-            for s in slots:
-                j = small[s]
-                try:
-                    results[j] = build_bloom_device(
-                        _src_iter(jobs[j][0]), opts, jobs[j][1], chunk_bp
-                    )
-                except Exception as e:  # noqa: BLE001
-                    results[j] = e
+            state.fallback_slots.extend(slots)
             continue
         # num_hash may differ within an L-group; scatter per num_hash.
         by_h: dict[int, list[int]] = {}
         for s in slots:
-            by_h.setdefault(params[s].num_hash, []).append(s)
+            by_h.setdefault(state.params[s].num_hash, []).append(s)
         for nh, h_slots in sorted(by_h.items()):
             slot_of_acc = np.full(num_acc + 1, -1, dtype=np.int32)
             for s in h_slots:
@@ -528,25 +552,110 @@ def build_blooms_device_batch(
             compact = 1 << max(int(np.ceil(np.log2(max(total_sel, 1)))), 10)
             if compact >= acc_s.shape[0]:
                 compact = 0
-            packed = set_filter_bits_multi(
+            packed_dev = set_filter_bits_multi(
                 acc_s, hi_s, lo_s, selected, jnp.asarray(slot_of_acc),
                 k, nh, log2_L, num_acc, compact,
             )
-            packed = np.asarray(packed)
-            for s in h_slots:
-                j = small[s]
-                bits = filter_words_to_bytes(packed[s])
-                info = jobs[j][1]
-                num_bp, num_spots = bp_spots[j]
-                info.number_of_bases = info.number_of_bases or num_bp
-                info.number_of_spots = info.number_of_spots or num_spots
-                results[j] = BloomFilterRecord(
-                    param=params[s],
-                    crc32=zlib.crc32(bits.tobytes()) & 0xFFFFFFFF,
-                    info=info,
-                    bits=bits,
-                )
+            try:
+                packed_dev.copy_to_host_async()
+            except Exception:  # pragma: no cover - backend without async copy
+                pass
+            state.scatters.append((h_slots, packed_dev))
+    return state
+
+
+def complete_device_batch(
+    prep: DeviceBatchPrep, opts: BuildOptions, state: DeviceScatterState
+) -> list:
+    """Final phase: collect the (already in-flight) filter transfers,
+    assemble the records, and build the chunked big/fallback jobs."""
+    from ..ops.counting import filter_words_to_bytes
+
+    jobs, results, small = prep.jobs, prep.results, prep.small
+    chunk_bp = prep.chunk_bp
+    for j in prep.big:
+        try:
+            results[j] = build_bloom_device(
+                _src_iter(prep.seq_cache.get(j, jobs[j][0])), opts,
+                jobs[j][1], chunk_bp,
+            )
+        except Exception as e:  # noqa: BLE001 -- per-job fault isolation
+            results[j] = e
+    for s in state.fallback_slots:
+        j = small[s]
+        try:
+            results[j] = build_bloom_device(
+                _src_iter(jobs[j][0]), opts, jobs[j][1], chunk_bp
+            )
+        except Exception as e:  # noqa: BLE001
+            results[j] = e
+
+    for h_slots, packed_dev in state.scatters:
+        packed = np.asarray(packed_dev)
+        for s in h_slots:
+            j = small[s]
+            bits = filter_words_to_bytes(packed[s])
+            info = jobs[j][1]
+            num_bp, num_spots = prep.bp_spots[j]
+            info.number_of_bases = info.number_of_bases or num_bp
+            info.number_of_spots = info.number_of_spots or num_spots
+            results[j] = BloomFilterRecord(
+                param=state.params[s],
+                crc32=zlib.crc32(bits.tobytes()) & 0xFFFFFFFF,
+                info=info,
+                bits=bits,
+            )
     return results
+
+
+def finish_device_batch(
+    prep: DeviceBatchPrep, opts: BuildOptions, handles=None
+) -> list:
+    """Device phase tail: scatter + complete back to back (the
+    non-pipelined path; the pipelined dispatcher interleaves the two
+    stages across batches so each batch's filter transfer hides under
+    the next batch's count kernel)."""
+    if prep.packed is not None and handles is None:
+        handles = dispatch_device_batch(prep, opts)
+    state = scatter_device_batch(prep, opts, handles)
+    return complete_device_batch(prep, opts, state)
+
+
+def build_blooms_device_batch(
+    jobs: list[tuple[list[str], FilterInfo]],
+    opts: BuildOptions,
+    chunk_bp: int = 8_000_000,
+) -> list:
+    """Batched TPU Bloom construction: MANY accessions per device dispatch.
+
+    The single-accession device path pays ~3 host<->device round trips
+    per accession (count readback, index re-upload, filter readback),
+    which dominates end-to-end build rate on PCIe/tunnel-attached hosts.
+    This path amortizes them across the whole batch:
+
+      1. ONE fused count dispatch -- a 3-key (accession, word) sort
+         segments every accession's window stream over 2-bit host-packed
+         reads (ops.counting.count_kmers_device_multi_packed); only the
+         per-accession distinct-k-mer counts [B] cross the link, and the
+         sorted word arrays stay device-resident;
+      2. host solves each accession's BloomParam (bloom.cpp:10-121
+         semantics, including the approximate_max_kmers abort);
+      3. ONE batched scatter per L-group builds every filter image in a
+         single pass (ops.counting.set_filter_bits_multi) and the packed
+         filters read back together.
+
+    Returns one entry per job: a BloomFilterRecord, or the Exception the
+    job raised (BloomInvalid for infeasible sizing). Jobs larger than
+    chunk_bp fall back to the chunked single-accession builder.
+
+    A job's source may be a LIST of sequences or a local FASTA/FASTQ(.gz)
+    PATH: paths parse and 2-bit-pack directly in the native library
+    (kn_scan_file/kn_pack_file) with zero intermediate Python strings.
+    Decomposed into prepare_device_batch (host) + dispatch_device_batch +
+    finish_device_batch (device) so a dispatcher can software-pipeline
+    batches (see parallel.maestro's device-build mode).
+    """
+    return finish_device_batch(prepare_device_batch(jobs, opts, chunk_bp), opts)
 
 
 def build_bloom_from_file(
