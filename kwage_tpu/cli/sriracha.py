@@ -192,7 +192,12 @@ def main(argv: list[str] | None = None) -> int:
                     # (--slice/--of needs the total read count up front,
                     # so sliced runs still materialize below.)
                     from ..sriracha.engine import StreamStats as _SS, search_reads
-                    from ..sriracha.device import search_reads_device
+
+                    if opt.use_device:
+                        # Lazy: importing the device module initializes
+                        # the jax backend -- never pay that for a host
+                        # search.
+                        from ..sriracha.device import search_reads_device
 
                     attempt = 0
                     while True:

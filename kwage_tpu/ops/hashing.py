@@ -13,11 +13,17 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-_C1 = jnp.uint32(0xCC9E2D51)
-_C2 = jnp.uint32(0x1B873593)
-_C3 = jnp.uint32(0xE6546B64)
-_F1 = jnp.uint32(0x85EBCA6B)
-_F2 = jnp.uint32(0xC2B2AE35)
+# numpy scalars, NOT jnp: a jnp scalar at module scope initializes the
+# jax backend at import time (10+ s tunnel handshake on this box -- and a
+# hang when the tunnel is flaky) for every CLI that merely imports the
+# package. numpy uint32 scalars promote identically inside traced code.
+import numpy as _np
+
+_C1 = _np.uint32(0xCC9E2D51)
+_C2 = _np.uint32(0x1B873593)
+_C3 = _np.uint32(0xE6546B64)
+_F1 = _np.uint32(0x85EBCA6B)
+_F2 = _np.uint32(0xC2B2AE35)
 
 
 def _rotl(x, r: int):

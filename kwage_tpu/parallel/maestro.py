@@ -590,25 +590,32 @@ class _DeviceDispatcher:
             if item is self._STOP:
                 stopped = True
                 item = None
+            trace = os.environ.get("KWAGE_PIPE_TRACE") == "1"
             new_tail = None
             if item is not None:
                 work, fut = item
                 try:
+                    t0 = time.perf_counter()
                     state = None
                     if work.prep is not None:
                         opts = self.m.opt.build_options()
                         handles = dispatch_device_batch(work.prep, opts)
                         state = scatter_device_batch(work.prep, opts, handles)
+                    if trace:
+                        print(f"[pipe] stageA {1e3 * (time.perf_counter() - t0):.1f} ms")
                     new_tail = (work, fut, state)
                 except Exception as e:  # noqa: BLE001
                     fut.set_exception(e)
             if tail is not None:
                 work, fut, state = tail
                 try:
+                    t0 = time.perf_counter()
                     fut.set_result(finish_bloom_batch(
                         work, self.m.resolver, self.m.opt, self.m.bloom_path,
                         state=state,
                     ))
+                    if trace:
+                        print(f"[pipe] stageB {1e3 * (time.perf_counter() - t0):.1f} ms")
                 except Exception as e:  # noqa: BLE001
                     fut.set_exception(e)
             tail = new_tail

@@ -30,7 +30,9 @@ import numpy as np
 from ..ops.kmers import canonical_kmers_device
 from .engine import SearchMatch, SrirachaOptions, StreamStats
 
-_SENTINEL = jnp.uint32(0xFFFFFFFF)
+# numpy scalar: a jnp scalar at module scope would initialize the jax
+# backend at import time (see ops/hashing.py).
+_SENTINEL = np.uint32(0xFFFFFFFF)
 MAX_DEVICE_K = 32
 
 

@@ -154,7 +154,27 @@ def stream_accession(accession: str):
     exit raises a classified DownloadError -- after any partial yield,
     the caller's retry loop restarts the whole accession, matching the
     reference's per-accession retry (SriRachA/main.cpp:401-445).
+
+    When libncbi-vdb is present (see sriracha/vdb.py), reads stream
+    through direct VDB cursors instead of the toolkit pipe -- the
+    reference's exact access path (sra_stream.cpp:90-413). Same yield
+    contract, same status classification. Set KWAGE_NO_VDB=1 to force
+    the pipe.
     """
+    if os.environ.get("KWAGE_NO_VDB") != "1":
+        from . import vdb
+
+        if vdb.available():
+            n = 0
+            for item in vdb.stream_accession_vdb(accession):
+                n += 1
+                yield item
+            if n == 0:
+                raise DownloadError(
+                    SRA_DOWNLOAD_FILE_READ_ERROR,
+                    f"no reads streamed for {accession}",
+                )
+            return
     fasterq = _find_fasterq()
     proc = subprocess.Popen(
         [fasterq, "--split-spot", "--stdout", accession],

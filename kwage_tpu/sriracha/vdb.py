@@ -1,0 +1,309 @@
+"""Direct NCBI VDB cursor streaming via ctypes (no toolkit subprocess).
+
+The reference streams `.sra` records through the VDB C API
+(SriRachA/sra_stream.cpp:90-413): resolve the accession's path type,
+open the database's SEQUENCE table (or the flat table), create a cached
+read cursor with READ + READ_LEN columns, and walk the row range calling
+the per-read function once per FRAGMENT with (row id, 1-based subindex).
+This module binds that exact call sequence against a real
+``libncbi-vdb`` shared library when one is present; when it is not, the
+engine falls back to the fasterq-dump pipe (sra_source.stream_accession)
+which has the same yield contract.
+
+Gating: ``available()`` is True when a library is found via
+$KWAGE_VDB_LIB or ctypes.util.find_library("ncbi-vdb"). The KPathType
+constants grew over ncbi-vdb releases (kfs/defs.h + kdb/manager.h);
+defaults below match current releases and can be pinned with
+$KWAGE_VDB_KPT_DATABASE / _TABLE / _PRERELEASE for older installs.
+
+Error classification mirrors sra_stream.cpp:
+  open/manager failures -> network (retryable); unknown path type ->
+  controlled access; per-cell read failures retry MAX_RETRY times with a
+  1 s sleep before becoming cell-data errors.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import os
+import time
+
+from .sra_source import (
+    SRA_DOWNLOAD_ADD_COLUMN_READ_ERROR,
+    SRA_DOWNLOAD_ADD_COLUMN_READ_LEN_ERROR,
+    SRA_DOWNLOAD_CELL_DATA_ERROR,
+    SRA_DOWNLOAD_CONTROLLED_ACCESS,
+    SRA_DOWNLOAD_CREATE_CURSOR_ERROR,
+    SRA_DOWNLOAD_CURSOR_OPEN_ERROR,
+    SRA_DOWNLOAD_LIST_TABLE_ERROR,
+    SRA_DOWNLOAD_NAME_LIST_ERROR,
+    SRA_DOWNLOAD_NETWORK_FAILURE,
+    SRA_DOWNLOAD_READ_FORMAT_ERROR,
+    SRA_DOWNLOAD_VDB_ERROR,
+    DownloadError,
+)
+
+MAX_RETRY = 3                      # sra_stream.cpp:37
+DEFAULT_CURSOR_CACHE = 0           # sra_stream.cpp:69 (0 MB, tuned there)
+
+# KPathType (kfs/defs.h) + KDB extensions (kdb/manager.h). kptAlias is a
+# flag bit cleared before dispatch (sra_stream.cpp:111).
+KPT_NOTFOUND = 0
+KPT_ALIAS = 128
+KPT_DATABASE = int(os.environ.get("KWAGE_VDB_KPT_DATABASE", "12"))
+KPT_TABLE = int(os.environ.get("KWAGE_VDB_KPT_TABLE", "13"))
+KPT_PRERELEASE_TBL = int(os.environ.get("KWAGE_VDB_KPT_PRERELEASE", "17"))
+
+_LIB: "ctypes.CDLL | None | bool" = None  # False = probed and absent
+
+
+def _find_lib_path() -> str | None:
+    env = os.environ.get("KWAGE_VDB_LIB")
+    if env:
+        return env if os.path.exists(env) else None
+    return ctypes.util.find_library("ncbi-vdb")
+
+
+def _load():
+    global _LIB
+    if _LIB is None:
+        path = _find_lib_path()
+        if path is None:
+            _LIB = False
+        else:
+            try:
+                lib = ctypes.CDLL(path)
+                _bind(lib)
+                _LIB = lib
+            except OSError:
+                _LIB = False
+    return _LIB or None
+
+
+def available() -> bool:
+    """True when a loadable libncbi-vdb with the cursor API is present."""
+    return _load() is not None
+
+
+_REQUIRED = (
+    "VDBManagerMakeRead", "VDBManagerPathType", "VDBManagerOpenDBRead",
+    "VDBManagerOpenTableRead", "VDBManagerRelease",
+    "VDatabaseOpenTableRead", "VDatabaseListTbl", "VDatabaseRelease",
+    "VTableCreateCachedCursorRead", "VTableRelease",
+    "VCursorAddColumn", "VCursorOpen", "VCursorIdRange",
+    "VCursorCellDataDirect", "VCursorRelease",
+    "KNamelistCount", "KNamelistGet", "KNamelistRelease",
+)
+
+
+def _bind(lib: ctypes.CDLL) -> None:
+    for name in _REQUIRED:
+        getattr(lib, name)  # raises AttributeError -> OSError path above
+    u32, u64 = ctypes.c_uint32, ctypes.c_uint64
+    vp, vpp = ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p)
+    lib.VDBManagerMakeRead.restype = u32
+    lib.VDBManagerMakeRead.argtypes = [vpp, vp]
+    lib.VDBManagerPathType.restype = ctypes.c_int   # varargs: leave loose
+    lib.VDBManagerRelease.restype = u32
+    lib.VDBManagerRelease.argtypes = [vp]
+    lib.VDBManagerOpenDBRead.restype = u32          # varargs
+    lib.VDBManagerOpenTableRead.restype = u32       # varargs
+    lib.VDatabaseOpenTableRead.restype = u32        # varargs
+    lib.VDatabaseListTbl.restype = u32
+    lib.VDatabaseListTbl.argtypes = [vp, vpp]
+    lib.VDatabaseRelease.restype = u32
+    lib.VDatabaseRelease.argtypes = [vp]
+    lib.VTableCreateCachedCursorRead.restype = u32
+    lib.VTableCreateCachedCursorRead.argtypes = [vp, vpp, ctypes.c_size_t]
+    lib.VTableRelease.restype = u32
+    lib.VTableRelease.argtypes = [vp]
+    lib.VCursorAddColumn.restype = u32              # varargs
+    lib.VCursorOpen.restype = u32
+    lib.VCursorOpen.argtypes = [vp]
+    lib.VCursorIdRange.restype = u32
+    lib.VCursorIdRange.argtypes = [
+        vp, u32, ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(u64)
+    ]
+    lib.VCursorCellDataDirect.restype = u32
+    lib.VCursorCellDataDirect.argtypes = [
+        vp, ctypes.c_int64, u32, ctypes.POINTER(u32), vpp,
+        ctypes.POINTER(u32), ctypes.POINTER(u32),
+    ]
+    lib.VCursorRelease.restype = u32
+    lib.VCursorRelease.argtypes = [vp]
+    lib.KNamelistCount.restype = u32
+    lib.KNamelistCount.argtypes = [vp, ctypes.POINTER(u32)]
+    lib.KNamelistGet.restype = u32
+    lib.KNamelistGet.argtypes = [vp, u32, ctypes.POINTER(ctypes.c_char_p)]
+    lib.KNamelistRelease.restype = u32
+    lib.KNamelistRelease.argtypes = [vp]
+
+
+def _retry_sleep() -> float:
+    return float(os.environ.get("KWAGE_VDB_RETRY_SLEEP", "1.0"))
+
+
+def _cell(lib, cur, row, col_id, status_on_fail):
+    """VCursorCellDataDirect with the reference's per-call retry loop
+    (sra_stream.cpp:281-308): MAX_RETRY 1 s sleeps before giving up."""
+    elem_bits = ctypes.c_uint32()
+    base = ctypes.c_void_p()
+    boff = ctypes.c_uint32()
+    row_len = ctypes.c_uint32()
+    rc = lib.VCursorCellDataDirect(
+        cur, row, col_id, ctypes.byref(elem_bits), ctypes.byref(base),
+        ctypes.byref(boff), ctypes.byref(row_len))
+    retry = 0
+    while rc and retry < MAX_RETRY:
+        time.sleep(_retry_sleep())
+        rc = lib.VCursorCellDataDirect(
+            cur, row, col_id, ctypes.byref(elem_bits), ctypes.byref(base),
+            ctypes.byref(boff), ctypes.byref(row_len))
+        retry += 1
+    if rc:
+        raise DownloadError(status_on_fail,
+                            f"VCursorCellDataDirect failed for row {row}")
+    return elem_bits.value, base, boff.value, row_len.value
+
+
+def _stream_table(lib, tbl, rank: int, ntasks: int):
+    """The shared cursor walk of stream_sra_db_seq / stream_flat_seq
+    (sra_stream.cpp:221-413,525+): cached cursor, READ + READ_LEN
+    columns, per-rank row slice, per-fragment yields."""
+    from .engine import assign_read_range
+
+    cur = ctypes.c_void_p()
+    if lib.VTableCreateCachedCursorRead(
+            tbl, ctypes.byref(cur), DEFAULT_CURSOR_CACHE):
+        raise DownloadError(SRA_DOWNLOAD_CREATE_CURSOR_ERROR,
+                            "VTableCreateCachedCursorRead failed")
+    try:
+        read_col = ctypes.c_uint32()
+        if lib.VCursorAddColumn(cur, ctypes.byref(read_col), b"READ"):
+            raise DownloadError(SRA_DOWNLOAD_ADD_COLUMN_READ_ERROR,
+                                "VCursorAddColumn(READ) failed")
+        len_col = ctypes.c_uint32()
+        if lib.VCursorAddColumn(cur, ctypes.byref(len_col), b"READ_LEN"):
+            raise DownloadError(SRA_DOWNLOAD_ADD_COLUMN_READ_LEN_ERROR,
+                                "VCursorAddColumn(READ_LEN) failed")
+        if lib.VCursorOpen(cur):
+            raise DownloadError(SRA_DOWNLOAD_CURSOR_OPEN_ERROR,
+                                "VCursorOpen failed")
+        first = ctypes.c_int64()
+        count = ctypes.c_uint64()
+        if lib.VCursorIdRange(cur, read_col, ctypes.byref(first),
+                              ctypes.byref(count)) or first.value < 0:
+            raise DownloadError(SRA_DOWNLOAD_VDB_ERROR,
+                                "VCursorIdRange failed")
+        start, stop = assign_read_range(
+            first.value, count.value, rank, ntasks)
+        for row in range(start, stop):
+            elem_bits, base, boff, seq_len = _cell(
+                lib, cur, row, read_col.value, SRA_DOWNLOAD_CELL_DATA_ERROR)
+            if elem_bits != 8 or boff != 0:
+                raise DownloadError(SRA_DOWNLOAD_READ_FORMAT_ERROR,
+                                    f"READ cell format row {row}")
+            seq = ctypes.string_at(base, seq_len).decode("ascii", "replace")
+            elem_bits, lbase, boff, n_frag = _cell(
+                lib, cur, row, len_col.value, SRA_DOWNLOAD_CELL_DATA_ERROR)
+            if elem_bits != 32 or boff != 0:
+                raise DownloadError(SRA_DOWNLOAD_READ_FORMAT_ERROR,
+                                    f"READ_LEN cell format row {row}")
+            lens = ctypes.cast(
+                lbase, ctypes.POINTER(ctypes.c_uint32 * n_frag)
+            ).contents[:] if n_frag else []
+            # Per-fragment split (sra_stream.cpp:358-377): 1-based
+            # subindex; fastq_iter.c semantics allow sum(lens) != len.
+            pos = 0
+            for i, flen in enumerate(lens):
+                yield row, i + 1, seq[pos:pos + flen]
+                pos += flen
+    finally:
+        lib.VCursorRelease(cur)
+
+
+def _db_has_sequence_table(lib, db) -> bool:
+    """contains(tables, "SEQUENCE") (sra_stream.cpp:145-162,213-218)."""
+    kl = ctypes.c_void_p()
+    if lib.VDatabaseListTbl(db, ctypes.byref(kl)):
+        raise DownloadError(SRA_DOWNLOAD_LIST_TABLE_ERROR,
+                            "VDatabaseListTbl failed")
+    try:
+        n = ctypes.c_uint32()
+        if lib.KNamelistCount(kl, ctypes.byref(n)):
+            raise DownloadError(SRA_DOWNLOAD_NAME_LIST_ERROR,
+                                "KNamelistCount failed")
+        for i in range(n.value):
+            name = ctypes.c_char_p()
+            if lib.KNamelistGet(kl, i, ctypes.byref(name)):
+                raise DownloadError(SRA_DOWNLOAD_NAME_LIST_ERROR,
+                                    "KNamelistGet failed")
+            if name.value == b"SEQUENCE":
+                return True
+        return False
+    finally:
+        lib.KNamelistRelease(kl)
+
+
+def stream_accession_vdb(accession: str, rank: int = 0, ntasks: int = 1):
+    """Yield (read_index, read_subindex, seq) per fragment straight off
+    VDB cursors -- the reference's sra_stream() dispatch
+    (sra_stream.cpp:90-211): path type (with kptNotFound retries), then
+    database/SEQUENCE-table or flat-table cursor streaming. Raises
+    DownloadError with the reference's status classes."""
+    lib = _load()
+    if lib is None:
+        raise DownloadError(SRA_DOWNLOAD_VDB_ERROR, "libncbi-vdb not found")
+
+    mgr = ctypes.c_void_p()
+    if lib.VDBManagerMakeRead(ctypes.byref(mgr), None):
+        raise DownloadError(SRA_DOWNLOAD_NETWORK_FAILURE,
+                            "VDBManagerMakeRead failed")
+    try:
+        acc = accession.encode()
+        path_type = lib.VDBManagerPathType(mgr, b"%s", acc) & ~KPT_ALIAS
+        retry = 0
+        while path_type == KPT_NOTFOUND and retry < MAX_RETRY:
+            time.sleep(_retry_sleep())
+            path_type = lib.VDBManagerPathType(mgr, b"%s", acc) & ~KPT_ALIAS
+            retry += 1
+
+        if path_type == KPT_DATABASE:
+            db = ctypes.c_void_p()
+            if lib.VDBManagerOpenDBRead(mgr, ctypes.byref(db), None,
+                                        b"%s", acc):
+                raise DownloadError(SRA_DOWNLOAD_NETWORK_FAILURE,
+                                    "VDBManagerOpenDBRead failed")
+            try:
+                if not _db_has_sequence_table(lib, db):
+                    raise DownloadError(SRA_DOWNLOAD_VDB_ERROR,
+                                        "no SEQUENCE table")
+                tbl = ctypes.c_void_p()
+                if lib.VDatabaseOpenTableRead(db, ctypes.byref(tbl),
+                                              b"%s", b"SEQUENCE"):
+                    raise DownloadError(SRA_DOWNLOAD_NETWORK_FAILURE,
+                                        "VDatabaseOpenTableRead failed")
+                try:
+                    yield from _stream_table(lib, tbl, rank, ntasks)
+                finally:
+                    lib.VTableRelease(tbl)
+            finally:
+                lib.VDatabaseRelease(db)
+        elif path_type in (KPT_TABLE, KPT_PRERELEASE_TBL):
+            tbl = ctypes.c_void_p()
+            if lib.VDBManagerOpenTableRead(mgr, ctypes.byref(tbl), None,
+                                           b"%s", acc):
+                raise DownloadError(SRA_DOWNLOAD_NETWORK_FAILURE,
+                                    "VDBManagerOpenTableRead failed")
+            try:
+                yield from _stream_table(lib, tbl, rank, ntasks)
+            finally:
+                lib.VTableRelease(tbl)
+        else:
+            # Invalid path type: most likely an unauthorized record
+            # (sra_stream.cpp:200-204).
+            raise DownloadError(SRA_DOWNLOAD_CONTROLLED_ACCESS,
+                                f"path type {path_type} for {accession}")
+    finally:
+        lib.VDBManagerRelease(mgr)

@@ -1,0 +1,237 @@
+// Mock libncbi-vdb for testing the ctypes cursor binding
+// (kwage_tpu/sriracha/vdb.py) without the real library.
+//
+// Serves canned per-accession read data from $FAKE_VDB_DIR/<acc>.vdb:
+// one line per spot, fragments separated by '|'. Marker files:
+//   <acc>.flat       -> PathType reports a flat table (kptTable)
+//   <acc>.controlled -> PathType reports kptFile (unauthorized branch)
+//   <acc>.flaky      -> first PathType call returns kptNotFound
+//   <acc>.cellflaky  -> first VCursorCellDataDirect per row fails once
+//
+// The exported surface matches the subset of the VDB C API the binding
+// (and the reference's sra_stream.cpp) uses; rc_t 0 = OK.
+
+#include <cstdarg>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <fstream>
+#include <map>
+#include <set>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Accession {
+  std::string name;
+  std::vector<std::string> spot_seq;                 // concatenated fragments
+  std::vector<std::vector<uint32_t>> spot_lens;      // per-fragment lengths
+};
+
+std::string data_dir() {
+  const char* d = getenv("FAKE_VDB_DIR");
+  return d ? d : ".";
+}
+
+bool marker(const std::string& acc, const char* suffix) {
+  std::ifstream f(data_dir() + "/" + acc + suffix);
+  return f.good();
+}
+
+bool load(const std::string& acc, Accession* out) {
+  std::ifstream f(data_dir() + "/" + acc + ".vdb");
+  if (!f.good()) return false;
+  out->name = acc;
+  std::string line;
+  while (std::getline(f, line)) {
+    if (line.empty()) continue;
+    std::string seq;
+    std::vector<uint32_t> lens;
+    size_t start = 0;
+    while (start <= line.size()) {
+      size_t bar = line.find('|', start);
+      std::string frag = line.substr(
+          start, bar == std::string::npos ? std::string::npos : bar - start);
+      seq += frag;
+      lens.push_back(static_cast<uint32_t>(frag.size()));
+      if (bar == std::string::npos) break;
+      start = bar + 1;
+    }
+    out->spot_seq.push_back(seq);
+    out->spot_lens.push_back(lens);
+  }
+  return true;
+}
+
+struct Cursor {
+  Accession acc;
+  bool open = false;
+  std::set<int64_t> cell_failed_once;  // rows that already failed once
+};
+
+struct Handle {            // manager / db / table all carry the accession
+  std::string acc;
+};
+
+std::map<std::string, int> path_type_calls;
+
+const int kMockDatabase = 12;
+const int kMockTable = 13;
+
+const char* va_path(const char* fmt, va_list ap) {
+  // The API is printf-style; both the reference and the binding pass
+  // ("%s", accession).
+  if (fmt && std::strcmp(fmt, "%s") == 0) return va_arg(ap, const char*);
+  return fmt;
+}
+
+}  // namespace
+
+extern "C" {
+
+uint32_t VDBManagerMakeRead(void** mgr, void*) {
+  *mgr = new Handle();
+  return 0;
+}
+uint32_t VDBManagerRelease(void* mgr) {
+  delete static_cast<Handle*>(mgr);
+  return 0;
+}
+
+int VDBManagerPathType(void*, const char* fmt, ...) {
+  va_list ap;
+  va_start(ap, fmt);
+  std::string acc = va_path(fmt, ap);
+  va_end(ap);
+  if (marker(acc, ".flaky") && path_type_calls[acc]++ == 0) return 0;
+  if (marker(acc, ".controlled")) return 2;  // kptFile -> default branch
+  Accession a;
+  if (!load(acc, &a)) return 0;              // kptNotFound
+  return marker(acc, ".flat") ? kMockTable : kMockDatabase;
+}
+
+uint32_t VDBManagerOpenDBRead(void* mgr, void** db, void*, const char* fmt,
+                              ...) {
+  va_list ap;
+  va_start(ap, fmt);
+  std::string acc = va_path(fmt, ap);
+  va_end(ap);
+  auto* h = new Handle();
+  h->acc = acc;
+  *db = h;
+  return 0;
+}
+uint32_t VDatabaseRelease(void* db) {
+  delete static_cast<Handle*>(db);
+  return 0;
+}
+
+uint32_t VDBManagerOpenTableRead(void* mgr, void** tbl, void*,
+                                 const char* fmt, ...) {
+  va_list ap;
+  va_start(ap, fmt);
+  std::string acc = va_path(fmt, ap);
+  va_end(ap);
+  auto* h = new Handle();
+  h->acc = acc;
+  *tbl = h;
+  return 0;
+}
+uint32_t VDatabaseOpenTableRead(void* db, void** tbl, const char* fmt, ...) {
+  va_list ap;
+  va_start(ap, fmt);
+  std::string name = va_path(fmt, ap);
+  va_end(ap);
+  if (name != "SEQUENCE") return 1;
+  auto* h = new Handle();
+  h->acc = static_cast<Handle*>(db)->acc;
+  *tbl = h;
+  return 0;
+}
+uint32_t VTableRelease(void* tbl) {
+  delete static_cast<Handle*>(tbl);
+  return 0;
+}
+
+// Namelist: always exactly {"SEQUENCE"} for a database.
+uint32_t VDatabaseListTbl(void*, void** kl) {
+  *kl = new Handle();
+  return 0;
+}
+uint32_t KNamelistCount(void*, uint32_t* n) {
+  *n = 1;
+  return 0;
+}
+uint32_t KNamelistGet(void*, uint32_t i, const char** name) {
+  if (i != 0) return 1;
+  *name = "SEQUENCE";
+  return 0;
+}
+uint32_t KNamelistRelease(void* kl) {
+  delete static_cast<Handle*>(kl);
+  return 0;
+}
+
+uint32_t VTableCreateCachedCursorRead(void* tbl, void** cur, size_t) {
+  auto* c = new Cursor();
+  if (!load(static_cast<Handle*>(tbl)->acc, &c->acc)) {
+    delete c;
+    return 1;
+  }
+  *cur = c;
+  return 0;
+}
+uint32_t VCursorRelease(void* cur) {
+  delete static_cast<Cursor*>(cur);
+  return 0;
+}
+uint32_t VCursorAddColumn(void* cur, uint32_t* id, const char* fmt, ...) {
+  va_list ap;
+  va_start(ap, fmt);
+  std::string name = va_path(fmt, ap);
+  va_end(ap);
+  if (name == "READ") { *id = 1; return 0; }
+  if (name == "READ_LEN") { *id = 2; return 0; }
+  return 1;
+}
+uint32_t VCursorOpen(void* cur) {
+  static_cast<Cursor*>(cur)->open = true;
+  return 0;
+}
+uint32_t VCursorIdRange(void* cur, uint32_t, int64_t* first,
+                        uint64_t* count) {
+  auto* c = static_cast<Cursor*>(cur);
+  *first = 1;  // VDB row ids are 1-based
+  *count = c->acc.spot_seq.size();
+  return 0;
+}
+uint32_t VCursorCellDataDirect(void* cur, int64_t row, uint32_t col,
+                               uint32_t* elem_bits, void** base,
+                               uint32_t* boff, uint32_t* row_len) {
+  auto* c = static_cast<Cursor*>(cur);
+  if (row < 1 || row > static_cast<int64_t>(c->acc.spot_seq.size())) return 1;
+  if (marker(c->acc.name, ".cellflaky") &&
+      c->cell_failed_once.insert(row * 10 + col).second) {
+    return 1;  // transient failure: the binding must retry
+  }
+  const size_t i = static_cast<size_t>(row - 1);
+  if (col == 1) {
+    *elem_bits = 8;
+    *base = const_cast<char*>(c->acc.spot_seq[i].data());
+    *boff = 0;
+    *row_len = static_cast<uint32_t>(c->acc.spot_seq[i].size());
+    return 0;
+  }
+  if (col == 2) {
+    *elem_bits = 32;
+    *base = c->acc.spot_lens[i].data();
+    *boff = 0;
+    *row_len = static_cast<uint32_t>(c->acc.spot_lens[i].size());
+    return 0;
+  }
+  return 1;
+}
+
+}  // extern "C"

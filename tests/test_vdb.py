@@ -1,0 +1,159 @@
+"""Direct NCBI VDB cursor streaming (sriracha/vdb.py) driven against a
+mock libncbi-vdb compiled from tests/data/mock_vdb.cpp. The ctypes call
+sequence, per-fragment numbering, retry loops and status classification
+are all real; only the library under them is canned."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+MOCK_SRC = os.path.join(os.path.dirname(__file__), "data", "mock_vdb.cpp")
+
+
+@pytest.fixture(scope="module")
+def mock_vdb_lib(tmp_path_factory):
+    d = tmp_path_factory.mktemp("vdb")
+    so = d / "libmock_vdb.so"
+    proc = subprocess.run(
+        ["g++", "-O1", "-shared", "-fPIC", "-o", str(so), MOCK_SRC],
+        capture_output=True, text=True,
+    )
+    if proc.returncode != 0:
+        pytest.skip(f"mock vdb build failed: {proc.stderr[:200]}")
+    return so
+
+
+@pytest.fixture
+def vdb_env(mock_vdb_lib, tmp_path, monkeypatch):
+    import kwage_tpu.sriracha.vdb as vdb_mod
+
+    monkeypatch.setenv("KWAGE_VDB_LIB", str(mock_vdb_lib))
+    monkeypatch.setenv("FAKE_VDB_DIR", str(tmp_path))
+    monkeypatch.setenv("KWAGE_VDB_RETRY_SLEEP", "0.01")
+    monkeypatch.setattr(vdb_mod, "_LIB", None)  # re-probe with the env set
+    yield tmp_path
+    monkeypatch.setattr(vdb_mod, "_LIB", None)
+
+
+def _write_spots(d, acc, spots, flat=False):
+    with open(d / f"{acc}.vdb", "w") as f:
+        for frags in spots:
+            f.write("|".join(frags) + "\n")
+    if flat:
+        (d / f"{acc}.flat").touch()
+
+
+def test_available_gating(tmp_path, monkeypatch):
+    import kwage_tpu.sriracha.vdb as vdb_mod
+
+    monkeypatch.setenv("KWAGE_VDB_LIB", str(tmp_path / "nope.so"))
+    monkeypatch.setattr(vdb_mod, "_LIB", None)
+    assert not vdb_mod.available()
+    monkeypatch.setattr(vdb_mod, "_LIB", None)
+
+
+def test_database_path_per_fragment_stream(vdb_env):
+    from kwage_tpu.sriracha.vdb import stream_accession_vdb
+
+    spots = [["ACGTACGT", "TTGGCCAA"], ["GGGGCCCC"], ["AAAA", "CCCC", "GGGG"]]
+    _write_spots(vdb_env, "SRRV000001", spots)
+    got = list(stream_accession_vdb("SRRV000001"))
+    want = [
+        (i + 1, j + 1, s)
+        for i, frags in enumerate(spots)
+        for j, s in enumerate(frags)
+    ]
+    assert got == want
+
+
+def test_flat_table_path(vdb_env):
+    from kwage_tpu.sriracha.vdb import stream_accession_vdb
+
+    _write_spots(vdb_env, "SRRV000002", [["ACACACAC"], ["GTGTGTGT"]], flat=True)
+    got = list(stream_accession_vdb("SRRV000002"))
+    assert got == [(1, 1, "ACACACAC"), (2, 1, "GTGTGTGT")]
+
+
+def test_rank_slicing_matches_assign_read_range(vdb_env):
+    from kwage_tpu.sriracha.engine import assign_read_range
+    from kwage_tpu.sriracha.vdb import stream_accession_vdb
+
+    spots = [[f"ACGT{'A' * i}"] for i in range(10)]
+    _write_spots(vdb_env, "SRRV000003", spots)
+    full = list(stream_accession_vdb("SRRV000003"))
+    parts = []
+    for rank in range(3):
+        parts += list(stream_accession_vdb("SRRV000003", rank=rank, ntasks=3))
+    assert parts == full
+    start, stop = assign_read_range(1, 10, 0, 3)
+    assert [r for r, _, _ in full][: stop - start] == list(range(start, stop))
+
+
+def test_controlled_access_classification(vdb_env):
+    from kwage_tpu.sriracha.sra_source import (
+        SRA_DOWNLOAD_CONTROLLED_ACCESS,
+        DownloadError,
+    )
+    from kwage_tpu.sriracha.vdb import stream_accession_vdb
+
+    _write_spots(vdb_env, "SRRV000004", [["ACGT"]])
+    (vdb_env / "SRRV000004.controlled").touch()
+    with pytest.raises(DownloadError) as ei:
+        list(stream_accession_vdb("SRRV000004"))
+    assert ei.value.status == SRA_DOWNLOAD_CONTROLLED_ACCESS
+
+
+def test_missing_accession_is_controlled_access(vdb_env):
+    """kptNotFound after the retry loop falls into the default branch
+    (sra_stream.cpp:200-204), like the reference."""
+    from kwage_tpu.sriracha.sra_source import (
+        SRA_DOWNLOAD_CONTROLLED_ACCESS,
+        DownloadError,
+    )
+    from kwage_tpu.sriracha.vdb import stream_accession_vdb
+
+    with pytest.raises(DownloadError) as ei:
+        list(stream_accession_vdb("SRRV999999"))
+    assert ei.value.status == SRA_DOWNLOAD_CONTROLLED_ACCESS
+
+
+def test_path_type_notfound_retries(vdb_env):
+    """A spuriously-kptNotFound first PathType call is retried
+    (sra_stream.cpp:113-130)."""
+    from kwage_tpu.sriracha.vdb import stream_accession_vdb
+
+    _write_spots(vdb_env, "SRRV000005", [["ACGTACGT"]])
+    (vdb_env / "SRRV000005.flaky").touch()
+    assert list(stream_accession_vdb("SRRV000005")) == [(1, 1, "ACGTACGT")]
+
+
+def test_cell_data_transient_failure_retries(vdb_env):
+    """VCursorCellDataDirect failures retry MAX_RETRY times per call
+    (sra_stream.cpp:281-308) before classifying."""
+    from kwage_tpu.sriracha.vdb import stream_accession_vdb
+
+    spots = [["ACGTAC", "GGTTCC"], ["TTTTAA"]]
+    _write_spots(vdb_env, "SRRV000006", spots)
+    (vdb_env / "SRRV000006.cellflaky").touch()
+    got = list(stream_accession_vdb("SRRV000006"))
+    assert got == [(1, 1, "ACGTAC"), (1, 2, "GGTTCC"), (2, 1, "TTTTAA")]
+
+
+def test_stream_accession_prefers_vdb(vdb_env, monkeypatch):
+    """sra_source.stream_accession routes through the VDB cursors when the
+    library is present -- no toolkit subprocess at all."""
+    import kwage_tpu.sriracha.sra_source as src
+
+    _write_spots(vdb_env, "SRRV000007", [["ACGTACGTAC", "TGCATGCATG"]])
+    monkeypatch.setattr(
+        src, "_find_fasterq",
+        lambda: (_ for _ in ()).throw(AssertionError("pipe used")),
+    )
+    got = list(src.stream_accession("SRRV000007"))
+    assert got == [(1, 1, "ACGTACGTAC"), (1, 2, "TGCATGCATG")]
+
+    monkeypatch.setenv("KWAGE_NO_VDB", "1")
+    with pytest.raises(AssertionError):
+        list(src.stream_accession("SRRV000007"))
