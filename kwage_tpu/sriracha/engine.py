@@ -163,19 +163,31 @@ def search_one_read(
                 del bucket[opt.max_num_match :]
 
 
-def iter_reads_range(path: str, rank: int, ntasks: int):
+def count_reads(path: str) -> int:
+    """Record count of a local sequence file (the VCursorIdRange analog
+    for the local-file path). One streaming parse, O(1) memory."""
+    return sum(1 for _ in iter_sequences(path))
+
+
+def iter_reads_range(path: str, rank: int, ntasks: int, num_read: int | None = None):
     """Yield (seq, read_index, subindex) for this rank's contiguous range.
 
     Local files use 1-based read indices and 1-based fragment subindices
     (sra_stream.cpp:620-643); FASTA/FASTQ records are single-fragment.
+    Streams the file twice (count, then the range) instead of
+    materializing it -- host RAM stays O(1) in the accession size, the
+    reference's read-range streaming shape (sra_stream.cpp:525-543).
     """
-    reads = [seq for _, seq in iter_sequences(path)]
-    num_read = len(reads)
+    if num_read is None:
+        num_read = count_reads(path)
     if num_read == 0:
         return
     start, stop = assign_read_range(1, num_read, rank, ntasks)
-    for i in range(start, stop):
-        yield reads[i - 1], i, 1
+    for i, (_, seq) in enumerate(iter_sequences(path), 1):
+        if i >= stop:
+            break
+        if i >= start:
+            yield seq, i, 1
 
 
 def search_reads(
@@ -267,21 +279,39 @@ def search_accession(
         # Split this rank's range across threads, thread-local results,
         # rank-0-style merge + re-cull -- the reference's OpenMP local-file
         # split (sra_stream.cpp:634-699; worker merge main.cpp:462-531).
+        # Each thread streams its own sub-range off a fresh parse (T
+        # passes over the file, O(1) RAM), like the reference's per-thread
+        # read ranges.
         from concurrent.futures import ThreadPoolExecutor
 
-        reads = list(iter_reads_range(path, opt.slice_index, opt.num_slice))
-        if not reads:
+        num_read = count_reads(path)
+        if num_read == 0:
             return [[] for _ in subject_kmers]
-        nt = min(opt.num_threads, len(reads))
+        rank_start, rank_stop = assign_read_range(
+            1, num_read, opt.slice_index, opt.num_slice
+        )
+        n_local = rank_stop - rank_start
+        if n_local <= 0:
+            return [[] for _ in subject_kmers]
+        nt = min(opt.num_threads, n_local)
         # assign_read_range spans the INCLUSIVE id range [first, last].
-        spans = [assign_read_range(0, len(reads) - 1, t, nt) for t in range(nt)]
+        spans = [assign_read_range(0, n_local - 1, t, nt) for t in range(nt)]
         per_stats = [StreamStats() for _ in range(nt)]
+
+        def _thread_range(t: int):
+            lo = rank_start + spans[t][0]
+            hi = rank_start + spans[t][1]
+            for i, (_, seq) in enumerate(iter_sequences(path), 1):
+                if i >= hi:
+                    break
+                if i >= lo:
+                    yield seq, i, 1
+
         with ThreadPoolExecutor(max_workers=nt) as pool:
             parts = list(
                 pool.map(
                     lambda t: search_reads(
-                        iter(reads[spans[t][0] : spans[t][1]]),
-                        subject_kmers, opt, per_stats[t],
+                        _thread_range(t), subject_kmers, opt, per_stats[t]
                     ),
                     range(nt),
                 )

@@ -167,10 +167,12 @@ def _cell(lib, cur, row, col_id, status_on_fail):
     return elem_bits.value, base, boff.value, row_len.value
 
 
-def _stream_table(lib, tbl, rank: int, ntasks: int):
-    """The shared cursor walk of stream_sra_db_seq / stream_flat_seq
-    (sra_stream.cpp:221-413,525+): cached cursor, READ + READ_LEN
-    columns, per-rank row slice, per-fragment yields."""
+def _stream_table(lib, tbl, rank: int, ntasks: int, flat: bool = False):
+    """The cursor walk of stream_sra_db_seq (database SEQUENCE table,
+    sra_stream.cpp:221-413: READ + READ_LEN columns, per-FRAGMENT yields
+    with 1-based subindex) and stream_flat_seq (flat table,
+    sra_stream.cpp:415-523: READ column only, whole read, subindex 0 --
+    so flat-table TSV rows render without a ``.sub`` suffix)."""
     from .engine import assign_read_range
 
     cur = ctypes.c_void_p()
@@ -184,9 +186,10 @@ def _stream_table(lib, tbl, rank: int, ntasks: int):
             raise DownloadError(SRA_DOWNLOAD_ADD_COLUMN_READ_ERROR,
                                 "VCursorAddColumn(READ) failed")
         len_col = ctypes.c_uint32()
-        if lib.VCursorAddColumn(cur, ctypes.byref(len_col), b"READ_LEN"):
-            raise DownloadError(SRA_DOWNLOAD_ADD_COLUMN_READ_LEN_ERROR,
-                                "VCursorAddColumn(READ_LEN) failed")
+        if not flat:
+            if lib.VCursorAddColumn(cur, ctypes.byref(len_col), b"READ_LEN"):
+                raise DownloadError(SRA_DOWNLOAD_ADD_COLUMN_READ_LEN_ERROR,
+                                    "VCursorAddColumn(READ_LEN) failed")
         if lib.VCursorOpen(cur):
             raise DownloadError(SRA_DOWNLOAD_CURSOR_OPEN_ERROR,
                                 "VCursorOpen failed")
@@ -205,6 +208,9 @@ def _stream_table(lib, tbl, rank: int, ntasks: int):
                 raise DownloadError(SRA_DOWNLOAD_READ_FORMAT_ERROR,
                                     f"READ cell format row {row}")
             seq = ctypes.string_at(base, seq_len).decode("ascii", "replace")
+            if flat:
+                yield row, 0, seq  # no sub-read (sra_stream.cpp:505)
+                continue
             elem_bits, lbase, boff, n_frag = _cell(
                 lib, cur, row, len_col.value, SRA_DOWNLOAD_CELL_DATA_ERROR)
             if elem_bits != 32 or boff != 0:
@@ -297,7 +303,7 @@ def stream_accession_vdb(accession: str, rank: int = 0, ntasks: int = 1):
                 raise DownloadError(SRA_DOWNLOAD_NETWORK_FAILURE,
                                     "VDBManagerOpenTableRead failed")
             try:
-                yield from _stream_table(lib, tbl, rank, ntasks)
+                yield from _stream_table(lib, tbl, rank, ntasks, flat=True)
             finally:
                 lib.VTableRelease(tbl)
         else:

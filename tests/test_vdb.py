@@ -68,12 +68,14 @@ def test_database_path_per_fragment_stream(vdb_env):
     assert got == want
 
 
-def test_flat_table_path(vdb_env):
+def test_flat_table_path_subindex_zero(vdb_env):
+    """Flat tables stream the READ column only with subindex 0 (no .sub
+    suffix in TSV), per stream_flat_seq (sra_stream.cpp:415-523)."""
     from kwage_tpu.sriracha.vdb import stream_accession_vdb
 
     _write_spots(vdb_env, "SRRV000002", [["ACACACAC"], ["GTGTGTGT"]], flat=True)
     got = list(stream_accession_vdb("SRRV000002"))
-    assert got == [(1, 1, "ACACACAC"), (2, 1, "GTGTGTGT")]
+    assert got == [(1, 0, "ACACACAC"), (2, 0, "GTGTGTGT")]
 
 
 def test_rank_slicing_matches_assign_read_range(vdb_env):
