@@ -182,15 +182,24 @@ def main(argv: list[str] | None = None) -> int:
                     stream_accession,
                 )
 
-                if not is_local_source(acc) and opt.num_slice == 1:
-                    # Full-range remote accession: pipe the reads straight
-                    # off fasterq-dump --stdout into the search -- zero
-                    # scratch, the reference's VDB streaming shape
-                    # (sra_stream.cpp:90-211). Network-classed failures
-                    # restart the whole accession like the reference's
-                    # per-rank retry loop (SriRachA/main.cpp:401-445).
-                    # (--slice/--of needs the total read count up front,
-                    # so sliced runs still materialize below.)
+                if opt.num_slice > 1:
+                    from ..sriracha import vdb as _vdb
+
+                    can_stream_sliced = _vdb.available()
+                else:
+                    can_stream_sliced = True
+                if not is_local_source(acc) and can_stream_sliced:
+                    # Remote accession: stream the reads straight into the
+                    # search -- zero scratch, the reference's VDB streaming
+                    # shape (sra_stream.cpp:90-211). Network-classed
+                    # failures restart the whole accession like the
+                    # reference's per-rank retry loop
+                    # (SriRachA/main.cpp:401-445). Sliced runs
+                    # (--slice/--of) stream only when libncbi-vdb is
+                    # present (VCursorIdRange gives the row range up
+                    # front, sra_stream.cpp:336-356); the toolkit pipe
+                    # cannot seek, so sliced runs without the library
+                    # materialize below.
                     from ..sriracha.engine import StreamStats as _SS, search_reads
 
                     if opt.use_device:
@@ -208,7 +217,9 @@ def main(argv: list[str] | None = None) -> int:
                             # rows render as idx.sub (main.cpp:560-578).
                             reads = (
                                 (seq, i, sub)
-                                for i, sub, seq in stream_accession(acc)
+                                for i, sub, seq in stream_accession(
+                                    acc, opt.slice_index, opt.num_slice
+                                )
                             )
                             if opt.use_device:
                                 results = search_reads_device(

@@ -131,7 +131,7 @@ def resolve_accession(accession: str, scratch: str | None = None) -> str:
     )
 
 
-def stream_accession(accession: str):
+def stream_accession(accession: str, rank: int = 0, ntasks: int = 1):
     """Yield (read_index, read_subindex, sequence) per FRAGMENT straight
     off a fasterq-dump pipe.
 
@@ -166,15 +166,22 @@ def stream_accession(accession: str):
 
         if vdb.available():
             n = 0
-            for item in vdb.stream_accession_vdb(accession):
+            for item in vdb.stream_accession_vdb(accession, rank, ntasks):
                 n += 1
                 yield item
-            if n == 0:
+            if n == 0 and ntasks == 1:
                 raise DownloadError(
                     SRA_DOWNLOAD_FILE_READ_ERROR,
                     f"no reads streamed for {accession}",
                 )
             return
+    if ntasks != 1:
+        # The toolkit pipe cannot skip to a row range; sliced runs
+        # without libncbi-vdb materialize instead (cli/sriracha.py).
+        raise DownloadError(
+            SRA_DOWNLOAD_VDB_ERROR,
+            "sliced streaming requires libncbi-vdb (VCursorIdRange)",
+        )
     fasterq = _find_fasterq()
     proc = subprocess.Popen(
         [fasterq, "--split-spot", "--stdout", accession],

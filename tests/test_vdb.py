@@ -159,3 +159,46 @@ def test_stream_accession_prefers_vdb(vdb_env, monkeypatch):
     monkeypatch.setenv("KWAGE_NO_VDB", "1")
     with pytest.raises(AssertionError):
         list(src.stream_accession("SRRV000007"))
+
+
+def test_cli_sliced_streaming_via_vdb(vdb_env, data_dir, tmp_path, monkeypatch):
+    """--slice/--of on a remote accession streams through the VDB cursors
+    (VCursorIdRange row range, sra_stream.cpp:336-356) -- no toolkit
+    materialization; the union of slices equals the full-range TSV."""
+    import kwage_tpu.sriracha.sra_source as src
+    from kwage_tpu.cli.sriracha import main as sriracha_main
+
+    spots = []
+    with open(data_dir / "sriracha_reads.fasta") as f:
+        seq = ""
+        for line in f:
+            if line.startswith(">"):
+                if seq:
+                    spots.append([seq])
+                seq = ""
+            else:
+                seq += line.strip()
+        if seq:
+            spots.append([seq])
+    _write_spots(vdb_env, "SRRV000010", spots)
+
+    boom = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("materialized path used"))
+    monkeypatch.setattr(src, "resolve_accession", boom)
+    monkeypatch.setattr(src, "_find_fasterq", boom)
+
+    def run(extra, name):
+        out = tmp_path / name
+        rc = sriracha_main(
+            ["-k", "11", "-t", "0.4",
+             "-i", str(data_dir / "sriracha_queries.fasta"),
+             "-o", str(out)] + extra + ["SRRV000010"])
+        assert rc == 0
+        return [l for l in out.read_text().splitlines() if "\t" in l]
+
+    full = run([], "full.tsv")
+    parts = []
+    for sl in range(3):
+        parts += run(["--slice", str(sl), "--of", "3"], f"s{sl}.tsv")
+    # Results are score-sorted per run; compare as multisets.
+    assert sorted(parts) == sorted(full) and full
