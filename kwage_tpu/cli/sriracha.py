@@ -185,7 +185,14 @@ def main(argv: list[str] | None = None) -> int:
                 if opt.num_slice > 1:
                     from ..sriracha import vdb as _vdb
 
-                    can_stream_sliced = _vdb.available()
+                    # Mirror stream_accession's own gate exactly: with
+                    # KWAGE_NO_VDB=1 the pipe (which cannot seek) would
+                    # be chosen and sliced streaming raises -- take the
+                    # materialize fallback instead.
+                    can_stream_sliced = (
+                        os.environ.get("KWAGE_NO_VDB") != "1"
+                        and _vdb.available()
+                    )
                 else:
                     can_stream_sliced = True
                 if not is_local_source(acc) and can_stream_sliced:
@@ -261,7 +268,36 @@ def main(argv: list[str] | None = None) -> int:
                                     file=sys.stderr,
                                 )
                     try:
-                        results = search_accession(src, subject_kmers, opt, stats)
+                        if downloaded:
+                            # Toolkit-materialized --split-spot file: use
+                            # the (spot, subindex) synthesis + spot-based
+                            # slicing so TSV idx.sub rows and --slice
+                            # sharding match the streamed VDB/pipe path
+                            # exactly (sra_stream.cpp:221-413).
+                            from ..sriracha.engine import (
+                                iter_toolkit_fragments_range,
+                                search_reads,
+                            )
+
+                            frag_iter = iter_toolkit_fragments_range(
+                                src, opt.slice_index, opt.num_slice
+                            )
+                            if opt.use_device:
+                                from ..sriracha.device import (
+                                    search_reads_device,
+                                )
+
+                                results = search_reads_device(
+                                    frag_iter, subject_kmers, opt, stats
+                                )
+                            else:
+                                results = search_reads(
+                                    frag_iter, subject_kmers, opt, stats
+                                )
+                        else:
+                            results = search_accession(
+                                src, subject_kmers, opt, stats
+                            )
                     finally:
                         if downloaded:
                             # The reference streams reads without persisting

@@ -309,11 +309,19 @@ inline void kn_update_one(KnBuilder* b, const uint32_t* hashes) {
           if (b->hash_vec_cap >= b->vec_max) {
             kn_spill_to_planes(b);
           } else {
-            b->hash_vec_cap *= 2;
-            if (b->hash_vec_cap > b->vec_max) b->hash_vec_cap = b->vec_max;
-            b->hash_vec = static_cast<uint32_t*>(realloc(
-                b->hash_vec,
-                b->hash_vec_cap * kMaxPlanes * sizeof(uint32_t)));
+            uint64_t new_cap = static_cast<uint64_t>(b->hash_vec_cap) * 2;
+            if (new_cap > b->vec_max) new_cap = b->vec_max;
+            uint32_t* nv = static_cast<uint32_t*>(realloc(
+                b->hash_vec, new_cap * kMaxPlanes * sizeof(uint32_t)));
+            if (nv == NULL) {
+              // OOM: the old buffer is still valid (realloc leaves it
+              // untouched on failure) -- fall back to the plane
+              // representation instead of crashing the process.
+              kn_spill_to_planes(b);
+            } else {
+              b->hash_vec = nv;
+              b->hash_vec_cap = new_cap;
+            }
           }
         }
       }

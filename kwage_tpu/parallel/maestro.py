@@ -684,6 +684,10 @@ class Maestro:
         # packing pops. Rebuilt from scratch files only in restore() --
         # the event loop itself never opens a .bloom.
         self._groups: dict[BloomParam, list[int]] = {}
+        # Every index ever absorbed into the group map (survives the
+        # group being popped for packing): guards against duplicate
+        # completion events re-appending a filter.
+        self._grouped: set[int] = set()
         # Bounded-retry deviation: the reference's download-success event
         # resets the status byte to STATUS_DOWNLOAD_SUCCESS
         # (maestro_main.cpp:865), erasing any BLOOM_FAIL_n attempt count,
@@ -754,6 +758,7 @@ class Maestro:
         # place scratch .bloom headers are read: the per-shape group map
         # rebuilds here and is maintained event-driven afterwards.
         self._groups = {}
+        self._grouped = set()
         recoverable = (self.status == STATUS_BLOOM_SUCCESS) | (
             self.status == STATUS_DATABASE_FAIL
         )
@@ -768,6 +773,7 @@ class Maestro:
                 self.status[i] = STATUS_INIT
             else:
                 self.status[i] = STATUS_BLOOM_SUCCESS
+                self._grouped.add(int(i))
                 self._groups.setdefault(param, []).append(int(i))
 
     def checkpoint(self, force: bool = False) -> None:
@@ -1021,7 +1027,15 @@ class Maestro:
         """Apply one bloom/download completion to the state machine."""
         opt = self.opt
         if status == STATUS_BLOOM_SUCCESS:
+            if int(self.status[idx]) == STATUS_BLOOM_SUCCESS or idx in self._grouped:
+                # Duplicate completion (e.g. --task-timeout re-dispatched a
+                # slow-but-alive worker's task and BOTH finished, each with
+                # a distinct eid). The group map is event-driven state, not
+                # a per-round rescan -- a second append would pack the same
+                # filter twice. The first completion stands.
+                return
             self.status[idx] = STATUS_BLOOM_SUCCESS
+            self._grouped.add(idx)
             self._groups.setdefault(param, []).append(idx)
             bp = self.infos[idx].number_of_bases or 0
             self._total_bp += bp
@@ -1087,6 +1101,7 @@ class Maestro:
         self.checkpoint(force=True)
         futures: dict[Future, str] = {}
         in_flight_db: set[int] = set()
+        pending_db: deque[tuple[BloomParam, list[int]]] = deque()
 
         # Pipelined device-build mode: ONE parse thread feeds host-packed
         # batches to ONE device dispatcher with a two-deep dispatch-ahead
@@ -1131,8 +1146,16 @@ class Maestro:
 
                 # Priority 1: database packing. Ready groups pop off the
                 # event-driven map, so a group can never be re-discovered
-                # while its build is in flight.
-                for param, members in self._take_ready_groups():
+                # while its build is in flight. Builds are SERIALIZED (one
+                # at a time): a full group loads up to the per-file filter
+                # quota into RAM, and unlike the reference's MPI ranks
+                # (separate hosts) concurrent packs here share one
+                # address space. Un-dispatched groups wait in pending_db
+                # with their BLOOM_SUCCESS bytes intact, so a crash
+                # re-groups them in restore().
+                pending_db.extend(self._take_ready_groups())
+                if pending_db and not in_flight_db:
+                    param, members = pending_db.popleft()
                     db_index = self.database_index
                     self.database_index += 1
                     self._log(

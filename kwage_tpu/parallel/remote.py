@@ -142,14 +142,18 @@ class CoordinatorServer:
 
     def _is_replay(self, msg: dict) -> bool:
         eid = msg.get("eid")
+        return eid is not None and eid in self._seen_eids
+
+    def _mark_seen(self, msg: dict) -> None:
+        # Called only AFTER the event applied cleanly: if the apply
+        # raises, the worker's retry of the same eid must NOT be
+        # classified as a replay (that would drop the completion).
+        eid = msg.get("eid")
         if eid is None:
-            return False
-        if eid in self._seen_eids:
-            return True
+            return
         self._seen_eids[eid] = None
         if len(self._seen_eids) > 8192:
             self._seen_eids.popitem(last=False)
-        return False
 
     def _handle(self, msg: dict) -> dict:
         op = msg.get("op")
@@ -163,6 +167,7 @@ class CoordinatorServer:
                 s = int(self.m.status[idx])
                 if not (STATUS_BLOOM_FAIL_1 <= s <= STATUS_BLOOM_FAIL_10):
                     self.m.status[idx] = STATUS_DOWNLOAD_SUCCESS
+                self._mark_seen(msg)
                 return {"op": "ok"}
             if op == "bloom_done":
                 idx = int(msg["idx"])
@@ -171,6 +176,7 @@ class CoordinatorServer:
                 self.m._absorb_bloom_event(idx, int(msg["status"]), param,
                                            float(msg.get("dt", 0.0)))
                 self.m.checkpoint()
+                self._mark_seen(msg)
                 return {"op": "ok"}
             if op == "db_done":
                 dbi = int(msg["db_index"])
@@ -179,6 +185,7 @@ class CoordinatorServer:
                 for i in members:
                     self.m.status[i] = int(msg["status"])
                 self.m.checkpoint(force=True)
+                self._mark_seen(msg)
                 return {"op": "ok"}
         return {"op": "error", "error": f"unknown op {op!r}"}
 
@@ -305,6 +312,13 @@ class RemoteWorker:
         # event_retry_sec is treated as gone.
         self.event_retry_sec = event_retry_sec
         self._pending: deque[dict] = deque()
+        # eids must be unique across worker RESTARTS too (the default
+        # name is the hostname): a restarted worker reusing name:0..K
+        # would have its fresh events deduped as replays of the dead
+        # process's deliveries. Salt with a per-process random component.
+        import uuid
+
+        self._eid_salt = uuid.uuid4().hex[:8]
         self._eid = 0
 
     def _bloom_path(self, accession: str) -> str:
@@ -314,7 +328,7 @@ class RemoteWorker:
 
     def _queue_event(self, msg: dict) -> None:
         msg = dict(msg)
-        msg["eid"] = f"{self.name}:{self._eid}"
+        msg["eid"] = f"{self.name}:{self._eid_salt}:{self._eid}"
         self._eid += 1
         self._pending.append(msg)
 

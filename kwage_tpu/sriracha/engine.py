@@ -190,6 +190,59 @@ def iter_reads_range(path: str, rank: int, ntasks: int, num_read: int | None = N
             yield seq, i, 1
 
 
+def _spot_key(header: str) -> str:
+    """First header token -- ``<accession>.<spot>`` for toolkit output;
+    consecutive records sharing it are mate fragments of one spot (the
+    same synthesis stream_accession's pipe path uses)."""
+    return header.split(None, 1)[0] if header else ""
+
+
+def count_spots(path: str) -> int:
+    """Spot count of a --split-spot toolkit file (consecutive same-key
+    records collapse into one spot). One streaming parse, O(1) memory."""
+    prev: str | None = None
+    n = 0
+    for header, _ in iter_sequences(path):
+        key = _spot_key(header)
+        if not key or key != prev:
+            n += 1
+        prev = key or None
+    return n
+
+
+def iter_toolkit_fragments_range(path: str, rank: int, ntasks: int):
+    """Yield (seq, spot_index, subindex) for this rank's spot range from
+    a toolkit-materialized (--split-spot) FASTQ/FASTA.
+
+    Unlike iter_reads_range (genuinely local files: one fragment per
+    record, sra_stream.cpp:620-643), this groups consecutive records
+    sharing a header spot key into (1-based spot, 1-based fragment)
+    numbering and partitions SPOTS across slices -- the same numbering
+    and sharding the streamed VDB/pipe path produces
+    (sra_stream.cpp:221-413, 336-356), so TSV ``idx.sub`` rows do not
+    depend on whether the accession was streamed or materialized.
+    """
+    num_spot = count_spots(path)
+    if num_spot == 0:
+        return
+    start, stop = assign_read_range(1, num_spot, rank, ntasks)
+    prev: str | None = None
+    spot = 0
+    sub = 0
+    for header, seq in iter_sequences(path):
+        key = _spot_key(header)
+        if not key or key != prev:
+            spot += 1
+            sub = 1
+        else:
+            sub += 1
+        prev = key or None
+        if spot >= stop:
+            break
+        if spot >= start:
+            yield seq, spot, sub
+
+
 def search_reads(
     read_iter,
     subject_kmers: list[tuple[str, np.ndarray]],

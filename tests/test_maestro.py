@@ -397,3 +397,38 @@ def test_event_loop_opens_no_bloom_headers(manifest, data_dir, tmp_path, monkeyp
     n_restore = calls["n"]
     m2.run()
     assert calls["n"] == n_restore, "event loop reopened headers after restore"
+
+
+def test_duplicate_bloom_event_absorbed_once(manifest, data_dir, tmp_path):
+    """With --task-timeout a re-dispatched task can complete TWICE (both
+    workers alive, distinct eids). The event-driven group map must absorb
+    the completion once: no duplicate member in the packing group, no
+    double-counted totals."""
+    from kwage_tpu.core.params import BloomParam
+    from kwage_tpu.parallel.maestro import STATUS_BLOOM_SUCCESS
+
+    accs = manifest["accessions"][:2]
+    infos = [FilterInfo(run_accession=str_to_accession(a),
+                        number_of_bases=500)
+             for a in accs]
+    write_inventory(str(tmp_path / "inventory.bin"), infos)
+    opt = _options(manifest, tmp_path)
+    m = Maestro(opt, LocalFastaResolver(str(data_dir)))
+    m.restore()
+
+    param = BloomParam(kmer_len=opt.kmer_len, log_2_filter_len=12, num_hash=3)
+    m._absorb_bloom_event(0, STATUS_BLOOM_SUCCESS, param, 0.1)
+    m._absorb_bloom_event(0, STATUS_BLOOM_SUCCESS, param, 0.1)  # duplicate
+    assert m._groups[param] == [0]
+    assert m._total_bp == 500
+
+    # Still absorbed once if the duplicate lands AFTER the group packed
+    # (members popped + pre-marked): the filter must not resurrect into a
+    # second database.
+    groups = m._take_ready_groups()
+    m._forced_flush = True
+    groups += m._take_ready_groups()
+    assert sum(len(g[1]) for g in groups) == 1
+    m._absorb_bloom_event(0, STATUS_BLOOM_SUCCESS, param, 0.1)
+    assert m._groups.get(param, []) == []
+    assert m._total_bp == 500

@@ -342,3 +342,59 @@ def test_task_timeout_requeues_abandoned_task(manifest, data_dir, tmp_path):
         coord.shutdown()
     assert int(m.status[abandoned]) == STATUS_DATABASE_SUCCESS, m.summary()
     assert all(s == STATUS_DATABASE_SUCCESS for s in m.status), m.summary()
+
+
+def test_worker_eids_unique_across_restarts(manifest, tmp_path):
+    """The CLI default worker name is the hostname, and the event counter
+    starts at 0 -- a RESTARTED worker (same name, fresh process) must not
+    have its first K events deduped as replays of the dead process's
+    deliveries. eids carry a per-process salt."""
+    infos = [FilterInfo(run_accession=str_to_accession("SRR000001"))]
+    write_inventory(str(tmp_path / "inventory.bin"), infos)
+    opt = _options(manifest, tmp_path)
+
+    w1 = RemoteWorker(opt, None, ("127.0.0.1", 1), name="samehost")
+    w2 = RemoteWorker(opt, None, ("127.0.0.1", 1), name="samehost")
+    w1._queue_event({"op": "bloom_done", "idx": 0})
+    w2._queue_event({"op": "bloom_done", "idx": 0})
+    assert w1._pending[0]["eid"] != w2._pending[0]["eid"]
+
+
+def test_failed_apply_does_not_poison_eid(manifest, data_dir, tmp_path, monkeypatch):
+    """An event whose APPLY raises must stay un-seen: the worker's retry
+    of the same eid has to apply, not be answered as a duplicate (the
+    eid is recorded only after a clean apply)."""
+    from kwage_tpu.parallel.maestro import STATUS_BLOOM_INVALID
+
+    accs = manifest["accessions"][:2]
+    infos = [FilterInfo(run_accession=str_to_accession(a)) for a in accs]
+    write_inventory(str(tmp_path / "inventory.bin"), infos)
+    opt = _options(manifest, tmp_path)
+
+    m = Maestro(opt, LocalFastaResolver(str(data_dir)))
+    m.restore()
+    coord = CoordinatorServer(m, host="127.0.0.1")
+    try:
+        calls = {"n": 0}
+        real = m._absorb_bloom_event
+
+        def flaky(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("transient apply failure")
+            return real(*a, **kw)
+
+        monkeypatch.setattr(m, "_absorb_bloom_event", flaky)
+        msg = {"op": "bloom_done", "idx": 0,
+               "status": int(STATUS_BLOOM_INVALID), "eid": "w:salt:0"}
+        with pytest.raises(RuntimeError):
+            coord._handle(dict(msg))
+        reply = coord._handle(dict(msg))  # the worker's retry, same eid
+        assert not reply.get("dup")
+        assert calls["n"] == 2
+        assert int(m.status[0]) == STATUS_BLOOM_INVALID
+        # A third resend IS now a replay.
+        assert coord._handle(dict(msg)).get("dup")
+        assert calls["n"] == 2
+    finally:
+        coord._server.server_close()

@@ -453,3 +453,38 @@ def test_sriracha_cli_streams_remote_accession(fake_toolkit, data_dir, tmp_path)
     got = run("SRR5550030")
     want = run(str(data_dir / "sriracha_reads.fasta"))
     assert got == want
+
+
+def test_sliced_materialize_fallback_matches_streamed_numbering(
+    fake_toolkit, data_dir, tmp_path
+):
+    """Without libncbi-vdb, sliced runs (--slice/--of) materialize the
+    accession -- but the TSV idx.sub numbering and spot-based sharding
+    must match the streamed pipe path exactly (same (spot, subindex)
+    synthesis from the --split-spot headers), so results never depend on
+    which access path served the accession."""
+    from kwage_tpu.cli.sriracha import main as sriracha_main
+    from kwage_tpu.io.sequence import iter_sequences
+
+    reads = [s for _, s in iter_sequences(str(data_dir / "sriracha_reads.fasta"))]
+    spots = [reads[i : i + 2] for i in range(0, len(reads) - len(reads) % 2, 2)]
+    acc = "SRR5550060"
+    _write_fastq_spots(fake_toolkit, acc, spots)
+
+    def run(extra, name):
+        out = tmp_path / name
+        rc = sriracha_main([
+            "-k", "11", "-t", "0.4", "-n", "1",
+            "-i", str(data_dir / "sriracha_queries.fasta"),
+            "-o", str(out), acc,
+        ] + extra)
+        assert rc == 0
+        return [l for l in out.read_text().splitlines() if "\t" in l]
+
+    full = run([], "full.tsv")  # streamed (pipe) path
+    parts = []
+    for sl in range(3):  # sliced -> materialize fallback
+        parts += run(["--slice", str(sl), "--of", "3"], f"s{sl}.tsv")
+    assert full and sorted(parts) == sorted(full)
+    # Paired-end subindices really survive the fallback.
+    assert any(l.split("\t")[1].endswith(".2") for l in parts)

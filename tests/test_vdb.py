@@ -202,3 +202,53 @@ def test_cli_sliced_streaming_via_vdb(vdb_env, data_dir, tmp_path, monkeypatch):
         parts += run(["--slice", str(sl), "--of", "3"], f"s{sl}.tsv")
     # Results are score-sorted per run; compare as multisets.
     assert sorted(parts) == sorted(full) and full
+
+
+def test_cli_sliced_no_vdb_env_materializes(vdb_env, data_dir, tmp_path,
+                                            monkeypatch):
+    """KWAGE_NO_VDB=1 with the library PRESENT: stream_accession will skip
+    VDB and the pipe cannot seek, so the CLI's sliced gate must route to
+    the materialize fallback (same gate as stream_accession) instead of
+    raising 'sliced streaming requires libncbi-vdb'."""
+    import os
+    import stat
+
+    from kwage_tpu.cli.sriracha import main as sriracha_main
+
+    monkeypatch.setenv("KWAGE_NO_VDB", "1")
+
+    # Minimal fake fasterq-dump: only the -O (materialize) mode.
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    tool = bindir / "fasterq-dump"
+    tool.write_text(
+        "#!/usr/bin/env python3\n"
+        "import os, sys\n"
+        "args = sys.argv[1:]\n"
+        "acc = args[-1]\n"
+        "out = args[args.index('-O') + 1]\n"
+        "os.makedirs(out, exist_ok=True)\n"
+        "src = os.path.join(os.environ['FAKE_SRA_DIR'], acc + '.fastq')\n"
+        "open(os.path.join(out, acc + '.fastq'), 'w').write(open(src).read())\n"
+    )
+    tool.chmod(tool.stat().st_mode | stat.S_IXUSR)
+    monkeypatch.setenv("PATH", str(bindir) + os.pathsep + os.environ["PATH"])
+    sradir = tmp_path / "sra"
+    sradir.mkdir()
+    monkeypatch.setenv("FAKE_SRA_DIR", str(sradir))
+
+    with open(data_dir / "sriracha_reads.fasta") as f:
+        seqs = [l.strip() for l in f if not l.startswith(">")]
+    acc = "SRRV000020"
+    with open(sradir / f"{acc}.fastq", "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f"@{acc}.{i + 1}\n{s}\n+\n{'I' * len(s)}\n")
+
+    out = tmp_path / "out.tsv"
+    rc = sriracha_main(
+        ["-k", "11", "-t", "0.4",
+         "-i", str(data_dir / "sriracha_queries.fasta"),
+         "-o", str(out), "--slice", "0", "--of", "2", acc])
+    assert rc == 0
+    text = out.read_text()
+    assert "Download failed" not in text and text.strip().endswith("//")
