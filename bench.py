@@ -31,6 +31,8 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -46,6 +48,13 @@ NH = 5
 
 
 def main() -> None:
+    # Test hook: emulate the transient chip dropout — fail until the marker
+    # file exists (created on the way down), so the NEXT attempt succeeds.
+    marker = os.environ.get("KWAGE_BENCH_FAIL_MARKER")
+    if marker and not os.path.exists(marker):
+        open(marker, "w").close()
+        raise RuntimeError("injected transient backend failure")
+
     import jax
 
     # This box boots a TPU backend from sitecustomize, which outranks the
@@ -155,7 +164,7 @@ def main() -> None:
             {
                 "metric": "kmer_queries_per_sec_per_chip",
                 "value": round(tpu_rate, 1),
-                "unit": f"kmer-queries/s (2048-filter files, 5 seeds, 2^22 rows, {FILES} files fused)",
+                "unit": f"kmer-queries/s (2048-filter files, 5 seeds, 2^{LOG2_L} rows, {FILES} files fused)",
                 "vs_baseline": round(tpu_rate / cpu_rate, 2),
                 "complete_match_kmer_queries_per_sec": round(complete_rate, 1),
             }
@@ -163,5 +172,47 @@ def main() -> None:
     )
 
 
+def _run_with_retries() -> int:
+    """Re-exec the measurement in fresh subprocesses, retrying on failure.
+
+    The tunneled TPU backend on this box occasionally drops out transiently
+    (backend init errors that fail every device call in seconds). A backend
+    failure is sticky for the process that hit it, so each attempt is a
+    fresh interpreter; stdout (the single JSON line) is forwarded verbatim
+    on success.
+    """
+    delays = tuple(
+        float(d) for d in
+        os.environ.get("KWAGE_BENCH_RETRY_DELAYS", "0,30,120,300").split(","))
+    last = None
+    for i, delay in enumerate(delays):
+        if delay:
+            print(f"bench: retrying in {delay}s (attempt {i + 1}/{len(delays)})",
+                  file=sys.stderr, flush=True)
+            time.sleep(delay)
+        env = dict(os.environ, KWAGE_BENCH_INNER="1")
+        try:
+            last = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=3600)
+        except subprocess.TimeoutExpired as e:
+            print(f"bench: attempt {i + 1} timed out after 3600s",
+                  file=sys.stderr, flush=True)
+            last = e
+            continue
+        if last.returncode == 0 and '"metric"' in last.stdout:
+            sys.stdout.write(last.stdout)
+            sys.stdout.flush()
+            return 0
+        tail = (last.stderr or "").strip().splitlines()[-8:]
+        print("bench: attempt %d failed (rc=%s)\n%s"
+              % (i + 1, last.returncode, "\n".join(tail)),
+              file=sys.stderr, flush=True)
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("KWAGE_BENCH_INNER"):
+        main()
+    else:
+        sys.exit(_run_with_retries())

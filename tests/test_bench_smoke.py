@@ -34,6 +34,28 @@ def test_bench_smoke():
     assert rec["complete_match_kmer_queries_per_sec"] > 0
 
 
+def test_bench_retry_wrapper_recovers():
+    """The wrapper retries transient backend failures in fresh processes.
+
+    KWAGE_BENCH_FAIL_MARKER makes the inner run fail until the marker file
+    exists (created on the first failure), emulating the tunneled chip's
+    transient dropout: attempt 1 dies, attempt 2 succeeds.
+    """
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        out = _run(
+            "bench.py",
+            {
+                "BENCH_LOG2_L": "12", "BENCH_FILES": "1",
+                "BENCH_NQ": "2", "BENCH_NK": "64",
+                "KWAGE_BENCH_RETRY_DELAYS": "0,0.1,0.2",
+                "KWAGE_BENCH_FAIL_MARKER": os.path.join(td, "marker"),
+            },
+        )
+        assert out[-1]["metric"] == "kmer_queries_per_sec_per_chip"
+
+
 def test_bench_scaling_smoke():
     out = _run(
         "bench_scaling.py",
