@@ -12,6 +12,13 @@ counting filter promoted collisions -- that divergence is by design
 """
 import numpy as np, subprocess, sys, os, tempfile, shutil
 
+# sitecustomize boots the tunneled TPU plugin, outranking the JAX_PLATFORMS
+# env var; honor an explicit platform request via jax.config (as bench.py).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from kwage_tpu.core import FilterInfo, str_to_accession
 from kwage_tpu.io.bloom_file import write_bloom_file
 from kwage_tpu.io.sequence import iter_sequences
