@@ -27,6 +27,22 @@ from ..ops.search import (
 )
 
 
+def to_host(arr) -> np.ndarray:
+    """Read a mesh output back as the GLOBAL array on every process.
+
+    Single-process meshes (incl. the virtual CPU test mesh) read back
+    directly. When the mesh spans processes (real multi-host pods,
+    jax.distributed), outputs hold non-addressable shards; they are
+    assembled with an all-gather so every host sees the full result --
+    the analog of the reference's rank-0 MPI result merge
+    (SriRachA/main.cpp:462-531), except no host is special."""
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+
+
 def _sharded(fn, mesh: Mesh):
     # Per-query hit vectors are naturally sharded: the query axis follows
     # "data" and the packed-filter axis follows "filters" -- no collective
@@ -231,7 +247,7 @@ class ShardedDatabase:
         spans map columns to (file, filter))."""
         idx, valid, nk = self._prep(queries)
         parts = [
-            np.asarray(self._counts(db, idx, valid))[: len(queries), :real]
+            to_host(self._counts(db, idx, valid))[: len(queries), :real]
             for db, real in self._wave_dbs()
         ]
         counts = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1)
@@ -242,7 +258,7 @@ class ShardedDatabase:
         idx, valid, nk = self._prep(queries)
         parts = [
             unpack_mask(
-                np.asarray(self._complete(db, idx, valid))[: len(queries)],
+                to_host(self._complete(db, idx, valid))[: len(queries)],
                 real,
             )
             for db, real in self._wave_dbs()
@@ -268,7 +284,7 @@ class ShardedDatabase:
         qt_d = jax.device_put(qt, NamedSharding(self.mesh, P("data")))
         totals = np.zeros(idx.shape[0], dtype=np.int64)
         for db, _ in self._wave_dbs():
-            totals += np.asarray(
+            totals += to_host(
                 sharded_total_hits(self.mesh, db, idx, valid, qt_d)
             ).astype(np.int64)
         return totals[: len(queries)]
