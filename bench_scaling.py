@@ -11,6 +11,14 @@ Run on real hardware, or on a virtual mesh:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
       python bench_scaling.py
 
+Multi-host pods: launch one copy per host with the standard
+jax.distributed env (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+JAX_PROCESS_ID; cloud TPU pods need none). The cluster initializes, the
+single measured point is the FULL global mesh (smaller meshes would need
+non-participating processes to idle inside collective programs), and
+process 0 prints the JSON line; set SCALING_BASE_RATE to a recorded
+single-chip kmer_queries_per_sec to get the efficiency column.
+
 Timing is device-chained (see bench.py): N dependent iterations inside
 one jit, slope between two iteration counts, host readback at the end.
 """
@@ -47,27 +55,39 @@ def main() -> None:
 
     from kwage_tpu.ops.search import counts_kernel
 
+    from kwage_tpu.parallel.distributed import init_distributed
+
+    multiproc = init_distributed()
+
     devices = jax.devices()
     rng = np.random.default_rng(0)
     idx_host = rng.integers(0, 1 << LOG2_L, size=(NQ, NK, NH), dtype=np.int32)
     mask = jnp.int32((1 << LOG2_L) - 1)
 
-    sizes = []
-    n = 1
-    while n <= len(devices):
-        sizes.append(n)
-        n *= 2
+    if multiproc:
+        # Every process must execute every collective program, so only the
+        # full global mesh is measurable; sub-mesh points come from runs
+        # with fewer hosts (or the recorded single-chip rate).
+        sizes = [len(devices)]
+    else:
+        sizes = []
+        n = 1
+        while n <= len(devices):
+            sizes.append(n)
+            n *= 2
 
-    base_rate = None
+    base_rate = float(os.environ["SCALING_BASE_RATE"]) \
+        if os.environ.get("SCALING_BASE_RATE") else None
     for nd in sizes:
         mesh = Mesh(np.array(devices[:nd]), ("filters",))
         sharding = NamedSharding(mesh, P(None, "filters"))
 
-        @jax.jit
         def make_db(key):
             return jax.random.bits(key, (1 << LOG2_L, W_PER_DEV * nd), dtype=jnp.uint32)
 
-        db = jax.device_put(make_db(jax.random.key(0)), sharding)
+        # out_shardings materializes each shard on its own device directly
+        # (no full-size staging buffer; required for process-spanning meshes).
+        db = jax.jit(make_db, out_shardings=sharding)(jax.random.key(0))
         idx = jnp.asarray(idx_host)
         valid = jnp.ones((NQ, NK), dtype=bool)
 
@@ -103,15 +123,17 @@ def main() -> None:
         rate = NQ * NK * nd * (W_PER_DEV // 64) / per_iter
         if base_rate is None:
             base_rate = rate
-        print(
-            json.dumps(
-                {
-                    "devices": nd,
-                    "kmer_queries_per_sec": round(rate, 1),
-                    "scaling_efficiency": round(rate / (base_rate * nd), 3),
-                }
+        if jax.process_index() == 0:
+            print(
+                json.dumps(
+                    {
+                        "devices": nd,
+                        "kmer_queries_per_sec": round(rate, 1),
+                        "scaling_efficiency": round(rate / (base_rate * nd), 3),
+                    }
+                ),
+                flush=True,
             )
-        )
 
 
 if __name__ == "__main__":
