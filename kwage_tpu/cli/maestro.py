@@ -39,6 +39,7 @@ LONG_OPTS = [
     "source-dir=", "prefetch", "workers=", "count-len.min=", "count-len.max=",
     "device-build", "compress", "device-transpose", "lazy-inventory",
     "device-batch=", "coordinator=", "worker=", "task-timeout=",
+    "slice=", "of=",
 ]
 
 
@@ -80,6 +81,7 @@ def usage() -> None:
     print("\t[--coordinator <host:port> (serve the work queue to remote workers over DCN; UNAUTHENTICATED protocol -- bind loopback or a trusted network only)] (engine extension)", file=e)
     print("\t[--worker <host:port> (pull tasks from a remote coordinator)] (engine extension)", file=e)
     print("\t[--task-timeout <sec> (coordinator re-queues overdue tasks)] (engine extension)", file=e)
+    print("\t[--slice <slice number [0, N)> --of <number of slices, N> (static multi-host split: this scheduler owns one contiguous inventory shard; give each shard its own --status and scratch; sra.<index>.db numbering interleaves without collision)] (engine extension)", file=e)
 
 
 @cli_errors
@@ -174,6 +176,10 @@ def main(argv: list[str] | None = None) -> int:
             worker_of = val
         elif flag == "--task-timeout":
             task_timeout = float(val)
+        elif flag == "--slice":
+            opt.slice_index = abs(int(val))
+        elif flag == "--of":
+            opt.num_slice = max(1, int(val))
         elif flag == "--count-len.min":
             opt.min_log_2_count_len = abs(int(val))
         elif flag == "--count-len.max":
@@ -198,6 +204,9 @@ def main(argv: list[str] | None = None) -> int:
         return 1
     if not 1 <= opt.min_kmer_count <= MAX_SRA_MIN_KMER_COUNT:
         print(f"Please specify: 1 <= min k-mer count <= {MAX_SRA_MIN_KMER_COUNT}", file=sys.stderr)
+        return 1
+    if opt.slice_index >= opt.num_slice:
+        print("Please specify: 0 <= --slice < --of", file=sys.stderr)
         return 1
     if not source_dir and not use_prefetch and not opt.stream_sra:
         print("Please specify an accession source (--source-dir, --prefetch or --stream)", file=sys.stderr)

@@ -270,6 +270,15 @@ class MaestroOptions:
     # counting-filter clamp passthrough (tests shrink it)
     min_log_2_count_len: int = 18
     max_log_2_count_len: int = 32
+    # Static multi-host split (engine extension): this scheduler owns only
+    # inventory shard slice_index of num_slice (the contiguous
+    # shard_inventory range; same partition rule as SriRachA read ranges,
+    # sra_stream.cpp:525-543). Out-of-shard accessions are pre-marked
+    # SKIPPED, and database files number slice_index+1, +num_slice, ... so
+    # shards sharing one S3 bucket never collide on sra.<index>.db names.
+    # Each shard needs its OWN --status file and scratch directories.
+    slice_index: int = 0
+    num_slice: int = 1
 
     def build_options(self) -> BuildOptions:
         return BuildOptions(
@@ -665,8 +674,13 @@ class Maestro:
         else:
             self.accessions = [accession_to_str(i.run_accession) for i in infos]
         self.status = np.full(len(infos), STATUS_INIT, dtype=np.uint8)
-        # Database files count from 1 (maestro_main.cpp:180).
-        self.database_index = 1
+        # Database files count from 1 (maestro_main.cpp:180); a sliced
+        # scheduler counts from slice_index+1 with stride num_slice so
+        # shard outputs interleave without name collisions.
+        self.database_index = 1 + (
+            self.opt.slice_index if self.opt.num_slice > 1 else 0
+        )
+        self._mark_out_of_slice()
         # Reference scheduling state (maestro_main.cpp:246-250, 282-283):
         # a forward-only cursor over the inventory for fresh work, an
         # in-memory retry deque (dispatches from it do NOT pre-mark the
@@ -711,6 +725,20 @@ class Maestro:
     def bloom_path(self, idx: int) -> str:
         return os.path.join(self.opt.scratch_bloom_dir, self.accessions[idx] + ".bloom")
 
+    def _mark_out_of_slice(self) -> None:
+        """--slice/--of static split: accessions outside this scheduler's
+        contiguous inventory shard are terminal-SKIPPED (idempotent;
+        re-applied after every status restore, like --skip marking)."""
+        if self.opt.num_slice <= 1:
+            return
+        from .distributed import shard_inventory
+
+        first, last = shard_inventory(
+            len(self.status), self.opt.slice_index, self.opt.num_slice
+        )
+        self.status[:first] = STATUS_SKIPPED
+        self.status[last:] = STATUS_SKIPPED
+
     def restore(self) -> None:
         """restore_status + scratch rescans (maestro_main.cpp:200-240, 618-802)."""
         if os.path.exists(self.opt.status_file):
@@ -718,7 +746,8 @@ class Maestro:
                 self.opt.status_file, len(self.infos)
             )
             self.status = self.status.copy()
-            self.database_index = max(1, self.database_index)
+            base = 1 + (self.opt.slice_index if self.opt.num_slice > 1 else 0)
+            self.database_index = max(base, self.database_index)
 
         # --retry.bloom resurrects hard failures, including the final
         # STATUS_BLOOM_FAIL (maestro_main.cpp:200-217).
@@ -734,6 +763,7 @@ class Maestro:
         for i, acc in enumerate(self.accessions):
             if acc in skip:
                 self.status[i] = STATUS_SKIPPED
+        self._mark_out_of_slice()
 
         # restore_download (maestro_main.cpp:618-656): in download mode a
         # STATUS_DOWNLOAD_SUCCESS accession whose staged source still
@@ -1157,7 +1187,7 @@ class Maestro:
                 if pending_db and not in_flight_db:
                     param, members = pending_db.popleft()
                     db_index = self.database_index
-                    self.database_index += 1
+                    self.database_index += self.opt.num_slice
                     self._log(
                         f"[maestro] building database {db_index} "
                         f"(L={param.log_2_filter_len}, h={param.num_hash}, "

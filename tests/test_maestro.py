@@ -432,3 +432,48 @@ def test_duplicate_bloom_event_absorbed_once(manifest, data_dir, tmp_path):
     m._absorb_bloom_event(0, STATUS_BLOOM_SUCCESS, param, 0.1)
     assert m._groups.get(param, []) == []
     assert m._total_bp == 500
+
+
+def test_static_slice_split(manifest, data_dir, tmp_path):
+    """--slice/--of engine extension: two sliced schedulers over the same
+    inventory produce, between them, exactly the unsliced run's filters
+    (byte-identical .bloom files), touch only their own shard, and write
+    non-colliding interleaved sra.<index>.db names."""
+    # Unsliced reference run.
+    full = tmp_path / "full"
+    full.mkdir()
+    _write_inventory(manifest, full)
+    m = Maestro(_options(manifest, full), LocalFastaResolver(str(data_dir)))
+    m.restore()
+    m.run()
+    want = {
+        f: _sha(full / "bloom" / f) for f in os.listdir(full / "bloom")
+    }
+    assert len(want) == 10
+
+    shard_blooms = {}
+    db_names = []
+    for s in range(2):
+        w = tmp_path / f"s{s}"
+        w.mkdir()
+        _write_inventory(manifest, w)
+        opt = _options(manifest, w, slice_index=s, num_slice=2)
+        ms = Maestro(opt, LocalFastaResolver(str(data_dir)))
+        ms.restore()
+        ms.run()
+        # Own shard terminal-success; other shard terminal-skipped.
+        lo, hi = (0, 5) if s == 0 else (5, 10)
+        assert all(st == STATUS_DATABASE_SUCCESS for st in ms.status[lo:hi])
+        out = np.concatenate([ms.status[:lo], ms.status[hi:]])
+        assert all(st == STATUS_SKIPPED for st in out)
+        for f in os.listdir(w / "bloom"):
+            assert f not in shard_blooms, "shards overlapped"
+            shard_blooms[f] = _sha(w / "bloom" / f)
+        db_names.append(set(os.listdir(w / "db")))
+        # Interleaved numbering: shard s uses indices s+1, s+3, ...
+        for name in db_names[-1]:
+            idx = int(name.split(".")[1])
+            assert idx % 2 == (s + 1) % 2
+
+    assert shard_blooms == want
+    assert not (db_names[0] & db_names[1])
