@@ -62,7 +62,7 @@ def usage(out=sys.stderr) -> None:
     print("\t-d <database search path> (can be repeated)", file=out)
     print("\t[-i <input sequence file>] (can be repeated)", file=out)
     print("\t[<DNA sequence>] (can be repeated)", file=out)
-    print("\t[--device (run the search on the TPU)] (engine extension)", file=out)
+    print("\t[--device (run the search on the TPU; multiple visible chips auto-shard over a filters-axis mesh)] (engine extension)", file=out)
     print("\t[--threads <n> (host search threads; default OMP_NUM_THREADS/"
           "KWAGE_NUM_THREADS)] (engine extension)", file=out)
     print("\t[--serve <port> (keep the databases device-resident and answer"
@@ -168,7 +168,21 @@ def main(argv: list[str] | None = None) -> int:
             qid += 1
 
     if use_device:
-        from ..ops.search import search_files_device as _search
+        import jax
+
+        if len(jax.devices()) > 1:
+            # Multi-chip: shard the fused matrices over a filters-axis
+            # mesh spanning every visible device (hit lists remain
+            # byte-identical to the host engine / reference binary).
+            from ..parallel import make_search_mesh
+            from ..parallel.sharded_search import sharded_search_files
+
+            mesh = make_search_mesh(1, len(jax.devices()))
+
+            def _search(files, qs, t):
+                return sharded_search_files(mesh, files, qs, t)
+        else:
+            from ..ops.search import search_files_device as _search
     else:
         def _search(files, qs, t):
             return search_database_files(files, qs, t, num_threads=num_threads)
