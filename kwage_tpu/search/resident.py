@@ -150,23 +150,66 @@ class ResidentSearcher:
     def render(self, queries: list[str], threshold: float, fmt: str = "json") -> str:
         """Rendered hit lists, byte-identical to the kwage CLI for the
         same command-line queries (ids 'command line seq i')."""
-        pairs = [(i, q) for i, q in enumerate(queries)]
-        res = self.search(pairs, threshold)
-        ordered = [
-            (f"command line seq {i}", res[i]) for i in sorted(res)
-        ]
-        if fmt == "csv":
-            return render_csv(ordered)
-        return render_json(ordered, threshold)
+        return _render(self, queries, threshold, fmt)
+
+
+def _render(searcher, queries: list[str], threshold: float, fmt: str) -> str:
+    pairs = [(i, q) for i, q in enumerate(queries)]
+    res = searcher.search(pairs, threshold)
+    ordered = [
+        (f"command line seq {i}", res[i]) for i in sorted(res)
+    ]
+    if fmt == "csv":
+        return render_csv(ordered)
+    return render_json(ordered, threshold)
+
+
+class MeshResidentSearcher:
+    """ResidentSearcher over a device mesh: the fused matrices shard
+    along the "filters" axis across every device (ShardedDatabase groups
+    stay alive across requests; the same per-device HBM budget streams
+    over-budget corpora in column waves). Same search/render contract and
+    bytes as ResidentSearcher."""
+
+    def __init__(self, db_paths: list[str], mesh=None,
+                 budget_bytes: int | None = None):
+        if mesh is None:
+            import jax
+
+            from ..parallel import make_search_mesh
+
+            mesh = make_search_mesh(1, len(jax.devices()))
+        from ..parallel.sharded_search import build_sharded_groups
+
+        self.db_paths = list(db_paths)
+        self.mesh = mesh
+        self._groups = build_sharded_groups(mesh, self.db_paths, budget_bytes)
+
+    def search(self, queries: list[tuple[int, str]], threshold: float):
+        from ..parallel.sharded_search import search_sharded_groups
+
+        return search_sharded_groups(
+            self._groups, self.db_paths, queries, threshold
+        )
+
+    def render(self, queries: list[str], threshold: float, fmt: str = "json") -> str:
+        return _render(self, queries, threshold, fmt)
 
 
 class SearchServer:
-    """JSON-lines TCP server around a ResidentSearcher."""
+    """JSON-lines TCP server around a ResidentSearcher (one visible
+    device) or MeshResidentSearcher (several: the corpus shards across
+    all of them)."""
 
     def __init__(self, db_paths: list[str], host: str = "127.0.0.1", port: int = 0):
+        import jax
+
         # Unauthenticated JSON protocol: loopback by default; bind a
         # routable address only on a trusted network.
-        searcher = ResidentSearcher(db_paths)
+        if len(jax.devices()) > 1:
+            searcher = MeshResidentSearcher(db_paths)
+        else:
+            searcher = ResidentSearcher(db_paths)
         self.searcher = searcher
         lock = threading.Lock()  # one chip = one resource: serialize
 

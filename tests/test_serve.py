@@ -122,3 +122,20 @@ def test_resident_budget_chunks_match(db_dir, data_dir, tmp_path):
     assert tiny.resident_bytes <= 1 << 10
     for threshold in (1.0, 0.5):
         assert tiny.render(queries, threshold) == full.render(queries, threshold)
+
+
+def test_mesh_resident_searcher_matches_single(db_dir, data_dir, tmp_path):
+    """MeshResidentSearcher (filters sharded over the 8-device mesh)
+    renders byte-identical output to the single-device ResidentSearcher."""
+    from kwage_tpu.cli.kwage import find_db_files
+    from kwage_tpu.io.sequence import iter_sequences
+    from kwage_tpu.search.resident import MeshResidentSearcher, ResidentSearcher
+
+    db, _man = db_dir
+    files = find_db_files([db])
+    queries = [s for _, s in iter_sequences(str(data_dir / "queries.fasta"))][:3]
+    single = ResidentSearcher(files)
+    mesh = MeshResidentSearcher(files)
+    for threshold, fmt in ((1.0, "json"), (0.5, "csv"), (0.75, "json")):
+        assert mesh.render(queries, threshold, fmt) == \
+            single.render(queries, threshold, fmt), (threshold, fmt)
