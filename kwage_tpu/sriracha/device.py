@@ -261,6 +261,8 @@ def search_reads_device(
     stats: StreamStats | None = None,
     batch_size: int = 512,
     span_reads: int | None = None,
+    mesh=None,
+    auto_mesh: bool = True,
 ) -> list[list[SearchMatch]]:
     """Device-batched equivalent of engine.search_reads (bit-identical
     output) for every reference-legal k (1..32,
@@ -273,7 +275,15 @@ def search_reads_device(
     accession size (the reference streams read ranges the same way,
     sra_stream.cpp:525-543). Gate state (perfect-match early-skip,
     intermediate culls) carries across spans, so output is identical to
-    a fully materialized run."""
+    a fully materialized run.
+
+    ``mesh`` (optional, 1-axis jax.sharding.Mesh): shard each read batch
+    across devices along the batch axis with the subject tables
+    replicated -- the on-device analog of the reference's per-rank read
+    split (sra_stream.cpp:525-543); per-read work is independent, so no
+    collective is introduced. Bit-identical to the single-device path.
+    By default (``auto_mesh``) a batch-axis mesh over every visible
+    device is built automatically when more than one is present."""
     from itertools import islice
 
     ns = len(subject_kmers)
@@ -306,6 +316,35 @@ def search_reads_device(
             )
             for g in range(0, ns, 32)
         )
+
+    if mesh is None and auto_mesh:
+        devs = jax.devices()
+        if len(devs) > 1:
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np.array(devs), ("data",))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ax = mesh.axis_names[0]
+        batch_size += (-batch_size) % mesh.devices.size
+        _rep = NamedSharding(mesh, P())
+        if use_table:
+            tables = tuple(jax.device_put(t, _rep) for t in tables)
+        else:
+            hash_tables = tuple(
+                tuple(jax.device_put(a, _rep) for a in grp)
+                for grp in hash_tables
+            )
+
+        def put_batch(block, lengths):
+            return (
+                jax.device_put(block, NamedSharding(mesh, P(ax, None))),
+                jax.device_put(lengths, NamedSharding(mesh, P(ax))),
+            )
+    else:
+        def put_batch(block, lengths):
+            return jnp.asarray(block), jnp.asarray(lengths)
 
     def run_batch(block, lengths):
         if use_table:
@@ -357,7 +396,7 @@ def search_reads_device(
                         seq.encode("ascii"), dtype=np.uint8
                     )
                     lengths[r] = len(seq)
-                c, k_, u_ = run_batch(jnp.asarray(block), jnp.asarray(lengths))
+                c, k_, u_ = run_batch(*put_batch(block, lengths))
                 counts[chunk] = np.asarray(c)[: len(chunk)]
                 nk[chunk] = np.asarray(k_)[: len(chunk)]
                 nu[chunk] = np.asarray(u_)[: len(chunk)]
