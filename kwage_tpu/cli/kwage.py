@@ -66,9 +66,9 @@ def usage(out=sys.stderr) -> None:
     print("\t[--threads <n> (host search threads; default OMP_NUM_THREADS/"
           "KWAGE_NUM_THREADS)] (engine extension)", file=out)
     print("\t[--serve <port> (keep the databases device-resident and answer"
-          " JSON-line queries over TCP; UNAUTHENTICATED protocol, binds"
-          " loopback -- front it yourself on untrusted networks)]"
-          " (engine extension)", file=out)
+          " JSON-line queries over TCP; binds loopback; UNAUTHENTICATED"
+          " unless KWAGE_QUEUE_SECRET is set, then every request needs a"
+          " matching \"token\" field)] (engine extension)", file=out)
 
 
 def main(argv: list[str] | None = None) -> int:

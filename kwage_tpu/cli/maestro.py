@@ -78,7 +78,7 @@ def usage() -> None:
     print("\t[--device-transpose (bit-slice transpose on the TPU)] (engine extension)", file=e)
     print("\t[--lazy-inventory (index the inventory; load records on demand)] (engine extension)", file=e)
     print("\t[--device-batch <N> (accessions fused per device dispatch, default 16)] (engine extension)", file=e)
-    print("\t[--coordinator <host:port> (serve the work queue to remote workers over DCN; UNAUTHENTICATED protocol -- bind loopback or a trusted network only)] (engine extension)", file=e)
+    print("\t[--coordinator <host:port> (serve the work queue to remote workers over DCN; UNAUTHENTICATED unless KWAGE_QUEUE_SECRET is set on coordinator + workers -- bind loopback or a trusted network only)] (engine extension)", file=e)
     print("\t[--worker <host:port> (pull tasks from a remote coordinator)] (engine extension)", file=e)
     print("\t[--task-timeout <sec> (coordinator re-queues overdue tasks)] (engine extension)", file=e)
     print("\t[--slice <slice number [0, N)> --of <number of slices, N> (static multi-host split: this scheduler owns one contiguous inventory shard; give each shard its own --status and scratch; sra.<index>.db numbering interleaves without collision)] (engine extension)", file=e)

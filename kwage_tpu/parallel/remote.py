@@ -79,6 +79,11 @@ def _param_from_dict(d: dict) -> BloomParam:
     )
 
 
+class QueueAuthError(RuntimeError):
+    """The coordinator refused a message for a bad/missing shared-secret
+    token (KWAGE_QUEUE_SECRET mismatch) -- a configuration error."""
+
+
 def _send_msg(address: tuple[str, int], msg: dict, timeout: float = 30.0) -> dict:
     with socket.create_connection(address, timeout=timeout) as sock:
         f = sock.makefile("rw", encoding="utf-8")
@@ -98,10 +103,16 @@ class CoordinatorServer:
     """
 
     def __init__(self, maestro: Maestro, host: str = "127.0.0.1", port: int = 0,
-                 task_timeout: float | None = None):
-        # The protocol is unauthenticated (like the reference's MPI world):
-        # default to loopback; binding a routable address is an explicit
-        # choice to be made only on a trusted network.
+                 task_timeout: float | None = None, secret: str | None = None):
+        # Default is unauthenticated on loopback (like the reference's MPI
+        # world); binding a routable address is an explicit choice. With a
+        # shared secret (argument or KWAGE_QUEUE_SECRET env), every message
+        # must carry a matching "token" field or is refused -- cheap
+        # tampering protection for trusted-but-shared networks.
+        import os
+
+        self._secret = secret if secret is not None \
+            else os.environ.get("KWAGE_QUEUE_SECRET", "")
         self.m = maestro
         self.task_timeout = task_timeout
         self._lock = threading.Lock()
@@ -125,10 +136,17 @@ class CoordinatorServer:
 
         class Handler(socketserver.StreamRequestHandler):
             def handle(self) -> None:
+                import hmac
+
                 line = self.rfile.readline().decode("utf-8")
                 if not line.strip():
                     return
-                reply = coord._handle(json.loads(line))
+                msg = json.loads(line)
+                token = str(msg.pop("token", ""))
+                if coord._secret and not hmac.compare_digest(token, coord._secret):
+                    reply = {"op": "denied", "error": "bad or missing token"}
+                else:
+                    reply = coord._handle(msg)
                 self.wfile.write((json.dumps(reply) + "\n").encode("utf-8"))
 
         class Server(socketserver.ThreadingTCPServer):
@@ -299,9 +317,12 @@ class RemoteWorker:
 
     def __init__(self, opt: MaestroOptions, resolver: SourceResolver,
                  address: tuple[str, int], name: str = "",
-                 event_retry_sec: float = 600.0):
+                 event_retry_sec: float = 600.0, secret: str | None = None):
+        import os
         from collections import deque
 
+        self._secret = secret if secret is not None \
+            else os.environ.get("KWAGE_QUEUE_SECRET", "")
         self.opt = opt
         self.resolver = resolver
         self.address = tuple(address)
@@ -326,6 +347,21 @@ class RemoteWorker:
 
         return os.path.join(self.opt.scratch_bloom_dir, accession + ".bloom")
 
+    def _send(self, msg: dict) -> dict:
+        """_send_msg with the shared-secret token attached. A "denied"
+        reply is a configuration error, not a transient fault: raise
+        instead of letting retry loops spin on it forever."""
+        if self._secret:
+            msg = dict(msg, token=self._secret)
+        reply = _send_msg(self.address, msg)
+        if reply.get("op") == "denied":
+            # NOT an OSError subclass: the transient-fault retry loops
+            # (except OSError) must not spin on a config error.
+            raise QueueAuthError(
+                f"coordinator refused {msg.get('op')}: {reply.get('error')}"
+            )
+        return reply
+
     def _queue_event(self, msg: dict) -> None:
         msg = dict(msg)
         msg["eid"] = f"{self.name}:{self._eid_salt}:{self._eid}"
@@ -337,7 +373,7 @@ class RemoteWorker:
         events fired from inside a build, which must not block it."""
         while self._pending:
             try:
-                _send_msg(self.address, self._pending[0])
+                self._send(self._pending[0])
             except OSError:
                 return
             self._pending.popleft()
@@ -349,7 +385,7 @@ class RemoteWorker:
         backoff = 0.05
         while self._pending:
             try:
-                _send_msg(self.address, self._pending[0])
+                self._send(self._pending[0])
             except OSError:
                 if time.time() >= deadline:
                     return False
@@ -374,8 +410,8 @@ class RemoteWorker:
         n_tasks = 0
         while True:
             try:
-                task = _send_msg(
-                    self.address, {"op": "next", "worker": self.name, "n": pull_n}
+                task = self._send(
+                    {"op": "next", "worker": self.name, "n": pull_n}
                 )
             except OSError:
                 # Coordinator gone: it shuts down once every accession is

@@ -201,17 +201,24 @@ class SearchServer:
     device) or MeshResidentSearcher (several: the corpus shards across
     all of them)."""
 
-    def __init__(self, db_paths: list[str], host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, db_paths: list[str], host: str = "127.0.0.1", port: int = 0,
+                 secret: str | None = None):
+        import os
+
         import jax
 
-        # Unauthenticated JSON protocol: loopback by default; bind a
-        # routable address only on a trusted network.
+        # Loopback + unauthenticated by default; with a shared secret
+        # (argument or KWAGE_QUEUE_SECRET env) every request must carry a
+        # matching "token" field or is refused.
+        self._secret = secret if secret is not None \
+            else os.environ.get("KWAGE_QUEUE_SECRET", "")
         if len(jax.devices()) > 1:
             searcher = MeshResidentSearcher(db_paths)
         else:
             searcher = ResidentSearcher(db_paths)
         self.searcher = searcher
         lock = threading.Lock()  # one chip = one resource: serialize
+        server_secret = self._secret
 
         class Handler(socketserver.StreamRequestHandler):
             def handle(self) -> None:
@@ -220,7 +227,14 @@ class SearchServer:
                     if not line:
                         continue
                     try:
+                        import hmac
+
                         req = json.loads(line)
+                        token = str(req.pop("token", ""))
+                        if server_secret and not hmac.compare_digest(
+                            token, server_secret
+                        ):
+                            raise PermissionError("bad or missing token")
                         queries = [str(q) for q in req["queries"]]
                         threshold = float(req.get("threshold", 1.0))
                         if not 0.0 < threshold <= 1.0:

@@ -398,3 +398,51 @@ def test_failed_apply_does_not_poison_eid(manifest, data_dir, tmp_path, monkeypa
         assert calls["n"] == 2
     finally:
         coord._server.server_close()
+
+
+def test_queue_shared_secret(manifest, data_dir, tmp_path, monkeypatch):
+    """KWAGE_QUEUE_SECRET: matching tokens converge normally; a missing or
+    wrong token is refused with op=denied / QueueAuthError."""
+    from kwage_tpu.parallel.remote import (
+        QueueAuthError,
+        _send_msg,
+    )
+
+    monkeypatch.setenv("KWAGE_QUEUE_SECRET", "s3kr1t")
+    infos = [FilterInfo(run_accession=str_to_accession(a))
+             for a in manifest["accessions"]]
+    write_inventory(str(tmp_path / "inventory.bin"), infos)
+    opt = _options(manifest, tmp_path)
+
+    # Probe phase: a coordinator with the secret refuses unauthenticated
+    # and wrong-token messages (and the worker surfaces the config error
+    # instead of retry-spinning).
+    m = Maestro(opt, LocalFastaResolver(str(data_dir)))
+    m.restore()
+    coord = CoordinatorServer(m, host="127.0.0.1")
+    coord.start()
+    try:
+        assert _send_msg(coord.address, {"op": "next", "worker": "x", "n": 1})[
+            "op"] == "denied"
+        assert _send_msg(
+            coord.address,
+            {"op": "next", "worker": "x", "n": 1, "token": "wrong"},
+        )["op"] == "denied"
+        bad = RemoteWorker(opt, LocalFastaResolver(str(data_dir)),
+                           coord.address, name="bad", secret="wrong")
+        with pytest.raises(QueueAuthError):
+            bad._send({"op": "next", "worker": "bad", "n": 1})
+        ok = _send_msg(
+            coord.address,
+            {"op": "next", "worker": "x", "n": 1, "token": "s3kr1t"},
+        )
+        assert ok["op"] in ("bloom", "bloom_batch", "db", "wait")
+    finally:
+        coord.shutdown()
+
+    # Full distributed run with the env secret on both sides.
+    m2 = run_distributed_maestro(
+        opt, LocalFastaResolver(str(data_dir)), num_local_workers=2,
+        host="127.0.0.1",
+    )
+    assert all(s == STATUS_DATABASE_SUCCESS for s in m2.status), m2.summary()

@@ -139,3 +139,35 @@ def test_mesh_resident_searcher_matches_single(db_dir, data_dir, tmp_path):
     for threshold, fmt in ((1.0, "json"), (0.5, "csv"), (0.75, "json")):
         assert mesh.render(queries, threshold, fmt) == \
             single.render(queries, threshold, fmt), (threshold, fmt)
+
+
+def test_search_server_token_auth(db_dir, data_dir, tmp_path):
+    """With a shared secret, requests without a matching token are refused
+    and tokened requests serve normally."""
+    from kwage_tpu.cli.kwage import find_db_files
+    from kwage_tpu.io.sequence import iter_sequences
+    from kwage_tpu.search.resident import SearchServer
+
+    db, _man = db_dir
+    queries = [s for _, s in iter_sequences(str(data_dir / "queries.fasta"))][:1]
+    server = SearchServer(find_db_files([db]), host="127.0.0.1", secret="tok3n")
+    server.start()
+    try:
+        with socket.create_connection(server.address, timeout=30) as sock:
+            f = sock.makefile("rw", encoding="utf-8")
+            for req, ok in (
+                ({"queries": queries, "threshold": 1.0}, False),
+                ({"queries": queries, "threshold": 1.0, "token": "bad"}, False),
+                ({"queries": queries, "threshold": 1.0, "token": "tok3n"}, True),
+            ):
+                f.write(json.dumps(req) + "\n")
+                f.flush()
+                reply = json.loads(f.readline())
+                assert reply["ok"] is ok, reply
+                if not ok:
+                    assert "token" in reply["error"]
+                else:
+                    want = _cli_output(db, queries, 1.0, "o.json", tmp_path)
+                    assert reply["output"] == want
+    finally:
+        server.shutdown()
