@@ -55,12 +55,10 @@ def main() -> None:
         open(marker, "w").close()
         raise RuntimeError("injected transient backend failure")
 
-    import jax
+    from kwage_tpu.utils.runtime import pin_platform_from_env
 
-    # This box boots a TPU backend from sitecustomize, which outranks the
-    # JAX_PLATFORMS env var; honor an explicit request via jax.config.
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    pin_platform_from_env()
+    import jax
     # Persistent compile cache: repeat runs skip the 20-40 s first compile.
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/kwage_jax_cache")

@@ -43,12 +43,10 @@ NH = 5
 def main() -> None:
     import os
 
-    import jax
+    from kwage_tpu.utils.runtime import pin_platform_from_env
 
-    # This box boots a TPU backend from sitecustomize, which outranks the
-    # JAX_PLATFORMS env var; honor an explicit cpu request via jax.config.
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    pin_platform_from_env()
+    import jax
 
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -122,14 +120,23 @@ def main() -> None:
         # W_PER_DEV/64 files.
         rate = NQ * NK * nd * (W_PER_DEV // 64) / per_iter
         if base_rate is None:
-            base_rate = rate
+            if multiproc:
+                # No single-device point exists in a multi-process run:
+                # without SCALING_BASE_RATE the efficiency column would
+                # read 1/nd -- meaningless. Report null instead.
+                eff = None
+            else:
+                base_rate = rate
+                eff = 1.0
+        else:
+            eff = round(rate / (base_rate * nd), 3)
         if jax.process_index() == 0:
             print(
                 json.dumps(
                     {
                         "devices": nd,
                         "kmer_queries_per_sec": round(rate, 1),
-                        "scaling_efficiency": round(rate / (base_rate * nd), 3),
+                        "scaling_efficiency": eff,
                     }
                 ),
                 flush=True,

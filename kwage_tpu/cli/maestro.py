@@ -177,7 +177,9 @@ def main(argv: list[str] | None = None) -> int:
         elif flag == "--task-timeout":
             task_timeout = float(val)
         elif flag == "--slice":
-            opt.slice_index = abs(int(val))
+            # No abs(): a negative slice (launcher off-by-one) must hit
+            # the range check below, not fold into a different shard.
+            opt.slice_index = int(val)
         elif flag == "--of":
             opt.num_slice = max(1, int(val))
         elif flag == "--count-len.min":
@@ -205,7 +207,7 @@ def main(argv: list[str] | None = None) -> int:
     if not 1 <= opt.min_kmer_count <= MAX_SRA_MIN_KMER_COUNT:
         print(f"Please specify: 1 <= min k-mer count <= {MAX_SRA_MIN_KMER_COUNT}", file=sys.stderr)
         return 1
-    if opt.slice_index >= opt.num_slice:
+    if not 0 <= opt.slice_index < opt.num_slice:
         print("Please specify: 0 <= --slice < --of", file=sys.stderr)
         return 1
     if not source_dir and not use_prefetch and not opt.stream_sra:

@@ -113,9 +113,11 @@ def main(argv: list[str] | None = None) -> int:
         elif flag == "--retry":
             opt.max_retry = abs(int(val))
         elif flag == "--slice":
-            opt.slice_index = abs(int(val))
+            # No abs(): a negative slice must fail the range check, not
+            # fold into a different shard.
+            opt.slice_index = int(val)
         elif flag == "--of":
-            opt.num_slice = abs(int(val))
+            opt.num_slice = max(1, int(val))
         elif flag == "--threads":
             opt.num_threads = max(1, int(val))
         elif flag == "--device":
@@ -144,7 +146,7 @@ def main(argv: list[str] | None = None) -> int:
     if not 0.0 < opt.kmer_match_threshold <= 1.0:
         print("Please specify: 0.0 < kmer match threshold <= 1.0", file=sys.stderr)
         return 1
-    if opt.slice_index >= opt.num_slice:
+    if not 0 <= opt.slice_index < opt.num_slice:
         print("Please specify: slice index < number of slices", file=sys.stderr)
         return 1
     if not opt.input_sequence_files:

@@ -109,10 +109,9 @@ class CoordinatorServer:
         # shared secret (argument or KWAGE_QUEUE_SECRET env), every message
         # must carry a matching "token" field or is refused -- cheap
         # tampering protection for trusted-but-shared networks.
-        import os
+        from ..utils.runtime import resolve_secret
 
-        self._secret = secret if secret is not None \
-            else os.environ.get("KWAGE_QUEUE_SECRET", "")
+        self._secret = resolve_secret(secret)
         self.m = maestro
         self.task_timeout = task_timeout
         self._lock = threading.Lock()
@@ -136,14 +135,13 @@ class CoordinatorServer:
 
         class Handler(socketserver.StreamRequestHandler):
             def handle(self) -> None:
-                import hmac
+                from ..utils.runtime import check_token
 
                 line = self.rfile.readline().decode("utf-8")
                 if not line.strip():
                     return
                 msg = json.loads(line)
-                token = str(msg.pop("token", ""))
-                if coord._secret and not hmac.compare_digest(token, coord._secret):
+                if not check_token(msg, coord._secret):
                     reply = {"op": "denied", "error": "bad or missing token"}
                 else:
                     reply = coord._handle(msg)
@@ -242,7 +240,10 @@ class CoordinatorServer:
         if self._pending_db:
             param, members = self._pending_db.popleft()
             dbi = m.database_index
-            m.database_index += 1
+            # Stride num_slice, like the local scheduler: a sliced
+            # coordinator keeps the collision-free interleaved
+            # sra.<index>.db numbering.
+            m.database_index += m.opt.num_slice
             for i in members:
                 m.status[i] = STATUS_DATABASE_FAIL  # pre-mark
             self._in_flight_db[dbi] = (members, time.time())
@@ -318,11 +319,11 @@ class RemoteWorker:
     def __init__(self, opt: MaestroOptions, resolver: SourceResolver,
                  address: tuple[str, int], name: str = "",
                  event_retry_sec: float = 600.0, secret: str | None = None):
-        import os
         from collections import deque
 
-        self._secret = secret if secret is not None \
-            else os.environ.get("KWAGE_QUEUE_SECRET", "")
+        from ..utils.runtime import resolve_secret
+
+        self._secret = resolve_secret(secret)
         self.opt = opt
         self.resolver = resolver
         self.address = tuple(address)

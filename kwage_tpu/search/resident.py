@@ -203,15 +203,14 @@ class SearchServer:
 
     def __init__(self, db_paths: list[str], host: str = "127.0.0.1", port: int = 0,
                  secret: str | None = None):
-        import os
-
         import jax
+
+        from ..utils.runtime import resolve_secret
 
         # Loopback + unauthenticated by default; with a shared secret
         # (argument or KWAGE_QUEUE_SECRET env) every request must carry a
         # matching "token" field or is refused.
-        self._secret = secret if secret is not None \
-            else os.environ.get("KWAGE_QUEUE_SECRET", "")
+        self._secret = resolve_secret(secret)
         if len(jax.devices()) > 1:
             searcher = MeshResidentSearcher(db_paths)
         else:
@@ -227,13 +226,10 @@ class SearchServer:
                     if not line:
                         continue
                     try:
-                        import hmac
+                        from ..utils.runtime import check_token
 
                         req = json.loads(line)
-                        token = str(req.pop("token", ""))
-                        if server_secret and not hmac.compare_digest(
-                            token, server_secret
-                        ):
+                        if not check_token(req, server_secret):
                             raise PermissionError("bad or missing token")
                         queries = [str(q) for q in req["queries"]]
                         threshold = float(req.get("threshold", 1.0))

@@ -446,3 +446,28 @@ def test_queue_shared_secret(manifest, data_dir, tmp_path, monkeypatch):
         host="127.0.0.1",
     )
     assert all(s == STATUS_DATABASE_SUCCESS for s in m2.status), m2.summary()
+
+
+def test_sliced_coordinator_interleaves_db_indices(manifest, data_dir, tmp_path):
+    """--slice/--of combined with --coordinator keeps the collision-free
+    stride-N sra.<index>.db numbering (shard s uses s+1, s+1+N, ...)."""
+    infos = [FilterInfo(run_accession=str_to_accession(a))
+             for a in manifest["accessions"]]
+    db_names = []
+    for s in range(2):
+        w = tmp_path / f"s{s}"
+        w.mkdir()
+        write_inventory(str(w / "inventory.bin"), infos)
+        opt = _options(manifest, w, slice_index=s, num_slice=2)
+        m = run_distributed_maestro(
+            opt, LocalFastaResolver(str(data_dir)), num_local_workers=1,
+            host="127.0.0.1",
+        )
+        lo, hi = (0, 5) if s == 0 else (5, 10)
+        assert all(st == STATUS_DATABASE_SUCCESS for st in m.status[lo:hi])
+        names = sorted((w / "db").glob("*.db"))
+        assert names, "shard built no databases"
+        for p in names:
+            assert int(p.name.split(".")[1]) % 2 == (s + 1) % 2, p.name
+        db_names.append({p.name for p in names})
+    assert not (db_names[0] & db_names[1])

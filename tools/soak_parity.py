@@ -12,12 +12,9 @@ counting filter promoted collisions -- that divergence is by design
 """
 import numpy as np, subprocess, sys, os, tempfile, shutil
 
-# sitecustomize boots the tunneled TPU plugin, outranking the JAX_PLATFORMS
-# env var; honor an explicit platform request via jax.config (as bench.py).
-if os.environ.get("JAX_PLATFORMS"):
-    import jax
+from kwage_tpu.utils.runtime import pin_platform_from_env
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+pin_platform_from_env()  # sitecustomize outranks the env var alone
 
 from kwage_tpu.core import FilterInfo, str_to_accession
 from kwage_tpu.io.bloom_file import write_bloom_file
