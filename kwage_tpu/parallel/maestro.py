@@ -587,20 +587,27 @@ class _DeviceDispatcher:
             scatter_device_batch,
         )
 
-        tail = None  # (work, fut, scatter state) awaiting stage B
+        from collections import deque
+
+        # Batches with stage A dispatched, awaiting stage B. The window
+        # depth D (KWAGE_PIPE_DEPTH, default 2 = the measured-best
+        # A(i)/B(i-1) interleave) keeps up to D-1 scatter states in
+        # flight; stage B for the oldest runs only once the window fills,
+        # so its filter transfer hides under the newer batches' compute.
+        depth = max(2, int(os.environ.get("KWAGE_PIPE_DEPTH", "2")))
+        tails: deque = deque()  # (work, fut, scatter state)
         stopped = False
-        while not (stopped and tail is None):
+        while not (stopped and not tails):
             item = None
             if not stopped:
                 try:
-                    item = self.q.get(block=tail is None)
+                    item = self.q.get(block=not tails)
                 except queue.Empty:
                     item = None
             if item is self._STOP:
                 stopped = True
                 item = None
             trace = os.environ.get("KWAGE_PIPE_TRACE") == "1"
-            new_tail = None
             if item is not None:
                 work, fut = item
                 try:
@@ -612,11 +619,11 @@ class _DeviceDispatcher:
                         state = scatter_device_batch(work.prep, opts, handles)
                     if trace:
                         print(f"[pipe] stageA {1e3 * (time.perf_counter() - t0):.1f} ms")
-                    new_tail = (work, fut, state)
+                    tails.append((work, fut, state))
                 except Exception as e:  # noqa: BLE001
                     fut.set_exception(e)
-            if tail is not None:
-                work, fut, state = tail
+            while tails and (len(tails) >= depth or item is None or stopped):
+                work, fut, state = tails.popleft()
                 try:
                     t0 = time.perf_counter()
                     fut.set_result(finish_bloom_batch(
@@ -627,7 +634,8 @@ class _DeviceDispatcher:
                         print(f"[pipe] stageB {1e3 * (time.perf_counter() - t0):.1f} ms")
                 except Exception as e:  # noqa: BLE001
                     fut.set_exception(e)
-            tail = new_tail
+                if not (item is None or stopped):
+                    break
 
 
 class _LazyInfos:
