@@ -182,6 +182,11 @@ def _run_with_retries() -> int:
     delays = tuple(
         float(d) for d in
         os.environ.get("KWAGE_BENCH_RETRY_DELAYS", "0,30,120,300").split(","))
+    # Bounded per attempt: a DOWN chip hangs in backend init with no
+    # output, and 4 unbounded attempts would stall the driver for hours.
+    # 1800 s comfortably covers the real run (4 jit shapes at 12-80 s
+    # tunnel compiles + measurement).
+    attempt_timeout = float(os.environ.get("KWAGE_BENCH_ATTEMPT_TIMEOUT", "1800"))
     last = None
     for i, delay in enumerate(delays):
         if delay:
@@ -192,9 +197,10 @@ def _run_with_retries() -> int:
         try:
             last = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=3600)
+                env=env, capture_output=True, text=True,
+                timeout=attempt_timeout)
         except subprocess.TimeoutExpired as e:
-            print(f"bench: attempt {i + 1} timed out after 3600s",
+            print(f"bench: attempt {i + 1} timed out after {attempt_timeout}s",
                   file=sys.stderr, flush=True)
             last = e
             continue
