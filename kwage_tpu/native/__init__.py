@@ -73,6 +73,11 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.kn_murmur32.argtypes = [
         ctypes.POINTER(ctypes.c_uint64), u64, u32, u32,
         ctypes.POINTER(ctypes.c_uint32)]
+    lib.kn_search.restype = u64
+    lib.kn_search.argtypes = [
+        u8p, u64, ctypes.POINTER(ctypes.c_uint64), u64, u32, u32,
+        ctypes.c_int, u64, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint64)]
     return lib
 
 
@@ -247,6 +252,42 @@ def pack_file_native(path: str, file_format: int, min_len: int,
     if rc != 0:
         raise OSError(f"native pack of {path} failed (code {rc})")
     return rows.value
+
+
+def search_native(
+    slices: np.ndarray,
+    flat_idx: np.ndarray,
+    num_hash: int,
+    num_filter: int,
+    threshold: float,
+    qt: int,
+) -> list[tuple[int, int]] | None:
+    """Bit-sliced search reduction over an in-memory slice matrix.
+
+    ``slices``: uint8 [n_rows, slice_size]; ``flat_idx``: the
+    n_kmer * num_hash row indices (k-mer major). Returns
+    ``[(filter_index, count), ...]`` ascending (count == n_kmer for
+    threshold 1.0), or None when the native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    assert slices.dtype == np.uint8 and slices.ndim == 2
+    slices = np.ascontiguousarray(slices)
+    idx = np.ascontiguousarray(flat_idx.reshape(-1), dtype=np.uint64)
+    n_kmer = idx.shape[0] // num_hash
+    out_idx = np.empty(num_filter, dtype=np.uint32)
+    out_counts = np.empty(num_filter, dtype=np.uint64)
+    n = lib.kn_search(
+        slices.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        slices.shape[1],
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        n_kmer, num_hash, num_filter,
+        1 if threshold == 1.0 else 0, qt,
+        out_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        out_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    return [(int(out_idx[i]), int(out_counts[i])) for i in range(n)]
 
 
 def canonical_kmers_native(seq: str | bytes, k: int) -> np.ndarray:

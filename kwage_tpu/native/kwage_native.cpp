@@ -667,6 +667,128 @@ uint64_t kn_canonical_kmers(const char* seq, uint64_t len, uint32_t k,
   return n;
 }
 
+// Bit-sliced Bloom search reduction (the host query kernel,
+// kwage.cpp:340-541 analog). `slices` is an in-memory uint8 matrix with
+// one `slice_size`-byte bit-slice row per table row; `rows` holds the
+// n_kmer * num_hash row indices (k-mer major) that the caller already
+// computed via murmur % 2**L. Filter f's bit lives at byte f/8, bit f%8
+// of each row (LSB-first, the on-disk layout).
+//
+// complete != 0 (threshold == 1.0): AND-accumulate the per-k-mer match
+// vectors with an all-zero early exit -- the same result as the full
+// reduction (a filter matches iff every k-mer's bit is set; once the
+// accumulator is zero no filter can match), which is what makes the
+// reference's early-exit loop (kwage.cpp:415-424) safe to mirror here.
+// Matched filters get count = n_kmer by definition.
+//
+// Otherwise: exact per-filter hit counts via carry-save bit-plane
+// accumulation (one u64 plane per count bit -- the host twin of the
+// device CSA reduction in ops/search.py), matched = count >= qt where
+// the caller supplies qt = trunc(float32(threshold) * float32(n_kmer))
+// (kwage.cpp:388).
+//
+// out_idx / out_counts must hold num_filter entries; returns the number
+// of matched filters, emitted in ascending filter order.
+uint64_t kn_search(const uint8_t* slices, uint64_t slice_size,
+                   const uint64_t* rows, uint64_t n_kmer, uint32_t num_hash,
+                   uint32_t num_filter, int complete, uint64_t qt,
+                   uint32_t* out_idx, uint64_t* out_counts) {
+  if (n_kmer == 0 || num_hash == 0 || num_filter == 0 || slice_size == 0) {
+    return 0;
+  }
+  const uint64_t W = (slice_size + 7) / 8;
+  const uint64_t full = slice_size / 8;
+  const uint64_t tail = slice_size & 7;
+  uint64_t* m = static_cast<uint64_t*>(malloc(W * sizeof(uint64_t)));
+
+  // m = AND of the num_hash seed rows of k-mer i (zero-padded tail word).
+  auto load_match = [&](uint64_t i) {
+    const uint8_t* r0 = slices + rows[i * num_hash] * slice_size;
+    memcpy(m, r0, slice_size);
+    if (tail) {
+      memset(reinterpret_cast<uint8_t*>(m) + slice_size, 0,
+             W * sizeof(uint64_t) - slice_size);
+    }
+    for (uint32_t h = 1; h < num_hash; ++h) {
+      const uint8_t* r = slices + rows[i * num_hash + h] * slice_size;
+      for (uint64_t w = 0; w < full; ++w) {
+        uint64_t v;
+        memcpy(&v, r + w * 8, 8);
+        m[w] &= v;
+      }
+      if (tail) {
+        uint64_t v = 0;
+        memcpy(&v, r + full * 8, tail);
+        m[full] &= v;
+      }
+    }
+  };
+
+  uint64_t n_out = 0;
+  if (complete) {
+    uint64_t* acc = static_cast<uint64_t*>(malloc(W * sizeof(uint64_t)));
+    load_match(0);
+    memcpy(acc, m, W * sizeof(uint64_t));
+    bool any = false;
+    for (uint64_t w = 0; w < W; ++w) any |= acc[w] != 0;
+    for (uint64_t i = 1; i < n_kmer && any; ++i) {
+      load_match(i);
+      uint64_t live = 0;
+      for (uint64_t w = 0; w < W; ++w) live |= (acc[w] &= m[w]);
+      any = live != 0;
+    }
+    for (uint32_t f = 0; f < num_filter; ++f) {
+      if ((acc[f >> 6] >> (f & 63)) & 1) {
+        out_idx[n_out] = f;
+        out_counts[n_out] = n_kmer;
+        ++n_out;
+      }
+    }
+    free(acc);
+    free(m);
+    return n_out;
+  }
+
+  // Counting mode: P bit planes hold every per-filter count exactly
+  // (counts <= n_kmer < 2**P, so the top carry never overflows).
+  uint32_t P = 1;
+  while ((1ull << P) <= n_kmer) ++P;
+  uint64_t* planes =
+      static_cast<uint64_t*>(calloc(static_cast<size_t>(P) * W, sizeof(uint64_t)));
+  for (uint64_t i = 0; i < n_kmer; ++i) {
+    load_match(i);
+    // Ripple carry-save add of the 1-bit vector m into the planes;
+    // m doubles as the carry vector. Amortized ~2 plane passes per add.
+    for (uint32_t p = 0; p < P; ++p) {
+      uint64_t* pl = planes + static_cast<uint64_t>(p) * W;
+      uint64_t carry_any = 0;
+      for (uint64_t w = 0; w < W; ++w) {
+        const uint64_t t = pl[w] & m[w];
+        pl[w] ^= m[w];
+        m[w] = t;
+        carry_any |= t;
+      }
+      if (!carry_any) break;
+    }
+  }
+  for (uint32_t f = 0; f < num_filter; ++f) {
+    const uint64_t word = f >> 6;
+    const uint32_t bit = f & 63;
+    uint64_t count = 0;
+    for (uint32_t p = 0; p < P; ++p) {
+      count |= ((planes[static_cast<uint64_t>(p) * W + word] >> bit) & 1) << p;
+    }
+    if (count >= qt) {
+      out_idx[n_out] = f;
+      out_counts[n_out] = count;
+      ++n_out;
+    }
+  }
+  free(planes);
+  free(m);
+  return n_out;
+}
+
 // Multi-seed murmur for a batch of k-mer words: out[n][num_seeds].
 void kn_murmur32(const uint64_t* words, uint64_t n, uint32_t k,
                  uint32_t num_seeds, uint32_t* out) {

@@ -21,7 +21,7 @@ import numpy as np
 from ..core.info import FilterInfo
 from ..core.words import canonical_kmers
 from ..io.db_file import DBFileReader
-from ..native import murmur32_native
+from ..native import murmur32_native, search_native
 
 
 @dataclass
@@ -93,12 +93,22 @@ def search_database(
 
     flat = idx.reshape(-1)
     if slices is not None:
-        rows = slices[flat]
+        matrix, matrix_idx = slices, flat
     else:
         # Gather unique rows once; the reference re-reads per (kmer, seed).
         uniq, inverse = np.unique(flat, return_inverse=True)
-        rows = reader.read_slice_rows(uniq)[inverse]
+        matrix, matrix_idx = reader.read_slice_rows(uniq), inverse
 
+    # Native kernel: zero-copy row gather + early-exit AND (complete) or
+    # carry-save bit-plane counts (thresholded); numpy full reduction is
+    # the fallback twin. Identical output either way.
+    qt = 0 if threshold == 1.0 else query_threshold_count(threshold, n_kmer)
+    hits = search_native(
+        matrix, matrix_idx, hdr.num_hash, hdr.num_filter, threshold, qt)
+    if hits is not None:
+        return [(fidx, count, n_kmer) for fidx, count in hits]
+
+    rows = matrix[matrix_idx]
     matched, counts = _match_filters(rows, hdr.num_hash, hdr.num_filter, threshold)
 
     out = []

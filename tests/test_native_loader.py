@@ -200,3 +200,37 @@ def test_vector_mode_and_spill_fold_parity(monkeypatch):
         want = pb.fold(rec.param.log_2_filter_len, rec.param.num_hash)
         assert want.tobytes() == rec.bits.tobytes(), f"vec_max={vec_max}"
     assert pb.num_valid_kmer > 500  # the spill really triggered
+
+
+def test_kn_search_matches_numpy_reduction():
+    """Native bit-sliced search == the numpy full reduction on random
+    matrices across seed counts, tail bytes, and threshold modes
+    (kwage.cpp:340-541 semantics; early exit never changes results)."""
+    import numpy as np
+
+    from kwage_tpu.native import search_native
+    from kwage_tpu.search.engine import _match_filters, query_threshold_count
+
+    rng = np.random.default_rng(7)
+    for trial in range(60):
+        num_hash = int(rng.integers(1, 6))
+        num_filter = int(rng.integers(1, 300))
+        slice_size = (num_filter + 7) // 8 + int(rng.integers(0, 3))
+        n_rows = int(rng.integers(1, 200))
+        n_kmer = int(rng.integers(1, 400))
+        threshold = float(rng.choice([1.0, 0.8, 0.5, 0.05, 0.0001]))
+        slices = rng.integers(0, 256, size=(n_rows, slice_size), dtype=np.uint8)
+        if trial % 3 == 0:  # dense bits so complete matches can survive
+            slices |= 0xF0
+        flat = rng.integers(0, n_rows, size=n_kmer * num_hash, dtype=np.uint64)
+        qt = 0 if threshold == 1.0 else query_threshold_count(threshold, n_kmer)
+        hits = search_native(slices, flat, num_hash, num_filter, threshold, qt)
+        if hits is None:  # toolchain absent: fallback path is the only path
+            return
+        rows = slices[flat]
+        matched, counts = _match_filters(rows, num_hash, num_filter, threshold)
+        ref = [
+            (int(i), n_kmer if threshold == 1.0 else int(counts[i]))
+            for i in np.nonzero(matched)[0]
+        ]
+        assert hits == ref, (trial, threshold)
