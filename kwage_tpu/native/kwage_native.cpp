@@ -153,6 +153,12 @@ inline void prefetch_byte(const uint8_t* p) {
 #endif
 }
 
+inline void prefetch_read(const uint8_t* p) {
+#if defined(__GNUC__)
+  __builtin_prefetch(p, 0, 3);
+#endif
+}
+
 inline int base_code(char c) {
   switch (c) {
     case 'A': case 'a': return 0;
@@ -724,6 +730,18 @@ uint64_t kn_search(const uint8_t* slices, uint64_t slice_size,
     }
   };
 
+  // Random slice rows are a per-row DRAM latency chain; prefetching the
+  // next k-mers' rows overlaps the misses (same trick as the ingest
+  // pipeline's cell prefetch).
+  const uint64_t kRowPrefetch = 8;
+  auto prefetch_kmer_rows = [&](uint64_t i) {
+    if (i >= n_kmer) return;
+    for (uint32_t h = 0; h < num_hash; ++h) {
+      const uint8_t* r = slices + rows[i * num_hash + h] * slice_size;
+      for (uint64_t off = 0; off < slice_size; off += 64) prefetch_read(r + off);
+    }
+  };
+
   uint64_t n_out = 0;
   if (complete) {
     uint64_t* acc = static_cast<uint64_t*>(malloc(W * sizeof(uint64_t)));
@@ -732,6 +750,7 @@ uint64_t kn_search(const uint8_t* slices, uint64_t slice_size,
     bool any = false;
     for (uint64_t w = 0; w < W; ++w) any |= acc[w] != 0;
     for (uint64_t i = 1; i < n_kmer && any; ++i) {
+      prefetch_kmer_rows(i + kRowPrefetch);
       load_match(i);
       uint64_t live = 0;
       for (uint64_t w = 0; w < W; ++w) live |= (acc[w] &= m[w]);
@@ -756,6 +775,7 @@ uint64_t kn_search(const uint8_t* slices, uint64_t slice_size,
   uint64_t* planes =
       static_cast<uint64_t*>(calloc(static_cast<size_t>(P) * W, sizeof(uint64_t)));
   for (uint64_t i = 0; i < n_kmer; ++i) {
+    prefetch_kmer_rows(i + kRowPrefetch);
     load_match(i);
     // Ripple carry-save add of the 1-bit vector m into the planes;
     // m doubles as the carry vector. Amortized ~2 plane passes per add.
