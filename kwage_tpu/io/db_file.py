@@ -107,6 +107,19 @@ class DBFileReader:
             data = f.read(h.filter_len * h.slice_size)
         return np.frombuffer(data, dtype=np.uint8).reshape(h.filter_len, h.slice_size)
 
+    def mmap_slices(self) -> np.ndarray:
+        """Memory-mapped view of the slice matrix [filter_len, slice_size].
+
+        Pages fault in on first touch, so a search that visits few rows
+        (the native kernel's complete-match early exit) reads only those
+        pages -- the lazy-disk behavior of the reference's per-row seeks
+        (kwage.cpp:415-424) without the per-row syscall cost.
+        """
+        h = self.header
+        return np.memmap(
+            self.path, dtype=np.uint8, mode="r", offset=HEADER_SIZE,
+            shape=(h.filter_len, h.slice_size))
+
     def read_slice_rows(self, rows: np.ndarray) -> np.ndarray:
         """Gather specific slice rows -> uint8 [len(rows), slice_size]."""
         h = self.header

@@ -145,7 +145,13 @@ def search_database_files(
     def search_one(path: str) -> dict[int, list[MatchResult]]:
         per_file: dict[int, list[MatchResult]] = {}
         reader = open_database(path)
-        slices = reader.read_slices() if in_memory else None
+        if hasattr(reader, "mmap_slices"):
+            # Lazy view: only the rows a query touches fault in from disk,
+            # so a complete-match early exit reads a few pages, not the
+            # whole file (the reference's seek behavior, kwage.cpp:415-424).
+            slices = reader.mmap_slices()
+        else:
+            slices = reader.read_slices() if in_memory else None
         infos_cache: dict[int, FilterInfo] = {}
         for qid, seq in queries:
             hits = search_database(reader, seq, threshold, slices=slices)
