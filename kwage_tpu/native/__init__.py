@@ -73,6 +73,22 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.kn_murmur32.argtypes = [
         ctypes.POINTER(ctypes.c_uint64), u64, u32, u32,
         ctypes.POINTER(ctypes.c_uint32)]
+    lib.kn_unique_kmers.restype = u64
+    lib.kn_unique_kmers.argtypes = [
+        ctypes.c_char_p, u64, u32, ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint64)]
+    lib.kn_sorted_intersect_count.restype = u64
+    lib.kn_sorted_intersect_count.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), u64,
+        ctypes.POINTER(ctypes.c_uint64), u64]
+    # Hot per-read call: raw c_void_p pointers (cached ints on the Python
+    # side) instead of data_as() marshalling.
+    vp = ctypes.c_void_p
+    lib.kn_read_search.restype = ctypes.c_int64
+    lib.kn_read_search.argtypes = [
+        ctypes.c_char_p, u64, u32, u64, ctypes.c_float, ctypes.c_float,
+        vp, vp, vp, vp, u32, vp, vp, vp,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64)]
     lib.kn_search.restype = u64
     lib.kn_search.argtypes = [
         u8p, u64, ctypes.POINTER(ctypes.c_uint64), u64, u32, u32,
@@ -288,6 +304,103 @@ def search_native(
         out_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
     )
     return [(int(out_idx[i]), int(out_counts[i])) for i in range(n)]
+
+
+_TLS = threading.local()
+
+
+def read_profile_native(seq: str | bytes, k: int) -> tuple[int, np.ndarray] | None:
+    """(total_kmer_count, sorted-unique canonical k-mer words) for one read,
+    or None when the native library is unavailable. The returned array
+    aliases a thread-local scratch buffer -- consume it before the next
+    call on the same thread (the SriRachA per-read loop does)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if isinstance(seq, str):
+        seq = seq.encode("ascii")
+    n_max = max(0, len(seq) - k + 1)
+    buf = getattr(_TLS, "kmer_buf", None)
+    if buf is None or buf.shape[0] < n_max:
+        buf = np.empty(max(n_max, 4096), dtype=np.uint64)
+        _TLS.kmer_buf = buf
+    total = ctypes.c_uint64()
+    u = lib.kn_unique_kmers(
+        seq, len(seq), k,
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.byref(total))
+    return int(total.value), buf[:u]
+
+
+def sorted_intersect_count_native(uniq: np.ndarray, subject: np.ndarray) -> int | None:
+    """|uniq ∩ subject| for sorted uint64 arrays (branchless lower_bound),
+    or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    assert uniq.dtype == np.uint64 and subject.dtype == np.uint64
+    return int(lib.kn_sorted_intersect_count(
+        uniq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), uniq.shape[0],
+        subject.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), subject.shape[0]))
+
+
+class NativeReadSearcher:
+    """Per-thread driver for kn_read_search: the whole SriRachA per-read
+    kernel (profile, gates, per-subject lower_bound intersection, float32
+    score threshold) in one native call.
+
+    Construct with the subject k-mer arrays (sorted u64, as produced by
+    load_subject_kmers); call ``search(seq, threshold, ...)`` per read.
+    NOT thread-safe -- create one per worker thread.
+    """
+
+    def __init__(self, subjects: list[np.ndarray]):
+        self._lib = get_lib()
+        assert self._lib is not None
+        n = len(subjects)
+        flat = (np.concatenate(subjects) if n else
+                np.empty(0, dtype=np.uint64)).astype(np.uint64, copy=False)
+        self._flat = np.ascontiguousarray(flat)
+        lens = np.array([s.shape[0] for s in subjects], dtype=np.uint64)
+        offs = np.zeros(n, dtype=np.uint64)
+        if n > 1:
+            offs[1:] = np.cumsum(lens)[:-1]
+        self._lens, self._offs = lens, offs
+        self.active = np.ones(n, dtype=np.uint8)
+        self._counts = np.zeros(n, dtype=np.uint64)
+        self._matched = np.zeros(n, dtype=np.uint8)
+        self._kbuf = np.empty(4096, dtype=np.uint64)
+        self._p_kbuf = self._kbuf.ctypes.data
+        self._n = n
+        # Raw pointers cached once; all arrays are owned by self.
+        self._p_flat = self._flat.ctypes.data
+        self._p_offs = offs.ctypes.data
+        self._p_lens = lens.ctypes.data
+        self._p_active = self.active.ctypes.data
+        self._p_counts = self._counts.ctypes.data
+        self._p_matched = self._matched.ctypes.data
+        self._nu = ctypes.c_uint64()
+        self._nk = ctypes.c_uint64()
+
+    def search(self, seq: bytes | str, k: int, min_valid_kmer: int,
+               min_complexity: float, threshold: float):
+        """Returns None when a gate rejected the read; otherwise
+        (num_kmer, num_unique, matched_indices, counts_view)."""
+        if isinstance(seq, str):
+            seq = seq.encode("ascii")
+        n_max = len(seq)
+        if self._kbuf.shape[0] < n_max:
+            self._kbuf = np.empty(n_max, dtype=np.uint64)
+            self._p_kbuf = self._kbuf.ctypes.data
+        rc = self._lib.kn_read_search(
+            seq, len(seq), k, min_valid_kmer, min_complexity, threshold,
+            self._p_flat, self._p_offs, self._p_lens, self._p_active,
+            self._n, self._p_kbuf, self._p_counts,
+            self._p_matched, ctypes.byref(self._nu), ctypes.byref(self._nk))
+        if rc < 0:
+            return None
+        matched = np.nonzero(self._matched)[0] if rc else ()
+        return int(self._nk.value), int(self._nu.value), matched, self._counts
 
 
 def canonical_kmers_native(seq: str | bytes, k: int) -> np.ndarray:

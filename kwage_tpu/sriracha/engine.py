@@ -24,6 +24,12 @@ import numpy as np
 
 from ..core.words import canonical_kmers
 from ..io.sequence import iter_sequences
+from ..native import (
+    NativeReadSearcher,
+    available as native_available,
+    read_profile_native,
+    sorted_intersect_count_native,
+)
 
 # Verbosity levels (sriracha.h:24-30)
 SILENT, TACITERN, NORMAL, CHATTY = 0, 1, 2, 3
@@ -137,11 +143,18 @@ def search_one_read(
     """The per-read kernel (search_by_kmer.cpp:14-135)."""
     if len(seq) < opt.min_read_length:
         return
-    kmers = canonical_kmers(seq, opt.kmer_len)
-    num_kmer = kmers.size
+    # Native fast path: extraction + dedup + lower_bound intersection in C
+    # (25x the numpy formulation per read); all float32 scoring stays here
+    # so both paths produce identical scores and culling.
+    profile = read_profile_native(seq, opt.kmer_len)
+    if profile is not None:
+        num_kmer, uniq = profile
+    else:
+        kmers = canonical_kmers(seq, opt.kmer_len)
+        num_kmer = kmers.size
+        uniq = np.unique(kmers) if num_kmer else kmers
     if num_kmer < opt.min_valid_kmer:
         return
-    uniq = np.unique(kmers)
     num_unique = uniq.size
     if np.float32(num_unique) / np.float32(num_kmer) < np.float32(opt.min_read_complexity):
         return
@@ -149,9 +162,11 @@ def search_one_read(
     for index, (_, subject) in enumerate(subject_kmers):
         if num_perfect[index] >= opt.max_num_match:
             continue
-        pos = np.searchsorted(subject, uniq)
-        pos = np.minimum(pos, subject.size - 1)
-        count = int((subject[pos] == uniq).sum())
+        count = sorted_intersect_count_native(uniq, subject)
+        if count is None:
+            pos = np.searchsorted(subject, uniq)
+            pos = np.minimum(pos, subject.size - 1)
+            count = int((subject[pos] == uniq).sum())
         score = np.float32(count) / np.float32(num_unique)
         if score >= np.float32(opt.kmer_match_threshold):
             bucket = results[index]
@@ -243,6 +258,37 @@ def iter_toolkit_fragments_range(path: str, rank: int, ntasks: int):
             yield seq, spot, sub
 
 
+def _search_one_read_native(
+    searcher: NativeReadSearcher,
+    seq: str,
+    read_index: int,
+    read_subindex: int,
+    results: list[list["SearchMatch"]],
+    num_perfect: list[int],
+    opt: SrirachaOptions,
+) -> None:
+    """Native-call twin of search_one_read (identical output)."""
+    if len(seq) < opt.min_read_length:
+        return
+    out = searcher.search(seq, opt.kmer_len, opt.min_valid_kmer,
+                          opt.min_read_complexity, opt.kmer_match_threshold)
+    if out is None:
+        return
+    _num_kmer, num_unique, matched, counts = out
+    for index in matched:
+        index = int(index)
+        score = np.float32(counts[index]) / np.float32(num_unique)
+        bucket = results[index]
+        bucket.append(SearchMatch(read_index, read_subindex, float(score), seq))
+        if score == 1.0:
+            num_perfect[index] += 1
+            if num_perfect[index] >= opt.max_num_match:
+                searcher.active[index] = 0
+        if opt.max_num_match > 0 and len(bucket) > 10 * opt.max_num_match:
+            bucket.sort(key=SearchMatch.sort_key)
+            del bucket[opt.max_num_match :]
+
+
 def search_reads(
     read_iter,
     subject_kmers: list[tuple[str, np.ndarray]],
@@ -253,11 +299,25 @@ def search_reads(
     matches sorted + culled (main.cpp:452-459)."""
     results: list[list[SearchMatch]] = [[] for _ in subject_kmers]
     num_perfect = [0] * len(subject_kmers)
+    searcher = None
+    if subject_kmers and native_available():
+        # One native call per read: profile + gates + every subject's
+        # lower_bound intersection + f32 score threshold (C float ==
+        # np.float32, so scores and culling are identical to the twin).
+        searcher = NativeReadSearcher([s for _, s in subject_kmers])
+        for i in range(len(subject_kmers)):
+            if num_perfect[i] >= opt.max_num_match:
+                searcher.active[i] = 0
     for seq, ridx, sidx in read_iter:
         if stats is not None:
             stats.num_reads += 1
             stats.num_bases += len(seq)
-        search_one_read(seq, ridx, sidx, subject_kmers, results, num_perfect, opt)
+        if searcher is not None:
+            _search_one_read_native(
+                searcher, seq, ridx, sidx, results, num_perfect, opt)
+        else:
+            search_one_read(
+                seq, ridx, sidx, subject_kmers, results, num_perfect, opt)
 
     for bucket in results:
         bucket.sort(key=SearchMatch.sort_key)

@@ -236,3 +236,99 @@ def test_device_search_spans_stream_bounded(data_dir, monkeypatch):
             for b in want]
     assert state["exhausted_at_first_kernel"] is False, \
         "device search materialized the whole stream before dispatching"
+
+
+def test_native_read_profile_and_intersect_match_numpy():
+    """kn_unique_kmers / kn_sorted_intersect_count == the numpy
+    formulation (search_by_kmer.cpp:44-98 semantics) across k values,
+    N-window resets, and lowercase input."""
+    import random
+
+    import numpy as np
+
+    from kwage_tpu.core.words import canonical_kmers
+    from kwage_tpu.native import read_profile_native, sorted_intersect_count_native
+
+    if read_profile_native("ACGT", 2) is None:
+        return  # toolchain absent: numpy path is the only path
+    random.seed(11)
+
+    def rseq(n, alpha="ACGT"):
+        return "".join(random.choice(alpha) for _ in range(n))
+
+    for trial in range(80):
+        k = random.choice([5, 11, 21, 31, 32])
+        alpha = "ACGT" if trial % 3 else "ACGTN"
+        seq = rseq(random.randint(0, 400), alpha)
+        if trial % 5 == 0:
+            seq = seq.lower()
+        kmers = canonical_kmers(seq, k)
+        total_c, uniq_c = read_profile_native(seq, k)
+        assert total_c == kmers.size
+        assert np.array_equal(uniq_c, np.unique(kmers))
+        subject = np.unique(canonical_kmers(rseq(2000), k))
+        if subject.size and uniq_c.size:
+            pos = np.minimum(np.searchsorted(subject, uniq_c), subject.size - 1)
+            ref = int((subject[pos] == uniq_c).sum())
+            assert sorted_intersect_count_native(uniq_c, subject) == ref
+
+
+def test_native_read_search_loop_differential():
+    """search_reads' one-call-per-read native loop produces exactly the
+    per-read twin's matches (scores, order, perfect-culling) on a mixed
+    workload of hits, noisy hits, low-complexity and short reads."""
+    import random
+
+    import numpy as np
+
+    import kwage_tpu.sriracha.engine as eng
+    from kwage_tpu.core.words import canonical_kmers
+    from kwage_tpu.sriracha.engine import SrirachaOptions, search_reads
+
+    random.seed(17)
+
+    def rseq(n, alpha="ACGT"):
+        return "".join(random.choice(alpha) for _ in range(n))
+
+    for trial in range(6):
+        k = random.choice([11, 21, 31])
+        targets = [rseq(random.randint(300, 3000))
+                   for _ in range(random.randint(1, 4))]
+        subj = [(f"s{i}", np.unique(canonical_kmers(s, k)))
+                for i, s in enumerate(targets)]
+        reads = []
+        for ridx in range(1, 400):
+            r = random.random()
+            if r < 0.3:
+                t = random.choice(targets)
+                a = random.randint(0, max(0, len(t) - 150))
+                reads.append((t[a:a + 150], ridx, random.randint(1, 2)))
+            elif r < 0.4:
+                t = random.choice(targets)
+                a = random.randint(0, max(0, len(t) - 150))
+                s = list(t[a:a + 150])
+                for _ in range(10):
+                    s[random.randrange(len(s))] = random.choice("ACGTN")
+                reads.append(("".join(s), ridx, 1))
+            elif r < 0.5:
+                reads.append(("AC" * 75, ridx, 1))
+            elif r < 0.55:
+                reads.append((rseq(random.randint(0, 40)), ridx, 1))
+            else:
+                reads.append((rseq(150), ridx, 1))
+        opt = SrirachaOptions(
+            kmer_len=k,
+            kmer_match_threshold=random.choice([0.2, 0.5, 1.0]),
+            max_num_match=random.choice([1, 3, 50]),
+        )
+        r_native = search_reads(iter(reads), subj, opt)
+        orig = eng.native_available
+        eng.native_available = lambda: False
+        try:
+            r_py = search_reads(iter(reads), subj, opt)
+        finally:
+            eng.native_available = orig
+        for a, b in zip(r_native, r_py):
+            la = [(m.read_index, m.read_subindex, m.score, m.read_seq) for m in a]
+            lb = [(m.read_index, m.read_subindex, m.score, m.read_seq) for m in b]
+            assert la == lb
