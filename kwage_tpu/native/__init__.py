@@ -16,6 +16,12 @@ import threading
 
 import numpy as np
 
+# Per-(subject, read) match callback of kn_sriracha_file:
+# (ctx, subject_index, read_index, f32 score, seq_ptr, seq_len).
+_MATCH_CB_T = ctypes.CFUNCTYPE(
+    None, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint64, ctypes.c_float,
+    ctypes.POINTER(ctypes.c_char), ctypes.c_uint64)
+
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "kwage_native.cpp")
 _LOCK = threading.Lock()
@@ -89,6 +95,12 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_char_p, u64, u32, u64, ctypes.c_float, ctypes.c_float,
         vp, vp, vp, vp, u32, vp, vp, vp,
         ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64)]
+    lib.kn_sriracha_file.restype = ctypes.c_int64
+    lib.kn_sriracha_file.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, u64, u64, u32, u64, u64,
+        ctypes.c_float, ctypes.c_float, vp, vp, vp, vp, u32,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        _MATCH_CB_T, vp]
     lib.kn_search.restype = u64
     lib.kn_search.argtypes = [
         u8p, u64, ctypes.POINTER(ctypes.c_uint64), u64, u32, u32,
@@ -401,6 +413,35 @@ class NativeReadSearcher:
             return None
         matched = np.nonzero(self._matched)[0] if rc else ()
         return int(self._nk.value), int(self._nu.value), matched, self._counts
+
+    def search_file(self, path: str, file_format: int, start: int, stop: int,
+                    k: int, min_read_length: int, min_valid_kmer: int,
+                    min_complexity: float, threshold: float,
+                    on_match) -> tuple[int, int]:
+        """Stream a local file's read range [start, stop) through the
+        kernel entirely in native code; ``on_match(subject_index,
+        read_index, score, seq_bytes)`` fires per match (it may flip
+        ``self.active`` entries off). Returns (num_reads, num_bases) of
+        the range."""
+        def _cb(_ctx, s, ridx, score, seqp, seqlen):
+            on_match(int(s), int(ridx), float(score),
+                     ctypes.string_at(seqp, seqlen))
+
+        cb = _MATCH_CB_T(_cb)
+        reads = ctypes.c_uint64()
+        bases = ctypes.c_uint64()
+        rc = self._lib.kn_sriracha_file(
+            path.encode(), file_format, start, stop, k, min_read_length,
+            min_valid_kmer, min_complexity, threshold,
+            self._p_flat, self._p_offs, self._p_lens, self._p_active,
+            self._n, ctypes.byref(reads), ctypes.byref(bases), cb, None)
+        if rc == -1:
+            raise FileNotFoundError(path)
+        if rc == -2:
+            raise ValueError(f"truncated FASTQ record in {path}")
+        if rc < 0:
+            raise OSError(f"error reading {path} (code {rc})")
+        return int(reads.value), int(bases.value)
 
 
 def canonical_kmers_native(seq: str | bytes, k: int) -> np.ndarray:

@@ -835,12 +835,33 @@ uint64_t kn_sorted_intersect_count(const uint64_t* uniq, uint64_t n,
                                    const uint64_t* subject, uint64_t m) {
   if (m == 0 || n == 0) return 0;
   uint64_t count = 0;
-  for (uint64_t i = 0; i < n; ++i) {
+  // 8 searches interleaved: every level issues 8 independent loads, so
+  // the dependent-load chain of one lower_bound overlaps seven others
+  // (~6x on DRAM/L2-resident subjects). All lanes share the same rem
+  // schedule because every search starts at rem = m.
+  constexpr uint64_t kLanes = 8;
+  uint64_t i = 0;
+  for (; i + kLanes <= n; i += kLanes) {
+    const uint64_t* base[kLanes];
+    uint64_t key[kLanes];
+    for (uint64_t l = 0; l < kLanes; ++l) {
+      base[l] = subject;
+      key[l] = uniq[i + l];
+    }
+    for (uint64_t rem = m; rem > 1;) {
+      const uint64_t half = rem / 2;
+      for (uint64_t l = 0; l < kLanes; ++l) {
+        base[l] = (base[l][half] <= key[l]) ? base[l] + half : base[l];
+      }
+      rem -= half;
+    }
+    for (uint64_t l = 0; l < kLanes; ++l) count += (*base[l] == key[l]);
+  }
+  for (; i < n; ++i) {
     const uint64_t key = uniq[i];
     const uint64_t* base = subject;
-    uint64_t half, rem = m;
-    while (rem > 1) {
-      half = rem / 2;
+    for (uint64_t rem = m; rem > 1;) {
+      const uint64_t half = rem / 2;
       base = (base[half] <= key) ? base + half : base;
       rem -= half;
     }
@@ -865,6 +886,55 @@ uint64_t kn_sorted_intersect_count(const uint64_t* uniq, uint64_t n,
 // Returns -1 when a gate rejected the read; otherwise the number of
 // matched subjects, with out_counts[s] / out_matched[s] filled for
 // active subjects and *out_num_unique / *out_num_kmer set.
+// Dedup a k-mer list in place WITHOUT sorting (intersection counts do
+// not depend on query order): open-addressing table with ~0 as the
+// empty sentinel (~0 is never a canonical k-mer -- its complement 0 is
+// always smaller). Falls back to sort+dedup for huge records where the
+// table would spill the cache.
+static uint64_t kn_dedup_kmers(uint64_t* kbuf, uint64_t n) {
+  if (n <= 1) return n;
+  if (n > (1u << 15)) {
+    std::sort(kbuf, kbuf + n);
+    uint64_t u = 1;
+    for (uint64_t i = 1; i < n; ++i) {
+      if (kbuf[i] != kbuf[u - 1]) kbuf[u++] = kbuf[i];
+    }
+    return u;
+  }
+  uint64_t cap = 16;
+  while (cap < 2 * n) cap <<= 1;
+  static thread_local uint64_t* table = nullptr;
+  static thread_local uint64_t table_cap = 0;
+  if (table_cap < cap) {
+    free(table);
+    table = static_cast<uint64_t*>(malloc(cap * sizeof(uint64_t)));
+    table_cap = cap;
+  }
+  memset(table, 0xff, cap * sizeof(uint64_t));
+  const uint64_t mask = cap - 1;
+  uint64_t u = 0;
+  for (uint64_t i = 0; i < n; ++i) {
+    const uint64_t w = kbuf[i];
+    // splitmix64-style mix for slot spread
+    uint64_t h = w;
+    h ^= h >> 30; h *= 0xbf58476d1ce4e5b9ull;
+    h ^= h >> 27; h *= 0x94d049bb133111ebull;
+    h ^= h >> 31;
+    uint64_t slot = h & mask;
+    for (;;) {
+      const uint64_t cur = table[slot];
+      if (cur == ~0ull) {
+        table[slot] = w;
+        kbuf[u++] = w;
+        break;
+      }
+      if (cur == w) break;
+      slot = (slot + 1) & mask;
+    }
+  }
+  return u;
+}
+
 int64_t kn_read_search(const char* seq, uint64_t len, uint32_t k,
                        uint64_t min_valid_kmer, float min_complexity,
                        float threshold, const uint64_t* subject_base,
@@ -873,8 +943,8 @@ int64_t kn_read_search(const char* seq, uint64_t len, uint32_t k,
                        uint32_t num_subjects, uint64_t* kbuf,
                        uint64_t* out_counts, uint8_t* out_matched,
                        uint64_t* out_num_unique, uint64_t* out_num_kmer) {
-  uint64_t num_kmer = 0;
-  const uint64_t num_unique = kn_unique_kmers(seq, len, k, kbuf, &num_kmer);
+  const uint64_t num_kmer = kn_canonical_kmers(seq, len, k, kbuf);
+  const uint64_t num_unique = kn_dedup_kmers(kbuf, num_kmer);
   if (out_num_kmer) *out_num_kmer = num_kmer;
   if (out_num_unique) *out_num_unique = num_unique;
   if (num_kmer < min_valid_kmer) return -1;
@@ -901,6 +971,63 @@ int64_t kn_read_search(const char* seq, uint64_t len, uint32_t k,
     n_matched += hit;
   }
   return n_matched;
+}
+
+// Stream a whole local FASTA/FASTQ(.gz) file through the per-read
+// kernel: the reference's local-file reader loop (sra_stream.cpp:585-719)
+// with zero per-read Python. Records are numbered 1-based; only reads in
+// [start, stop) are counted and searched (assign_read_range semantics,
+// sra_stream.cpp:525-543). `cb` fires once per (subject, read) match with
+// the f32 score; the callback may flip entries of `active` off (perfect-
+// score culling) -- it is re-read every record. Returns the total record
+// count, or the parser's negative error code (-1 open, -2 truncated
+// FASTQ, -3 read error).
+typedef void (*KnMatchCb)(void* ctx, uint32_t subject, uint64_t read_index,
+                          float score, const char* seq, uint64_t seq_len);
+
+int64_t kn_sriracha_file(const char* path, int format, uint64_t start,
+                         uint64_t stop, uint32_t k, uint64_t min_read_length,
+                         uint64_t min_valid_kmer, float min_complexity,
+                         float threshold, const uint64_t* subject_base,
+                         const uint64_t* subject_off,
+                         const uint64_t* subject_len, const uint8_t* active,
+                         uint32_t num_subjects, uint64_t* out_num_reads,
+                         uint64_t* out_num_bases, KnMatchCb cb, void* ctx) {
+  uint64_t kbuf_cap = 4096;
+  uint64_t* kbuf = static_cast<uint64_t*>(malloc(kbuf_cap * sizeof(uint64_t)));
+  uint64_t* counts =
+      static_cast<uint64_t*>(malloc(num_subjects * sizeof(uint64_t)));
+  uint8_t* matched = static_cast<uint8_t*>(malloc(num_subjects));
+  uint64_t reads = 0, bases = 0, i = 0;
+  const int rc = kn_parse_file(path, format, [&](const char* d, uint64_t n) {
+    ++i;
+    if (i < start || i >= stop) return;
+    ++reads;
+    bases += n;
+    if (n < min_read_length) return;
+    if (n >= k && n - k + 1 > kbuf_cap) {
+      kbuf_cap = n - k + 1;
+      kbuf = static_cast<uint64_t*>(realloc(kbuf, kbuf_cap * sizeof(uint64_t)));
+    }
+    uint64_t nu = 0, nk = 0;
+    const int64_t nm = kn_read_search(
+        d, n, k, min_valid_kmer, min_complexity, threshold, subject_base,
+        subject_off, subject_len, active, num_subjects, kbuf, counts, matched,
+        &nu, &nk);
+    if (nm <= 0) return;
+    for (uint32_t s = 0; s < num_subjects; ++s) {
+      if (matched[s]) {
+        cb(ctx, s, i, static_cast<float>(counts[s]) / static_cast<float>(nu),
+           d, n);
+      }
+    }
+  });
+  free(kbuf);
+  free(counts);
+  free(matched);
+  if (out_num_reads) *out_num_reads = reads;
+  if (out_num_bases) *out_num_bases = bases;
+  return rc < 0 ? rc : static_cast<int64_t>(i);
 }
 
 // Multi-seed murmur for a batch of k-mer words: out[n][num_seeds].

@@ -180,8 +180,71 @@ def search_one_read(
 
 def count_reads(path: str) -> int:
     """Record count of a local sequence file (the VCursorIdRange analog
-    for the local-file path). One streaming parse, O(1) memory."""
+    for the local-file path). One streaming parse, O(1) memory (native
+    parser when available; record segmentation is equivalence-tested)."""
+    from ..io.sequence import UNKNOWN_SEQUENCE, get_file_type
+    from ..native import scan_file_native
+
+    ftype = get_file_type(path)
+    if ftype != UNKNOWN_SEQUENCE:
+        spots, _bp = scan_file_native(path, ftype)
+        return spots
     return sum(1 for _ in iter_sequences(path))
+
+
+def _search_file_range_native(
+    path: str,
+    lo: int,
+    hi: int,
+    subject_kmers: list[tuple[str, np.ndarray]],
+    opt: SrirachaOptions,
+    stats: "StreamStats | None",
+) -> list[list["SearchMatch"]] | None:
+    """Native whole-file scan of read range [lo, hi): parsing + per-read
+    kernel in C, Python only per match. Returns None when unavailable
+    (library absent / unknown extension) -- callers fall back to the
+    iterator + search_reads twin, which produces identical output."""
+    from ..io.sequence import UNKNOWN_SEQUENCE, get_file_type
+
+    if not subject_kmers or not native_available():
+        return None
+    ftype = get_file_type(path)
+    if ftype == UNKNOWN_SEQUENCE:
+        return None
+    searcher = NativeReadSearcher([s for _, s in subject_kmers])
+    results: list[list[SearchMatch]] = [[] for _ in subject_kmers]
+    num_perfect = [0] * len(subject_kmers)
+    for i in range(len(subject_kmers)):
+        if num_perfect[i] >= opt.max_num_match:
+            searcher.active[i] = 0
+
+    def on_match(s: int, ridx: int, score: float, seq: bytes) -> None:
+        bucket = results[s]
+        # The reference upper-cases every base on parse
+        # (parse_sequence.cpp:134-135); the native parser preserves file
+        # bytes, so normalize the echoed read here (scoring is
+        # case-insensitive either way).
+        bucket.append(SearchMatch(ridx, 1, score, seq.decode("ascii").upper()))
+        if score == 1.0:
+            num_perfect[s] += 1
+            if num_perfect[s] >= opt.max_num_match:
+                searcher.active[s] = 0
+        if opt.max_num_match > 0 and len(bucket) > 10 * opt.max_num_match:
+            bucket.sort(key=SearchMatch.sort_key)
+            del bucket[opt.max_num_match :]
+
+    reads, bases = searcher.search_file(
+        path, ftype, lo, hi, opt.kmer_len, opt.min_read_length,
+        opt.min_valid_kmer, opt.min_read_complexity,
+        opt.kmer_match_threshold, on_match)
+    if stats is not None:
+        stats.num_reads += reads
+        stats.num_bases += bases
+    for bucket in results:
+        bucket.sort(key=SearchMatch.sort_key)
+        if opt.max_num_match > 0 and len(bucket) > opt.max_num_match:
+            del bucket[opt.max_num_match :]
+    return results
 
 
 def iter_reads_range(path: str, rank: int, ntasks: int, num_read: int | None = None):
@@ -411,29 +474,43 @@ def search_accession(
         spans = [assign_read_range(0, n_local - 1, t, nt) for t in range(nt)]
         per_stats = [StreamStats() for _ in range(nt)]
 
-        def _thread_range(t: int):
+        def _thread_search(t: int):
             lo = rank_start + spans[t][0]
             hi = rank_start + spans[t][1]
-            for i, (_, seq) in enumerate(iter_sequences(path), 1):
-                if i >= hi:
-                    break
-                if i >= lo:
-                    yield seq, i, 1
+            # Native whole-file scan (parse + kernel in C, GIL released:
+            # threads genuinely parallel, like the reference's reader
+            # threads); iterator twin as fallback.
+            res = _search_file_range_native(
+                path, lo, hi, subject_kmers, opt, per_stats[t])
+            if res is not None:
+                return res
+
+            def _range():
+                for i, (_, seq) in enumerate(iter_sequences(path), 1):
+                    if i >= hi:
+                        break
+                    if i >= lo:
+                        yield seq, i, 1
+
+            return search_reads(_range(), subject_kmers, opt, per_stats[t])
 
         with ThreadPoolExecutor(max_workers=nt) as pool:
-            parts = list(
-                pool.map(
-                    lambda t: search_reads(
-                        _thread_range(t), subject_kmers, opt, per_stats[t]
-                    ),
-                    range(nt),
-                )
-            )
+            parts = list(pool.map(_thread_search, range(nt)))
         if stats is not None:
             for s in per_stats:
                 stats.num_reads += s.num_reads
                 stats.num_bases += s.num_bases
         return merge_worker_results(parts, opt)
+    if subject_kmers:
+        num_read = count_reads(path)
+        if num_read == 0:
+            return [[] for _ in subject_kmers]
+        start, stop = assign_read_range(
+            1, num_read, opt.slice_index, opt.num_slice)
+        res = _search_file_range_native(
+            path, start, stop, subject_kmers, opt, stats)
+        if res is not None:
+            return res
     return search_reads(
         iter_reads_range(path, opt.slice_index, opt.num_slice),
         subject_kmers, opt, stats,
