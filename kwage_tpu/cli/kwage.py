@@ -69,6 +69,9 @@ def usage(out=sys.stderr) -> None:
           " JSON-line queries over TCP; binds loopback; UNAUTHENTICATED"
           " unless KWAGE_QUEUE_SECRET is set, then every request needs a"
           " matching \"token\" field)] (engine extension)", file=out)
+    print("\t[--serve-engine <device|host> (serve backend: device-resident"
+          " matrices, or the CPU host engine -- no accelerator needed;"
+          " default device)] (engine extension)", file=out)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -83,10 +86,12 @@ def main(argv: list[str] | None = None) -> int:
     use_device = False
     num_threads = None
     serve_port = None
+    serve_engine = "device"
 
     try:
         opts, args = getopt.gnu_getopt(
-            argv, "o:d:i:t:h?", ["o.csv", "o.json", "device", "threads=", "serve="]
+            argv, "o:d:i:t:h?",
+            ["o.csv", "o.json", "device", "threads=", "serve=", "serve-engine="],
         )
     except getopt.GetoptError as e:
         print(e, file=sys.stderr)
@@ -119,6 +124,11 @@ def main(argv: list[str] | None = None) -> int:
             num_threads = max(1, int(val))
         elif flag == "--serve":
             serve_port = int(val)
+        elif flag == "--serve-engine":
+            if val not in ("device", "host"):
+                print("--serve-engine must be 'device' or 'host'", file=sys.stderr)
+                return 1
+            serve_engine = val
 
     query_seqs = list(args)
 
@@ -129,7 +139,7 @@ def main(argv: list[str] | None = None) -> int:
     if serve_port is not None:
         from ..search.resident import SearchServer
 
-        server = SearchServer(subject_files, port=serve_port)
+        server = SearchServer(subject_files, port=serve_port, engine=serve_engine)
         print(
             f"Serving {len(subject_files)} database files on port "
             f"{server.address[1]}",

@@ -196,25 +196,47 @@ class MeshResidentSearcher:
         return _render(self, queries, threshold, fmt)
 
 
+class HostResidentSearcher:
+    """CPU twin of ResidentSearcher: mmapped .db slice matrices searched
+    through the native kn_search kernel (engine extension -- serve without
+    any accelerator attached). Same search/render contract and bytes as
+    the device searchers / the batch CLI; the OS page cache plays the
+    role of device residency across requests."""
+
+    def __init__(self, db_paths: list[str]):
+        self.db_paths = list(db_paths)
+
+    def search(self, queries: list[tuple[int, str]], threshold: float):
+        from .engine import search_database_files
+
+        return search_database_files(self.db_paths, queries, threshold)
+
+    def render(self, queries: list[str], threshold: float, fmt: str = "json") -> str:
+        return _render(self, queries, threshold, fmt)
+
+
 class SearchServer:
     """JSON-lines TCP server around a ResidentSearcher (one visible
-    device) or MeshResidentSearcher (several: the corpus shards across
-    all of them)."""
+    device), MeshResidentSearcher (several: the corpus shards across all
+    of them), or HostResidentSearcher (engine="host": CPU-only)."""
 
     def __init__(self, db_paths: list[str], host: str = "127.0.0.1", port: int = 0,
-                 secret: str | None = None):
-        import jax
-
+                 secret: str | None = None, engine: str = "device"):
         from ..utils.runtime import resolve_secret
 
         # Loopback + unauthenticated by default; with a shared secret
         # (argument or KWAGE_QUEUE_SECRET env) every request must carry a
         # matching "token" field or is refused.
         self._secret = resolve_secret(secret)
-        if len(jax.devices()) > 1:
-            searcher = MeshResidentSearcher(db_paths)
+        if engine == "host":
+            searcher = HostResidentSearcher(db_paths)
         else:
-            searcher = ResidentSearcher(db_paths)
+            import jax
+
+            if len(jax.devices()) > 1:
+                searcher = MeshResidentSearcher(db_paths)
+            else:
+                searcher = ResidentSearcher(db_paths)
         self.searcher = searcher
         lock = threading.Lock()  # one chip = one resource: serialize
         server_secret = self._secret

@@ -171,3 +171,31 @@ def test_search_server_token_auth(db_dir, data_dir, tmp_path):
                     assert reply["output"] == want
     finally:
         server.shutdown()
+
+
+def test_search_server_host_engine_matches_cli(db_dir, data_dir, tmp_path):
+    """--serve-engine host: CPU-only backend (mmap + native kn_search),
+    bytes identical to the batch CLI for the same queries."""
+    from kwage_tpu.cli.kwage import find_db_files
+    from kwage_tpu.io.sequence import iter_sequences
+    from kwage_tpu.search.resident import SearchServer
+
+    db, man = db_dir
+    queries = [s for _, s in iter_sequences(str(data_dir / "queries.fasta"))][:2]
+    server = SearchServer(find_db_files([db]), host="127.0.0.1", engine="host")
+    server.start()
+    try:
+        with socket.create_connection(server.address, timeout=30) as sock:
+            f = sock.makefile("rw", encoding="utf-8")
+            for threshold in (1.0, 0.5):
+                for fmt in ("json", "csv"):
+                    f.write(json.dumps({"queries": queries,
+                                        "threshold": threshold,
+                                        "format": fmt}) + "\n")
+                    f.flush()
+                    reply = json.loads(f.readline())
+                    assert reply["ok"], reply
+                    want = _cli_output(db, queries, threshold, f"o.{fmt}", tmp_path)
+                    assert reply["output"] == want
+    finally:
+        server.shutdown()
