@@ -908,7 +908,15 @@ static uint64_t kn_dedup_kmers(uint64_t* kbuf, uint64_t n) {
   if (table_cap < cap) {
     free(table);
     table = static_cast<uint64_t*>(malloc(cap * sizeof(uint64_t)));
-    table_cap = cap;
+    table_cap = table ? cap : 0;
+    if (table == nullptr) {  // OOM: the sort path needs no scratch
+      std::sort(kbuf, kbuf + n);
+      uint64_t u = 1;
+      for (uint64_t i = 1; i < n; ++i) {
+        if (kbuf[i] != kbuf[u - 1]) kbuf[u++] = kbuf[i];
+      }
+      return u;
+    }
   }
   memset(table, 0xff, cap * sizeof(uint64_t));
   const uint64_t mask = cap - 1;
@@ -1006,8 +1014,11 @@ int64_t kn_sriracha_file(const char* path, int format, uint64_t start,
     bases += n;
     if (n < min_read_length) return;
     if (n >= k && n - k + 1 > kbuf_cap) {
+      uint64_t* nb = static_cast<uint64_t*>(
+          realloc(kbuf, (n - k + 1) * sizeof(uint64_t)));
+      if (nb == NULL) return;  // OOM: skip this record, keep streaming
+      kbuf = nb;
       kbuf_cap = n - k + 1;
-      kbuf = static_cast<uint64_t*>(realloc(kbuf, kbuf_cap * sizeof(uint64_t)));
     }
     uint64_t nu = 0, nk = 0;
     const int64_t nm = kn_read_search(
