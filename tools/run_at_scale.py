@@ -247,6 +247,30 @@ def main() -> int:
             results.append(log(
                 "search_device", dt_sec=round(time.perf_counter() - t0, 2),
                 byte_identical_to_host=dev_out == host_out))
+            # Steady-state: resident searcher answers repeat queries with
+            # the matrices already on device and the kernels compiled --
+            # the serving operating point (the cold CLI number above is
+            # dominated by per-process tunnel compiles).
+            try:
+                from kwage_tpu.io.sequence import iter_sequences
+                from kwage_tpu.search.resident import ResidentSearcher
+
+                queries = [s for _, s in iter_sequences(qfasta)]
+                searcher = ResidentSearcher([corpus])
+                t0 = time.perf_counter()
+                first = searcher.render(queries, 0.8)
+                dt_first = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                second = searcher.render(queries, 0.8)
+                dt_warm = time.perf_counter() - t0
+                results.append(log(
+                    "search_device_resident",
+                    first_query_sec=round(dt_first, 2),
+                    warm_query_sec=round(dt_warm, 3),
+                    byte_identical=(first == second)))
+            except Exception as e:  # pragma: no cover - chip flake
+                results.append(log("search_device_resident",
+                                   error=f"{type(e).__name__}: {e}"))
 
         ok = (oracle_same is not False) and (oracle_ok is not False)
         results.append(log("done", ok=ok))
