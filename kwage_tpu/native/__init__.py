@@ -315,6 +315,8 @@ def search_native(
         out_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         out_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
     )
+    if n == (1 << 64) - 1:  # native OOM sentinel: use the numpy twin
+        return None
     return [(int(out_idx[i]), int(out_counts[i])) for i in range(n)]
 
 
@@ -422,10 +424,21 @@ class NativeReadSearcher:
         kernel entirely in native code; ``on_match(subject_index,
         read_index, score, seq_bytes)`` fires per match (it may flip
         ``self.active`` entries off). Returns (num_reads, num_bases) of
-        the range."""
+        the range.
+
+        An exception raised by ``on_match`` re-raises here after the scan
+        returns (ctypes would otherwise print-and-swallow it inside the C
+        callback, silently dropping matches)."""
+        cb_err: list[BaseException] = []
+
         def _cb(_ctx, s, ridx, score, seqp, seqlen):
-            on_match(int(s), int(ridx), float(score),
-                     ctypes.string_at(seqp, seqlen))
+            if cb_err:
+                return  # poisoned: drain remaining native callbacks
+            try:
+                on_match(int(s), int(ridx), float(score),
+                         ctypes.string_at(seqp, seqlen))
+            except BaseException as e:  # noqa: BLE001 - re-raised below
+                cb_err.append(e)
 
         cb = _MATCH_CB_T(_cb)
         reads = ctypes.c_uint64()
@@ -435,10 +448,14 @@ class NativeReadSearcher:
             min_valid_kmer, min_complexity, threshold,
             self._p_flat, self._p_offs, self._p_lens, self._p_active,
             self._n, ctypes.byref(reads), ctypes.byref(bases), cb, None)
+        if cb_err:
+            raise cb_err[0]
         if rc == -1:
             raise FileNotFoundError(path)
         if rc == -2:
             raise ValueError(f"truncated FASTQ record in {path}")
+        if rc == -4:
+            raise MemoryError(f"native scan scratch allocation failed ({path})")
         if rc < 0:
             raise OSError(f"error reading {path} (code {rc})")
         return int(reads.value), int(bases.value)

@@ -486,7 +486,10 @@ struct KnRecordBuf {
   ~KnRecordBuf() { free(data); }
 };
 
-// Shared streaming parser: calls on_record(data, len) for every record.
+// Shared streaming parser: calls on_record(data, len) for every record;
+// on_record returns true to STOP the parse early (e.g. a sliced range's
+// end -- the remaining file is neither read nor truncation-checked,
+// matching the Python twin's break-at-range-end).
 // format: 0 = FASTA, 1 = FASTQ.
 // Returns 0 on success, -1 open failure, -2 truncated FASTQ, -3 read error.
 }  // extern "C" (template needs C++ linkage; re-entered below)
@@ -499,10 +502,11 @@ static int kn_parse_file(const char* path, int format, F&& on_record) {
   char* buf = static_cast<char*>(malloc(kBuf));
   KnRecordBuf rec;
   int rc = 0;
+  bool stopped = false;
 
   auto flush_record = [&]() {
     if (rec.len == 0) return;
-    on_record(rec.data, rec.len);
+    stopped = on_record(rec.data, rec.len);
     rec.len = 0;
   };
 
@@ -516,7 +520,7 @@ static int kn_parse_file(const char* path, int format, F&& on_record) {
     int n = gzread(f, buf, kBuf);
     if (n < 0) { rc = -3; break; }
     if (n == 0) break;
-    for (int i = 0; i < n; ++i) {
+    for (int i = 0; i < n && !stopped; ++i) {
       const char c = buf[i];
       if (c == '\n') {
         if (format == 1) {
@@ -548,8 +552,9 @@ static int kn_parse_file(const char* path, int format, F&& on_record) {
         }
       }
     }
+    if (stopped) break;
   }
-  if (rc == 0) {
+  if (rc == 0 && !stopped) {
     if (format == 0) {
       flush_record();
     } else if (fastq_line == 3 && qual_seen) {
@@ -575,6 +580,7 @@ int kn_digest_file(KnBuilder* b, const char* path, int format,
     ++spots;
     bp += n;
     if (b) kn_add_seq(b, d, n);
+    return false;
   });
   if (out_spots) *out_spots = spots;
   if (out_bp) *out_bp = bp;
@@ -594,6 +600,7 @@ int kn_scan_file(const char* path, int format, uint32_t min_len,
       ++rows;
       if (n > max_len) max_len = n;
     }
+    return false;
   });
   if (out_spots) *out_spots = spots;
   if (out_bp) *out_bp = bp;
@@ -626,7 +633,7 @@ int kn_pack_file(const char* path, int format, uint32_t min_len,
   }
   uint64_t rows = 0;
   const int rc = kn_parse_file(path, format, [&](const char* d, uint64_t n) {
-    if (n < min_len || rows >= max_rows) return;
+    if (n < min_len || rows >= max_rows) return false;
     uint32_t* prow = packed + (row_off + rows) * words16;
     uint32_t* vrow = validw + (row_off + rows) * words32;
     const uint64_t limit = n < words16 * 16 ? n : words16 * 16;
@@ -636,6 +643,7 @@ int kn_pack_file(const char* path, int format, uint32_t min_len,
       vrow[j >> 5] |= (uint32_t)valid_lut[c] << (j & 31);
     }
     ++rows;
+    return false;
   });
   if (out_rows) *out_rows = rows;
   return rc;
@@ -706,6 +714,7 @@ uint64_t kn_search(const uint8_t* slices, uint64_t slice_size,
   const uint64_t full = slice_size / 8;
   const uint64_t tail = slice_size & 7;
   uint64_t* m = static_cast<uint64_t*>(malloc(W * sizeof(uint64_t)));
+  if (m == NULL) return ~0ull;  // OOM sentinel: caller falls back
 
   // m = AND of the num_hash seed rows of k-mer i (zero-padded tail word).
   auto load_match = [&](uint64_t i) {
@@ -745,6 +754,7 @@ uint64_t kn_search(const uint8_t* slices, uint64_t slice_size,
   uint64_t n_out = 0;
   if (complete) {
     uint64_t* acc = static_cast<uint64_t*>(malloc(W * sizeof(uint64_t)));
+    if (acc == NULL) { free(m); return ~0ull; }
     load_match(0);
     memcpy(acc, m, W * sizeof(uint64_t));
     bool any = false;
@@ -774,6 +784,7 @@ uint64_t kn_search(const uint8_t* slices, uint64_t slice_size,
   while ((1ull << P) <= n_kmer) ++P;
   uint64_t* planes =
       static_cast<uint64_t*>(calloc(static_cast<size_t>(P) * W, sizeof(uint64_t)));
+  if (planes == NULL) { free(m); return ~0ull; }
   for (uint64_t i = 0; i < n_kmer; ++i) {
     prefetch_kmer_rows(i + kRowPrefetch);
     load_match(i);
@@ -1006,17 +1017,26 @@ int64_t kn_sriracha_file(const char* path, int format, uint64_t start,
   uint64_t* counts =
       static_cast<uint64_t*>(malloc(num_subjects * sizeof(uint64_t)));
   uint8_t* matched = static_cast<uint8_t*>(malloc(num_subjects));
+  if (kbuf == NULL || counts == NULL || matched == NULL) {
+    free(kbuf);
+    free(counts);
+    free(matched);
+    return -4;  // OOM: caller falls back to the Python twin
+  }
   uint64_t reads = 0, bases = 0, i = 0;
+  // done = all later records are out of range: stop the parse (a sliced
+  // run reads only its prefix of the file, like the Python twin's break).
   const int rc = kn_parse_file(path, format, [&](const char* d, uint64_t n) {
     ++i;
-    if (i < start || i >= stop) return;
+    const bool done = i + 1 >= stop;
+    if (i < start || i >= stop) return done;
     ++reads;
     bases += n;
-    if (n < min_read_length) return;
+    if (n < min_read_length) return done;
     if (n >= k && n - k + 1 > kbuf_cap) {
       uint64_t* nb = static_cast<uint64_t*>(
           realloc(kbuf, (n - k + 1) * sizeof(uint64_t)));
-      if (nb == NULL) return;  // OOM: skip this record, keep streaming
+      if (nb == NULL) return done;  // OOM: skip this record, keep streaming
       kbuf = nb;
       kbuf_cap = n - k + 1;
     }
@@ -1025,13 +1045,14 @@ int64_t kn_sriracha_file(const char* path, int format, uint64_t start,
         d, n, k, min_valid_kmer, min_complexity, threshold, subject_base,
         subject_off, subject_len, active, num_subjects, kbuf, counts, matched,
         &nu, &nk);
-    if (nm <= 0) return;
+    if (nm <= 0) return done;
     for (uint32_t s = 0; s < num_subjects; ++s) {
       if (matched[s]) {
         cb(ctx, s, i, static_cast<float>(counts[s]) / static_cast<float>(nu),
            d, n);
       }
     }
+    return done;
   });
   free(kbuf);
   free(counts);

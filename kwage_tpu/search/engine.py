@@ -145,10 +145,12 @@ def search_database_files(
     def search_one(path: str) -> dict[int, list[MatchResult]]:
         per_file: dict[int, list[MatchResult]] = {}
         reader = open_database(path)
-        if hasattr(reader, "mmap_slices"):
+        if in_memory and hasattr(reader, "mmap_slices"):
             # Lazy view: only the rows a query touches fault in from disk,
             # so a complete-match early exit reads a few pages, not the
             # whole file (the reference's seek behavior, kwage.cpp:415-424).
+            # in_memory=False keeps the explicit per-row seek gather live
+            # (the only path for compressed readers, and its parity test).
             slices = reader.mmap_slices()
         else:
             slices = reader.read_slices() if in_memory else None

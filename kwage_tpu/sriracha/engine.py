@@ -233,10 +233,13 @@ def _search_file_range_native(
             bucket.sort(key=SearchMatch.sort_key)
             del bucket[opt.max_num_match :]
 
-    reads, bases = searcher.search_file(
-        path, ftype, lo, hi, opt.kmer_len, opt.min_read_length,
-        opt.min_valid_kmer, opt.min_read_complexity,
-        opt.kmer_match_threshold, on_match)
+    try:
+        reads, bases = searcher.search_file(
+            path, ftype, lo, hi, opt.kmer_len, opt.min_read_length,
+            opt.min_valid_kmer, opt.min_read_complexity,
+            opt.kmer_match_threshold, on_match)
+    except MemoryError:
+        return None  # native scratch OOM: iterator twin streams instead
     if stats is not None:
         stats.num_reads += reads
         stats.num_bases += bases
@@ -256,6 +259,11 @@ def iter_reads_range(path: str, rank: int, ntasks: int, num_read: int | None = N
     materializing it -- host RAM stays O(1) in the accession size, the
     reference's read-range streaming shape (sra_stream.cpp:525-543).
     """
+    if ntasks == 1:
+        # Unsliced: the range is the whole file -- one pass, no count.
+        for i, (_, seq) in enumerate(iter_sequences(path), 1):
+            yield seq, i, 1
+        return
     if num_read is None:
         num_read = count_reads(path)
     if num_read == 0:
@@ -501,17 +509,23 @@ def search_accession(
                 stats.num_reads += s.num_reads
                 stats.num_bases += s.num_bases
         return merge_worker_results(parts, opt)
-    if subject_kmers:
-        num_read = count_reads(path)
-        if num_read == 0:
-            return [[] for _ in subject_kmers]
-        start, stop = assign_read_range(
-            1, num_read, opt.slice_index, opt.num_slice)
+    num_read = None
+    if subject_kmers and native_available():
+        if opt.num_slice == 1:
+            # Unsliced: the whole file is the range -- no counting pass
+            # (the native scan stops at EOF on its own).
+            start, stop = 1, 1 << 62
+        else:
+            num_read = count_reads(path)
+            if num_read == 0:
+                return [[] for _ in subject_kmers]
+            start, stop = assign_read_range(
+                1, num_read, opt.slice_index, opt.num_slice)
         res = _search_file_range_native(
             path, start, stop, subject_kmers, opt, stats)
         if res is not None:
             return res
     return search_reads(
-        iter_reads_range(path, opt.slice_index, opt.num_slice),
+        iter_reads_range(path, opt.slice_index, opt.num_slice, num_read),
         subject_kmers, opt, stats,
     )

@@ -322,13 +322,83 @@ def test_native_read_search_loop_differential():
             max_num_match=random.choice([1, 3, 50]),
         )
         r_native = search_reads(iter(reads), subj, opt)
-        orig = eng.native_available
+        # The pure-python leg must not touch the native library at all:
+        # search_one_read itself calls read_profile_native /
+        # sorted_intersect_count_native, so stub those too, or this only
+        # tests loop plumbing while both legs compute in C.
+        orig = (eng.native_available, eng.read_profile_native,
+                eng.sorted_intersect_count_native)
         eng.native_available = lambda: False
+        eng.read_profile_native = lambda seq, k: None
+        eng.sorted_intersect_count_native = lambda uniq, subject: None
         try:
             r_py = search_reads(iter(reads), subj, opt)
         finally:
-            eng.native_available = orig
+            (eng.native_available, eng.read_profile_native,
+             eng.sorted_intersect_count_native) = orig
         for a, b in zip(r_native, r_py):
             la = [(m.read_index, m.read_subindex, m.score, m.read_seq) for m in a]
             lb = [(m.read_index, m.read_subindex, m.score, m.read_seq) for m in b]
             assert la == lb
+
+
+def test_native_file_scan_stops_at_range_end(tmp_path):
+    """A sliced native scan must stop parsing at its range end (the
+    Python twin breaks at `i >= hi`): a FASTQ whose TAIL is truncated
+    parses cleanly for a slice that ends before the damage, and raises
+    for the whole file -- in both engines."""
+    import numpy as np
+
+    import kwage_tpu.sriracha.engine as eng
+    from kwage_tpu.core.words import canonical_kmers
+    from kwage_tpu.native import available
+    from kwage_tpu.sriracha.engine import SrirachaOptions, StreamStats
+
+    if not available():
+        return
+    import random
+
+    random.seed(5)
+    target = "".join(random.choice("ACGT") for _ in range(200))
+    recs = [target[:100], target[40:140], "GGGTTTAAACCC" * 10]
+    fq = tmp_path / "trunc.fastq"
+    body = "".join(
+        f"@r{i}\n{s}\n+\n{'I' * len(s)}\n" for i, s in enumerate(recs, 1))
+    fq.write_text(body + "@r4\nACGTACGT\n")  # truncated final record
+    subj = [("t", np.unique(canonical_kmers(target, 21)))]
+    opt = SrirachaOptions(kmer_len=21, kmer_match_threshold=0.5)
+
+    stats = StreamStats()
+    res = eng._search_file_range_native(str(fq), 1, 3, subj, opt, stats)
+    assert res is not None, "native scan unavailable despite toolchain"
+    assert stats.num_reads == 2
+    assert [m.read_index for m in res[0]] == [1, 2]
+
+    with pytest.raises(ValueError):
+        eng._search_file_range_native(str(fq), 1, 1 << 62, subj, opt, None)
+
+
+def test_native_scan_callback_exception_propagates(tmp_path):
+    """An exception raised in the per-match callback must surface, not be
+    swallowed inside the ctypes callback (which would silently drop
+    matches): a matching read containing a non-ASCII byte makes the echo
+    decode fail, and the scan must raise like the text-mode twin does."""
+    import numpy as np
+
+    import kwage_tpu.sriracha.engine as eng
+    from kwage_tpu.core.words import canonical_kmers
+    from kwage_tpu.native import available
+    from kwage_tpu.sriracha.engine import SrirachaOptions
+
+    if not available():
+        return
+    import random
+
+    random.seed(6)
+    target = "".join(random.choice("ACGT") for _ in range(200))
+    fa = tmp_path / "bad.fasta"
+    fa.write_bytes(b">r1\n" + target[:100].encode() + b"\x80\n")
+    subj = [("t", np.unique(canonical_kmers(target, 21)))]
+    opt = SrirachaOptions(kmer_len=21, kmer_match_threshold=0.2)
+    with pytest.raises(UnicodeDecodeError):
+        eng._search_file_range_native(str(fa), 1, 1 << 62, subj, opt, None)

@@ -252,11 +252,12 @@ def main() -> int:
             # the serving operating point (the cold CLI number above is
             # dominated by per-process tunnel compiles).
             try:
+                from kwage_tpu.cli.kwage import find_db_files
                 from kwage_tpu.io.sequence import iter_sequences
                 from kwage_tpu.search.resident import ResidentSearcher
 
                 queries = [s for _, s in iter_sequences(qfasta)]
-                searcher = ResidentSearcher([corpus])
+                searcher = ResidentSearcher(find_db_files([corpus]))
                 t0 = time.perf_counter()
                 first = searcher.render(queries, 0.8)
                 dt_first = time.perf_counter() - t0
