@@ -21,7 +21,7 @@ import numpy as np
 from ..core.info import FilterInfo
 from ..core.words import canonical_kmers
 from ..io.db_file import DBFileReader
-from ..native import murmur32_native, search_native
+from ..native import murmur32_native, read_profile_native, search_native
 
 
 @dataclass
@@ -33,7 +33,13 @@ class MatchResult:
 
 def query_slice_indices(query: str, header) -> tuple[np.ndarray, int]:
     """Sorted-unique query k-mers -> slice row indices [n_kmer, num_hash]."""
-    kmers = np.unique(canonical_kmers(query, header.kmer_len))
+    profile = read_profile_native(query, header.kmer_len)
+    if profile is not None:
+        # Native extraction+dedup (~12x the numpy formulation per query);
+        # the scratch view is consumed by the murmur call below.
+        _, kmers = profile
+    else:
+        kmers = np.unique(canonical_kmers(query, header.kmer_len))
     if kmers.size == 0:
         return np.empty((0, header.num_hash), dtype=np.int64), 0
     h = murmur32_native(kmers, header.kmer_len, header.num_hash)
