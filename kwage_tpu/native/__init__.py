@@ -106,6 +106,12 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         u8p, u64, ctypes.POINTER(ctypes.c_uint64), u64, u32, u32,
         ctypes.c_int, u64, ctypes.POINTER(ctypes.c_uint32),
         ctypes.POINTER(ctypes.c_uint64)]
+    lib.kn_search_all.restype = u64
+    lib.kn_search_all.argtypes = [
+        u8p, u64, ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint64), u64,
+        u32, u32, u32, u32, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64)]
     return lib
 
 
@@ -318,6 +324,75 @@ def search_native(
     if n == (1 << 64) - 1:  # native OOM sentinel: use the numpy twin
         return None
     return [(int(out_idx[i]), int(out_counts[i])) for i in range(n)]
+
+
+def search_all_native(
+    slices: np.ndarray,
+    queries: list[str],
+    kmer_len: int,
+    num_hash: int,
+    log2_filter_len: int,
+    num_filter: int,
+    threshold: float,
+    chunk: int | None = None,
+) -> list[list[tuple[int, int, int]] | None] | None:
+    """Every query against one slice matrix in ONE native call.
+
+    Returns, per query, ``[(filter_index, count, n_unique_kmer), ...]``
+    in ascending filter order, or None for a query with no valid k-mers
+    (the engine's no-k-mers contract). Returns None overall when the
+    native library is unavailable or scratch allocation failed -- the
+    caller runs the per-query twin.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    assert slices.dtype == np.uint8 and slices.ndim == 2
+    slices = np.ascontiguousarray(slices)
+    # The hit buffers are sized for the hard maximum (every filter hits
+    # every query), so bound them by chunking large batches.
+    if chunk is None:
+        chunk = max(1, 4_000_000 // max(1, num_filter))
+    if len(queries) > chunk:
+        out: list[list[tuple[int, int, int]] | None] = []
+        for a in range(0, len(queries), chunk):
+            part = search_all_native(
+                slices, queries[a:a + chunk], kmer_len, num_hash,
+                log2_filter_len, num_filter, threshold, chunk=chunk)
+            if part is None:
+                return None
+            out.extend(part)
+        return out
+    nq = len(queries)
+    blob = b"".join(q.encode("ascii") for q in queries)
+    off = np.zeros(nq + 1, dtype=np.uint64)
+    np.cumsum([len(q) for q in queries], out=off[1:])
+    cap = nq * num_filter
+    out_qid = np.empty(cap, dtype=np.uint32)
+    out_fidx = np.empty(cap, dtype=np.uint32)
+    out_counts = np.empty(cap, dtype=np.uint64)
+    out_nkmer = np.empty(nq, dtype=np.uint64)
+    n = lib.kn_search_all(
+        slices.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        slices.shape[1], blob,
+        off.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        nq, kmer_len, num_hash, log2_filter_len, num_filter,
+        threshold,
+        out_qid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        out_fidx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        out_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out_nkmer.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    if n == (1 << 64) - 1:  # native OOM sentinel
+        return None
+    results: list[list[tuple[int, int, int]] | None] = [
+        None if out_nkmer[q] == 0 else [] for q in range(nq)
+    ]
+    for j in range(n):
+        q = int(out_qid[j])
+        results[q].append(
+            (int(out_fidx[j]), int(out_counts[j]), int(out_nkmer[q])))
+    return results
 
 
 _TLS = threading.local()

@@ -820,6 +820,79 @@ uint64_t kn_search(const uint8_t* slices, uint64_t slice_size,
   return n_out;
 }
 
+static uint64_t kn_dedup_kmers(uint64_t* kbuf, uint64_t n);  // defined below
+
+// Whole query batch against one in-memory slice matrix in a single call
+// (the per-query pipeline of kwage.cpp:340-541 with the reduction shared
+// with kn_search): per query, extract unique canonical k-mers, map each
+// (k-mer, seed) to a slice row via murmur3-32 masked to 2**L, then run
+// the complete/counting reduction. Hits append to out_qid/out_fidx/
+// out_counts -- the caller sizes them for nq * num_filter, the hard
+// maximum. out_nkmer[q] gets query q's unique-k-mer count (0 = no valid
+// k-mers: no hits emitted, mirroring the Python engine's None).
+// qt per query = trunc(float(threshold) * float(n_unique)), the
+// reference's float32 narrowing (kwage.cpp:388). Returns the number of
+// hit entries, or ~0 on scratch OOM (caller falls back).
+uint64_t kn_search_all(const uint8_t* slices, uint64_t slice_size,
+                       const char* queries, const uint64_t* q_off,
+                       uint64_t nq, uint32_t k, uint32_t num_hash,
+                       uint32_t log2_filter_len, uint32_t num_filter,
+                       float threshold, uint32_t* out_qid,
+                       uint32_t* out_fidx, uint64_t* out_counts,
+                       uint64_t* out_nkmer) {
+  const int complete = threshold == 1.0f;
+  const uint64_t mask =
+      log2_filter_len >= 32 ? 0xFFFFFFFFull : (1ull << log2_filter_len) - 1;
+  uint64_t max_len = 0;
+  for (uint64_t q = 0; q < nq; ++q) {
+    const uint64_t len = q_off[q + 1] - q_off[q];
+    if (len > max_len) max_len = len;
+  }
+  const uint64_t kcap = max_len < 16 ? 16 : max_len;
+  uint64_t* kbuf = static_cast<uint64_t*>(malloc(kcap * sizeof(uint64_t)));
+  uint64_t* rows = static_cast<uint64_t*>(
+      malloc(kcap * num_hash * sizeof(uint64_t)));
+  uint32_t* idx = static_cast<uint32_t*>(malloc(num_filter * sizeof(uint32_t)));
+  uint64_t* cnt = static_cast<uint64_t*>(malloc(num_filter * sizeof(uint64_t)));
+  if (kbuf == NULL || rows == NULL || idx == NULL || cnt == NULL) {
+    free(kbuf); free(rows); free(idx); free(cnt);
+    return ~0ull;
+  }
+  uint64_t n_out = 0;
+  for (uint64_t q = 0; q < nq; ++q) {
+    const char* seq = queries + q_off[q];
+    const uint64_t len = q_off[q + 1] - q_off[q];
+    const uint64_t n = kn_canonical_kmers(seq, len, k, kbuf);
+    const uint64_t nu = kn_dedup_kmers(kbuf, n);
+    out_nkmer[q] = nu;
+    if (nu == 0) continue;
+    uint32_t h8[8];
+    for (uint64_t i = 0; i < nu; ++i) {
+      murmur_kmer5(kbuf[i], k, h8);
+      for (uint32_t h = 0; h < num_hash; ++h) {
+        rows[i * num_hash + h] = h8[h] & mask;
+      }
+    }
+    const uint64_t qt =
+        complete ? 0
+                 : static_cast<uint64_t>(threshold * static_cast<float>(nu));
+    const uint64_t hits = kn_search(slices, slice_size, rows, nu, num_hash,
+                                    num_filter, complete, qt, idx, cnt);
+    if (hits == ~0ull) {
+      free(kbuf); free(rows); free(idx); free(cnt);
+      return ~0ull;
+    }
+    for (uint64_t j = 0; j < hits; ++j) {
+      out_qid[n_out] = static_cast<uint32_t>(q);
+      out_fidx[n_out] = idx[j];
+      out_counts[n_out] = cnt[j];
+      ++n_out;
+    }
+  }
+  free(kbuf); free(rows); free(idx); free(cnt);
+  return n_out;
+}
+
 // Sorted-unique canonical k-mers of one read (the SriRachA per-read
 // profile, search_by_kmer.cpp:44-70): writes the sorted deduplicated
 // words to `out` (caller sizes for len - k + 1) and the TOTAL k-mer

@@ -21,7 +21,12 @@ import numpy as np
 from ..core.info import FilterInfo
 from ..core.words import canonical_kmers
 from ..io.db_file import DBFileReader
-from ..native import murmur32_native, read_profile_native, search_native
+from ..native import (
+    murmur32_native,
+    read_profile_native,
+    search_all_native,
+    search_native,
+)
 
 
 @dataclass
@@ -161,8 +166,21 @@ def search_database_files(
         else:
             slices = reader.read_slices() if in_memory else None
         infos_cache: dict[int, FilterInfo] = {}
-        for qid, seq in queries:
-            hits = search_database(reader, seq, threshold, slices=slices)
+        hdr = reader.header
+        batched = None
+        if slices is not None:
+            # One native call for the whole query batch: extraction,
+            # hashing, gather and reduction all in C (identical output to
+            # the per-query path; per-query Python/ctypes overhead gone).
+            batched = search_all_native(
+                slices, [seq for _, seq in queries], hdr.kmer_len,
+                hdr.num_hash, hdr.log_2_filter_len, hdr.num_filter,
+                threshold)
+        for qpos, (qid, seq) in enumerate(queries):
+            if batched is not None:
+                hits = batched[qpos]
+            else:
+                hits = search_database(reader, seq, threshold, slices=slices)
             if not hits:
                 continue
             bucket = per_file.setdefault(qid, [])

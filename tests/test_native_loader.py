@@ -234,3 +234,55 @@ def test_kn_search_matches_numpy_reduction():
             for i in np.nonzero(matched)[0]
         ]
         assert hits == ref, (trial, threshold)
+
+
+def test_search_all_native_matches_per_query_twin():
+    """kn_search_all (whole batch in one native call: extraction + murmur
+    + reduction) == the per-query search_database twin, across thresholds,
+    empty/N-only queries, and the chunked buffer path."""
+    import random
+
+    import numpy as np
+
+    from kwage_tpu.native import available, search_all_native
+    from kwage_tpu.search.engine import query_slice_indices, search_database
+
+    if not available():
+        return
+
+    class Hdr:
+        kmer_len = 21
+        num_hash = 4
+        log_2_filter_len = 12
+        num_filter = 77
+
+    class FakeReader:
+        def __init__(self, slices):
+            self.header = Hdr()
+            self._s = slices
+
+    rng = np.random.default_rng(12)
+    random.seed(12)
+    slices = (rng.random((1 << 12, (77 + 7) // 8)) * 256).astype(np.uint8)
+    queries = []
+    for i in range(40):
+        r = random.random()
+        if r < 0.1:
+            queries.append("")                       # no k-mers
+        elif r < 0.2:
+            queries.append("N" * 50)                 # no valid k-mers
+        elif r < 0.3:
+            queries.append("ACGT" * 3)               # shorter than k
+        else:
+            queries.append("".join(
+                random.choice("ACGTN") for _ in range(random.randint(21, 300))))
+    for thr in (0.2, 0.8, 1.0):
+        for chunk in (None, 7):
+            got = search_all_native(
+                slices, queries, Hdr.kmer_len, Hdr.num_hash,
+                Hdr.log_2_filter_len, Hdr.num_filter, thr, chunk=chunk)
+            assert got is not None
+            reader = FakeReader(slices)
+            for q, seq in enumerate(queries):
+                want = search_database(reader, seq, thr, slices=slices)
+                assert got[q] == want, (q, thr, chunk)
