@@ -163,7 +163,7 @@ class CountingBuilder:
             self._impl.add_sequence(seq)
             return
         if isinstance(seq, str):
-            seq = seq.encode("ascii")
+            seq = seq.encode("ascii", errors="replace")
         self._lib.kn_add_seq(self._ptr, seq, len(seq))
 
     @property
@@ -364,9 +364,13 @@ def search_all_native(
             out.extend(part)
         return out
     nq = len(queries)
-    blob = b"".join(q.encode("ascii") for q in queries)
+    # Non-ASCII codepoints become one invalid byte each ('?'): the C
+    # extractor resets its window on them, exactly like the Python twin
+    # does on the original characters.
+    encoded = [q.encode("ascii", errors="replace") for q in queries]
+    blob = b"".join(encoded)
     off = np.zeros(nq + 1, dtype=np.uint64)
-    np.cumsum([len(q) for q in queries], out=off[1:])
+    np.cumsum([len(b) for b in encoded], out=off[1:])
     cap = nq * num_filter
     out_qid = np.empty(cap, dtype=np.uint32)
     out_fidx = np.empty(cap, dtype=np.uint32)
@@ -407,7 +411,7 @@ def read_profile_native(seq: str | bytes, k: int) -> tuple[int, np.ndarray] | No
     if lib is None:
         return None
     if isinstance(seq, str):
-        seq = seq.encode("ascii")
+        seq = seq.encode("ascii", errors="replace")
     n_max = max(0, len(seq) - k + 1)
     buf = getattr(_TLS, "kmer_buf", None)
     if buf is None or buf.shape[0] < n_max:
@@ -476,7 +480,7 @@ class NativeReadSearcher:
         """Returns None when a gate rejected the read; otherwise
         (num_kmer, num_unique, matched_indices, counts_view)."""
         if isinstance(seq, str):
-            seq = seq.encode("ascii")
+            seq = seq.encode("ascii", errors="replace")
         n_max = len(seq)
         if self._kbuf.shape[0] < n_max:
             self._kbuf = np.empty(n_max, dtype=np.uint64)
@@ -543,7 +547,7 @@ def canonical_kmers_native(seq: str | bytes, k: int) -> np.ndarray:
         from ..core.words import canonical_kmers
         return canonical_kmers(seq, k)
     if isinstance(seq, str):
-        seq = seq.encode("ascii")
+        seq = seq.encode("ascii", errors="replace")
     n_max = max(0, len(seq) - k + 1)
     out = np.empty(n_max, dtype=np.uint64)
     n = lib.kn_canonical_kmers(

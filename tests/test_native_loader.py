@@ -286,3 +286,45 @@ def test_search_all_native_matches_per_query_twin():
             for q, seq in enumerate(queries):
                 want = search_database(reader, seq, thr, slices=slices)
                 assert got[q] == want, (q, thr, chunk)
+
+
+def test_native_wrappers_match_twins_on_non_ascii():
+    """Non-ASCII codepoints in sequence text must behave like any other
+    invalid base (window reset), not crash the native wrappers: each
+    codepoint encodes to one replacement byte, mirroring the numpy twins
+    character-for-character."""
+    import numpy as np
+
+    from kwage_tpu.core.words import canonical_kmers
+    from kwage_tpu.native import (
+        available,
+        canonical_kmers_native,
+        read_profile_native,
+        search_all_native,
+    )
+    from kwage_tpu.search.engine import search_database
+
+    if not available():
+        return
+    s = "ACGTéACGTACGTACGT€ACGT"  # é and € mid-sequence
+    km = canonical_kmers(s, 11)
+    total, uniq = read_profile_native(s, 11)
+    assert total == km.size
+    assert np.array_equal(uniq, np.unique(km))
+    assert np.array_equal(canonical_kmers_native(s, 11), km)
+
+    class Hdr:
+        kmer_len = 11
+        num_hash = 3
+        log_2_filter_len = 12
+        num_filter = 40
+
+    class R:
+        header = Hdr()
+
+    rng = np.random.default_rng(5)
+    slices = (rng.random((1 << 12, 5)) * 256).astype(np.uint8)
+    qs = ["ACGTACGTACGTACGTACGT", s, "acgtacgtacgtACGTACGT"]
+    got = search_all_native(slices, qs, 11, 3, 12, 40, 0.5)
+    for q, seq in enumerate(qs):
+        assert got[q] == search_database(R(), seq, 0.5, slices=slices), q

@@ -233,11 +233,21 @@ def main() -> int:
         want_device = os.environ.get("SCALE_DEVICE")
         use_device = want_device == "1"
         if want_device is None:
+            # Probe in a SUBPROCESS with a deadline: on this box a dead
+            # accelerator tunnel makes backend init / the first readback
+            # hang rather than raise, which would wedge the whole proof.
             try:
-                import jax
-
-                use_device = bool(jax.devices())
-            except Exception:
+                probe = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax, numpy\n"
+                     "x = jax.numpy.ones((64, 64))\n"
+                     "numpy.asarray(x @ x)\n"
+                     "print(jax.devices()[0].platform)"],
+                    capture_output=True, text=True,
+                    timeout=int(os.environ.get("SCALE_PROBE_TIMEOUT", 240)))
+                use_device = (probe.returncode == 0
+                              and "cpu" not in probe.stdout)
+            except (subprocess.TimeoutExpired, OSError):
                 use_device = False
         if use_device:
             t0 = time.perf_counter()
