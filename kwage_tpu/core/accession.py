@@ -17,7 +17,21 @@ _MAX_NUM_DIGITS = 10
 INVALID_ACCESSION = 0
 
 
+_POW10 = tuple(10 ** i for i in range(_MAX_NUM_DIGITS + 1))
+
+
 def str_to_accession(accession: str) -> int:
+    # Fast path: the NCBI shape, 3 ASCII uppercase letters + 1..10 ASCII
+    # digits ("SRR1234567") -- identical packing to the general loop.
+    if 4 <= len(accession) <= 13 and accession.isascii():
+        p, d = accession[:3], accession[3:]
+        if p.isalpha() and p.isupper() and d.isdigit():
+            nd = len(d)
+            data = ((ord(p[0]) - 65) * 26 + (ord(p[1]) - 65)) * 26 + (
+                ord(p[2]) - 65)
+            ret = (nd - 1) | ((data * _POW10[nd] + int(d)) << 4)
+            if ret != INVALID_ACCESSION:
+                return ret
     num_letter = 0
     num_digit = 0
     data = 0

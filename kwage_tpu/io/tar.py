@@ -24,8 +24,12 @@ def _iter_lines(fh, chunk_size: int = 1 << 20) -> Iterator[str]:
         yield tail.rstrip(b"\r").decode("utf-8", errors="replace")
 
 
-def iter_tar_lines(path: str) -> Iterator[tuple[str, str]]:
-    """Yield (member_filename, line) pairs; lines have no trailing newline."""
+def iter_tar_members(path: str) -> Iterator[tuple[str, Iterator[str]]]:
+    """Yield (member_filename, line_iterator) per file member, in archive
+    order. A member's lines may be left unconsumed -- the stream skips
+    ahead -- so callers can reject members by name without paying for
+    line splitting (the reference's find_extension gate,
+    sra_inventory.cpp:1100-1137)."""
     with tarfile.open(path, mode="r|*") as tf:
         for member in tf:
             if not member.isfile():
@@ -33,8 +37,14 @@ def iter_tar_lines(path: str) -> Iterator[tuple[str, str]]:
             fh = tf.extractfile(member)
             if fh is None:
                 continue
-            for line in _iter_lines(fh):
-                yield member.name, line
+            yield member.name, _iter_lines(fh)
+
+
+def iter_tar_lines(path: str) -> Iterator[tuple[str, str]]:
+    """Yield (member_filename, line) pairs; lines have no trailing newline."""
+    for name, lines in iter_tar_members(path):
+        for line in lines:
+            yield name, line
 
 
 class TarIterator:

@@ -16,7 +16,7 @@ from dataclasses import dataclass, field
 from ..core.accession import INVALID_ACCESSION, str_to_accession
 from ..core.dates import Date
 from ..core.info import FilterInfo
-from ..io.tar import iter_tar_lines
+from ..io.tar import iter_tar_members
 
 MAX_NUM_XML = 100000
 
@@ -44,10 +44,25 @@ def sra_file_type(filename: str) -> int:
     return UNKNOWN
 
 
+def _xml_entry(xml_info: dict, acc: int) -> "FilterInfo":
+    """xml_info[acc], creating lazily (avoids a throwaway FilterInfo
+    construction per annotation line, the setdefault(acc, FilterInfo())
+    anti-pattern)."""
+    e = xml_info.get(acc)
+    if e is None:
+        e = xml_info[acc] = FilterInfo()
+    return e
+
+
+_TAG_CACHE: dict[str, tuple[str, str]] = {}
+
+
 def parse_xml_value(key: str, line: str) -> str:
     """Single-line <KEY>value</KEY> extraction (sra_inventory.cpp:1143-1167)."""
-    open_tag = f"<{key}>"
-    close_tag = f"</{key}>"
+    tags = _TAG_CACHE.get(key)
+    if tags is None:
+        tags = _TAG_CACHE[key] = (f"<{key}>", f"</{key}>")
+    open_tag, close_tag = tags
     begin = line.find(open_tag)
     if begin < 0:
         raise ValueError(f"unable to find {open_tag}")
@@ -79,9 +94,10 @@ def parse_sra_text(metadata_file: str) -> list[FilterInfo]:
         "Accession", "Status", "Updated", "Published", "Received", "Type",
         "Visibility", "Experiment", "Sample", "Study", "Center", "Spots", "Bases",
     ]
-    for filename, line in iter_tar_lines(metadata_file):
-        if sra_file_type(filename) != SRA_ACCESSIONS:
-            continue
+    for filename, lines in iter_tar_members(metadata_file):
+      if sra_file_type(filename) != SRA_ACCESSIONS:
+          continue  # member skipped wholesale: no line splitting
+      for line in lines:
         cols = line.split("\t")
         if cols_index is None:
             cols_index = {name: i for i, name in enumerate(cols)}
@@ -177,22 +193,17 @@ def parse_sra_metadata(metadata_file: str, verbose: bool = True):
     xml_info: dict[int, FilterInfo] = {}
     counters = {"experiment": 0, "sample": 0, "study": 0}
 
-    curr_filename = ""
-    experiment = sample = study = INVALID_ACCESSION
-    in_attribute = False
-    attr_tag = ""
-
-    for filename, line in iter_tar_lines(metadata_file):
-        if filename != curr_filename:
-            experiment = sample = study = INVALID_ACCESSION
-            in_attribute = False
-            attr_tag = ""
-            curr_filename = filename
-            if len(xml_info) >= MAX_NUM_XML:
-                _merge_xml(db, sample_attributes, xml_info, counters)
-                xml_info.clear()
-
-        ftype = sra_file_type(filename)
+    for filename, member_lines in iter_tar_members(metadata_file):
+      ftype = sra_file_type(filename)
+      if ftype not in (EXPERIMENT_XML, SAMPLE_XML, STUDY_XML):
+          continue  # member skipped wholesale: no line splitting
+      experiment = sample = study = INVALID_ACCESSION
+      in_attribute = False
+      attr_tag = ""
+      if len(xml_info) >= MAX_NUM_XML:
+          _merge_xml(db, sample_attributes, xml_info, counters)
+          xml_info.clear()
+      for line in member_lines:
         if ftype == EXPERIMENT_XML:
             if "<EXPERIMENT " in line:
                 experiment = str_to_accession(parse_key_value(line, "accession"))
@@ -209,21 +220,21 @@ def parse_sra_metadata(metadata_file: str, verbose: bool = True):
                     if experiment == INVALID_ACCESSION:
                         raise ValueError(f"orphaned experiment {tag}")
                     setattr(
-                        xml_info.setdefault(experiment, FilterInfo()),
+                        _xml_entry(xml_info, experiment),
                         var,
                         parse_xml_value(tag, line),
                     )
             if '<EXTERNAL_ID namespace="dbgap">' in line:
                 if experiment == INVALID_ACCESSION:
                     raise ValueError("orphaned experiment dbgap id")
-                xml_info.setdefault(experiment, FilterInfo()).valid = False
+                _xml_entry(xml_info, experiment).valid = False
         elif ftype == SAMPLE_XML:
             if "<SAMPLE " in line:
                 sample = str_to_accession(parse_key_value(line, "accession"))
             if "<SCIENTIFIC_NAME>" in line:
                 if sample == INVALID_ACCESSION:
                     raise ValueError("orphaned sample scientific name")
-                xml_info.setdefault(sample, FilterInfo()).sample_taxa = parse_xml_value(
+                _xml_entry(xml_info, sample).sample_taxa = parse_xml_value(
                     "SCIENTIFIC_NAME", line
                 )
             if "<SAMPLE_ATTRIBUTE>" in line:
@@ -237,20 +248,20 @@ def parse_sra_metadata(metadata_file: str, verbose: bool = True):
                 if not attr_tag and sample == INVALID_ACCESSION:
                     raise ValueError("orphaned sample attribute value")
                 if attr_tag != "BioSampleModel":
-                    xml_info.setdefault(sample, FilterInfo()).sample_attributes[attr_tag] = value
+                    _xml_entry(xml_info, sample).sample_attributes[attr_tag] = value
         elif ftype == STUDY_XML:
             if "<STUDY " in line:
                 study = str_to_accession(parse_key_value(line, "accession"))
             if "<STUDY_TITLE>" in line:
                 if study == INVALID_ACCESSION:
                     raise ValueError("orphaned study title")
-                xml_info.setdefault(study, FilterInfo()).study_title = parse_xml_value(
+                _xml_entry(xml_info, study).study_title = parse_xml_value(
                     "STUDY_TITLE", line
                 )
             if "<STUDY_ABSTRACT>" in line:
                 if study == INVALID_ACCESSION:
                     raise ValueError("orphaned study abstract")
-                xml_info.setdefault(study, FilterInfo()).study_abstract = parse_xml_value(
+                _xml_entry(xml_info, study).study_abstract = parse_xml_value(
                     "STUDY_ABSTRACT", line
                 )
 

@@ -107,3 +107,52 @@ def test_accession_codec_matches_oracle(golden_dir):
         packed = str_to_accession(case["s"])
         assert packed == case["packed"], case
         assert accession_to_str(packed) == case["roundtrip"]
+
+
+def test_accession_fast_path_matches_general_loop():
+    """str_to_accession's NCBI-shape fast path == the general scan loop
+    (sra_accession.cpp:27-96 semantics) across the legal space and on
+    malformed inputs that must fall through to the general parser."""
+    import random
+
+    import pytest
+
+    from kwage_tpu.core.accession import accession_to_str, str_to_accession
+
+    def general(accession):
+        nl = nd = 0
+        data = 0
+        for ch in accession:
+            u = ch.upper()
+            if "A" <= u <= "Z":
+                nl += 1
+                data = data * 26 + (ord(u) - 65)
+            elif "0" <= ch <= "9":
+                nd += 1
+                data = data * 10 + (ord(ch) - 48)
+        if nl != 3 or nd == 0 or nd > 10:
+            raise ValueError(accession)
+        ret = (nd - 1) | (data << 4)
+        if ret == 0:
+            raise ValueError(accession)
+        return ret & 0xFFFFFFFFFFFFFFFF
+
+    random.seed(3)
+    for _ in range(3000):
+        p = "".join(random.choice("ABCDEFGHIJKLMNOPQRSTUVWXYZ") for _ in range(3))
+        d = "".join(random.choice("0123456789")
+                    for _ in range(random.randint(1, 10)))
+        a = p + d
+        v = str_to_accession(a)
+        assert v == general(a)
+        assert accession_to_str(v) == a
+    for a in ["srr123", "SRR-00123", "S1R123", "SRRabc123", "DRX0000001"]:
+        try:
+            want = general(a)
+        except ValueError:
+            want = "err"
+        try:
+            got = str_to_accession(a)
+        except ValueError:
+            got = "err"
+        assert got == want, a
