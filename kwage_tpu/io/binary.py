@@ -134,21 +134,34 @@ class BinaryWriter:
         )
 
     def filter_info(self, info: FilterInfo) -> None:
-        self.u64(info.run_accession)
-        self.u64(info.experiment_accession)
-        self.string(info.experiment_title)
-        self.string(info.experiment_design_description)
-        self.string(info.experiment_library_name)
-        self.string(info.experiment_library_strategy)
-        self.string(info.experiment_library_source)
-        self.string(info.experiment_library_selection)
-        self.string(info.experiment_instrument_model)
-        self.u64(info.sample_accession)
-        self.string(info.sample_taxa)
-        self.string_map(info.sample_attributes)
-        self.u64(info.study_accession)
-        self.string(info.study_title)
-        self.string(info.study_abstract)
-        self.u64(info.number_of_spots)
-        self.u64(info.number_of_bases)
-        self.date(info.date_received)
+        # One encoded blob + one write (the per-field method chain costs
+        # ~46 us/record, which at the reference's 4M-accession inventory
+        # scale is minutes of pure call overhead). Field order is the
+        # X-macro order (bloom.h:478-496), identical to the per-field
+        # twin byte for byte.
+        m = 0xFFFFFFFFFFFFFFFF
+        parts = [
+            struct.pack("<QQ", info.run_accession & m,
+                        info.experiment_accession & m),
+            info.experiment_title.encode("utf-8"), b"\x00",
+            info.experiment_design_description.encode("utf-8"), b"\x00",
+            info.experiment_library_name.encode("utf-8"), b"\x00",
+            info.experiment_library_strategy.encode("utf-8"), b"\x00",
+            info.experiment_library_source.encode("utf-8"), b"\x00",
+            info.experiment_library_selection.encode("utf-8"), b"\x00",
+            info.experiment_instrument_model.encode("utf-8"), b"\x00",
+            struct.pack("<Q", info.sample_accession & m),
+            info.sample_taxa.encode("utf-8"), b"\x00",
+            struct.pack("<Q", len(info.sample_attributes)),
+        ]
+        for k, v in info.sample_attributes.items():
+            parts += [k.encode("utf-8"), b"\x00", v.encode("utf-8"), b"\x00"]
+        d = info.date_received
+        parts += [
+            struct.pack("<Q", info.study_accession & m),
+            info.study_title.encode("utf-8"), b"\x00",
+            info.study_abstract.encode("utf-8"), b"\x00",
+            struct.pack("<QQIII", info.number_of_spots & m,
+                        info.number_of_bases & m, d.day, d.month, d.year),
+        ]
+        self.f.write(b"".join(parts))

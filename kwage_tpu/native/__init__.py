@@ -112,6 +112,12 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         u32, u32, u32, u32, ctypes.c_float,
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
         ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64)]
+    lib.kn_build_inventory.restype = ctypes.c_int64
+    lib.kn_build_inventory.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint64), u64,
+        u32, u32, u32, u32, u32, u32,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_char_p, u64]
     return lib
 
 
@@ -324,6 +330,41 @@ def search_native(
     if n == (1 << 64) - 1:  # native OOM sentinel: use the numpy twin
         return None
     return [(int(out_idx[i]), int(out_counts[i])) for i in range(n)]
+
+
+def build_inventory_native(
+    tar_path: str,
+    out_path: str,
+    strategies: "set[str] | list[str]",
+    sources: "set[str] | list[str]",
+    include_accessions: "list[int]",
+    begin_date: tuple[int, int, int],
+    end_date: tuple[int, int, int],
+) -> tuple[int, int] | None:
+    """Native two-pass inventory build (kn_build_inventory): returns
+    (records_written, records_with_injected_sample_attrs), or None when
+    the native library is unavailable. Raises like the Python twin on
+    malformed archives. Dates are (day, month, year)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    inc = np.asarray(sorted(include_accessions), dtype=np.uint64)
+    injected = ctypes.c_uint64()
+    err = ctypes.create_string_buffer(512)
+    rc = lib.kn_build_inventory(
+        tar_path.encode(), out_path.encode(),
+        "\n".join(sorted(strategies)).encode(),
+        "\n".join(sorted(sources)).encode(),
+        inc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), inc.shape[0],
+        begin_date[0], begin_date[1], begin_date[2],
+        end_date[0], end_date[1], end_date[2],
+        ctypes.byref(injected), err, len(err))
+    if rc == -1:
+        raise FileNotFoundError(
+            f"{err.value.decode(errors='replace')}: {tar_path}")
+    if rc < 0:
+        raise ValueError(err.value.decode(errors="replace"))
+    return int(rc), int(injected.value)
 
 
 def search_all_native(

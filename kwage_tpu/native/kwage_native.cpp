@@ -1154,3 +1154,731 @@ void kn_murmur32(const uint64_t* words, uint64_t n, uint32_t k,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native SRA inventory builder -- the fast path of pipeline/inventory.py
+// (itself the twin of the reference sra_inventory.cpp:64-1268). Streams the
+// NCBI metadata tar.gz twice (tab table, then XML members), accumulates
+// annotations with the same 100k-record overflow merges, applies the same
+// filters, stable-sorts ascending by number_of_bases and writes the binary
+// inventory with the exact FilterInfo codec. Output is byte-identical to
+// the Python twin on valid-UTF-8 archives (this path passes member bytes
+// through raw, like the reference; the Python twin re-encodes via UTF-8
+// with replacement characters on malformed input).
+// ---------------------------------------------------------------------------
+
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace kninv {
+
+constexpr uint64_t kMaxNumXml = 100000;  // MAX_NUM_XML overflow merge
+
+struct Err {
+  int code = 0;        // -1 open, -2 parse, -3 read
+  std::string msg;
+  bool fail(int c, const std::string& m) { code = c; msg = m; return false; }
+};
+
+// Insertion-ordered string map with dict overwrite-in-place semantics.
+struct OrderedMap {
+  std::vector<std::pair<std::string, std::string>> items;
+  void set(const std::string& k, const std::string& v) {
+    for (auto& kv : items) {
+      if (kv.first == k) { kv.second = v; return; }
+    }
+    items.emplace_back(k, v);
+  }
+  void update(const OrderedMap& o) {
+    for (const auto& kv : o.items) set(kv.first, kv.second);
+  }
+  bool empty() const { return items.empty(); }
+};
+
+struct Rec {
+  uint64_t run = 0, exp = 0, samp = 0, study = 0;
+  std::string exp_title, exp_design, lib_name, lib_strategy, lib_source,
+      lib_selection, instrument;
+  std::string taxa, study_title, study_abstract;
+  OrderedMap attrs;
+  uint64_t spots = 0, bases = 0;
+  uint32_t dd = 0, dm = 0, dy = 0;
+  bool valid = true;
+};
+
+struct Xml {
+  std::string exp_title, lib_name, lib_strategy, lib_source, lib_selection,
+      instrument;
+  std::string taxa, study_title, study_abstract;
+  OrderedMap attrs;
+  bool invalid = false;  // dbgap controlled access
+};
+
+// --- tar.gz member stream (TarIterator twin; ustar prefix + GNU longname).
+struct TarReader {
+  gzFile f = nullptr;
+  uint64_t remaining = 0;  // unread data bytes of the current member
+  uint64_t pad = 0;        // padding after the current member
+  std::string name;
+
+  bool open(const char* path) {
+    f = gzopen(path, "rb");
+    return f != nullptr;
+  }
+  ~TarReader() {
+    if (f) gzclose(f);
+  }
+  bool skip(uint64_t n, Err* e) {
+    char buf[4096];
+    while (n) {
+      const unsigned chunk = n > sizeof(buf) ? sizeof(buf) : (unsigned)n;
+      const int r = gzread(f, buf, chunk);
+      if (r <= 0) return e->fail(-3, "truncated tar archive");
+      n -= (uint64_t)r;
+    }
+    return true;
+  }
+  static uint64_t octal(const char* p, int n) {
+    uint64_t v = 0;
+    for (int i = 0; i < n; ++i) {
+      const char c = p[i];
+      if (c == ' ' || c == '\0') {
+        if (v) break;
+        continue;
+      }
+      if (c < '0' || c > '7') break;
+      v = v * 8 + (uint64_t)(c - '0');
+    }
+    return v;
+  }
+  // Advance to the next REGULAR FILE member; false at end-of-archive or
+  // error (check e->code).
+  bool next(Err* e) {
+    if (!skip(remaining + pad, e)) return false;
+    remaining = pad = 0;
+    std::string longname;
+    for (;;) {
+      char hdr[512];
+      int got = gzread(f, hdr, 512);
+      if (got == 0) return false;  // clean EOF (no zero blocks)
+      if (got != 512) return e->fail(-3, "truncated tar header");
+      bool zero = true;
+      for (int i = 0; i < 512 && zero; ++i) zero = hdr[i] == 0;
+      if (zero) return false;  // end-of-archive marker
+      uint64_t size = octal(hdr + 124, 12);
+      const char type = hdr[156];
+      const uint64_t padded = (size + 511) & ~511ull;
+      if (type == 'L' || type == 'x') {
+        // GNU longname ('L': data IS the next member's name) or a PAX
+        // extended header ('x': "LEN key=value\n" records; the "path"
+        // key overrides the next member's name -- what Python tarfile
+        // emits for names over 100 chars).
+        if (size > (1u << 20)) return e->fail(-3, "oversized tar header");
+        std::string buf(size, '\0');
+        if (size && gzread(f, &buf[0], (unsigned)size) != (int)size)
+          return e->fail(-3, "truncated tar extension header");
+        if (!skip(padded - size, e)) return false;
+        if (type == 'L') {
+          while (!buf.empty() && buf.back() == '\0') buf.pop_back();
+          longname = buf;
+        } else {
+          size_t pos = 0;
+          while (pos < buf.size()) {
+            size_t sp = buf.find(' ', pos);
+            if (sp == std::string::npos) break;
+            const unsigned long rec_len =
+                strtoul(buf.c_str() + pos, nullptr, 10);
+            if (rec_len == 0 || pos + rec_len > buf.size()) break;
+            // record body spans (sp+1 .. pos+rec_len-1), trailing '\n'
+            const std::string body =
+                buf.substr(sp + 1, pos + rec_len - sp - 2);
+            if (body.compare(0, 5, "path=") == 0) longname = body.substr(5);
+            pos += rec_len;
+          }
+        }
+        continue;
+      }
+      if (type != '0' && type != '\0') {  // non-file: skip data
+        if (!skip(padded, e)) return false;
+        continue;
+      }
+      if (!longname.empty()) {
+        name = longname;
+      } else {
+        char nm[101], pre[156];
+        memcpy(nm, hdr, 100); nm[100] = '\0';
+        memcpy(pre, hdr + 345, 155); pre[155] = '\0';
+        name = pre[0] ? std::string(pre) + "/" + nm : std::string(nm);
+      }
+      remaining = size;
+      pad = padded - size;
+      return true;
+    }
+  }
+  int64_t read(char* buf, uint64_t n) {
+    if (n > remaining) n = remaining;
+    if (n == 0) return 0;
+    const int r = gzread(f, buf, (unsigned)n);
+    if (r > 0) remaining -= (uint64_t)r;
+    return r;
+  }
+};
+
+// Chunked line iteration over the current member: '\n' separated, all
+// trailing '\r' stripped, final unterminated tail yielded (iter_tar_lines
+// twin). cb returns false to abort (error recorded in e).
+template <class F>
+static bool for_each_line(TarReader& tr, Err* e, F&& cb) {
+  std::string pending;
+  std::vector<char> buf(1 << 20);
+  auto emit = [&](const char* p, size_t n) {
+    while (n && p[n - 1] == '\r') --n;
+    return cb(p, n);
+  };
+  for (;;) {
+    const int64_t got = tr.read(buf.data(), buf.size());
+    if (got < 0) return e->fail(-3, "tar member read error");
+    if (got == 0) break;
+    size_t start = 0;
+    const char* b = buf.data();
+    for (size_t i = 0; i < (size_t)got; ++i) {
+      if (b[i] != '\n') continue;
+      if (pending.empty()) {
+        if (!emit(b + start, i - start)) return false;
+      } else {
+        pending.append(b + start, i - start);
+        if (!emit(pending.data(), pending.size())) return false;
+        pending.clear();
+      }
+      start = i + 1;
+    }
+    pending.append(b + start, (size_t)got - start);
+  }
+  if (!pending.empty()) return emit(pending.data(), pending.size());
+  return true;
+}
+
+static bool ends_with(const std::string& s, const char* suf) {
+  const size_t n = strlen(suf);
+  return s.size() >= n && memcmp(s.data() + s.size() - n, suf, n) == 0;
+}
+
+// sra_accession codec (accession.py twin; 0 = parse failure).
+static uint64_t acc_parse(const char* p, size_t n) {
+  int nl = 0, nd = 0;
+  unsigned long long data = 0;
+  for (size_t i = 0; i < n; ++i) {
+    char c = p[i];
+    if (c >= 'a' && c <= 'z') c -= 32;
+    if (c >= 'A' && c <= 'Z') {
+      ++nl;
+      data = data * 26 + (unsigned)(c - 'A');
+    } else if (c >= '0' && c <= '9') {
+      ++nd;
+      data = data * 10 + (unsigned)(c - '0');
+    }
+  }
+  if (nl != 3 || nd == 0 || nd > 10) return 0;
+  return ((uint64_t)(nd - 1) | (data << 4));
+}
+
+// Date.parse twin: "YYYY-MM-DD" prefix; false on malformed.
+static bool date_parse(const char* p, size_t n, uint32_t* d, uint32_t* m,
+                       uint32_t* y) {
+  if (n < 10 || p[4] != '-' || p[7] != '-') return false;
+  auto dig = [&](int a, int b, uint32_t* out) {
+    uint32_t v = 0;
+    for (int i = a; i < b; ++i) {
+      if (p[i] < '0' || p[i] > '9') return false;
+      v = v * 10 + (uint32_t)(p[i] - '0');
+    }
+    *out = v;
+    return true;
+  };
+  return dig(0, 4, y) && dig(5, 7, m) && dig(8, 10, d);
+}
+
+static bool u64_parse(const char* p, size_t n, uint64_t* out) {
+  if (n == 0) return false;
+  uint64_t v = 0;
+  for (size_t i = 0; i < n; ++i) {
+    if (p[i] < '0' || p[i] > '9') return false;
+    v = v * 10 + (uint64_t)(p[i] - '0');
+  }
+  *out = v;
+  return true;
+}
+
+// parse_xml_value twin: <KEY>value</KEY> via find + RFIND.
+static bool xml_value(const std::string& line, const char* key,
+                      std::string* out) {
+  std::string open = std::string("<") + key + ">";
+  std::string close = std::string("</") + key + ">";
+  const size_t b = line.find(open);
+  if (b == std::string::npos) return false;
+  const size_t begin = b + open.size();
+  const size_t end = line.rfind(close);
+  if (end == std::string::npos || begin > end) return false;
+  out->assign(line, begin, end - begin);
+  return true;
+}
+
+// parse_key_value twin: key="value" (marker find + skip one char).
+static bool key_value(const std::string& line, const char* key,
+                      std::string* out) {
+  std::string marker = std::string(key) + "=";
+  size_t loc = line.find(marker);
+  if (loc == std::string::npos) return false;
+  loc += marker.size() + 1;  // skip the opening quote
+  const size_t end = line.find('"', loc);
+  if (end == std::string::npos) return false;
+  out->assign(line, loc, end - loc);
+  return true;
+}
+
+struct Builder {
+  std::vector<Rec> db;
+  std::unordered_map<uint64_t, std::vector<uint32_t>> by_exp, by_samp,
+      by_study;
+  std::unordered_map<uint64_t, OrderedMap> sample_attrs;
+  std::unordered_map<uint64_t, Xml> xml;
+  Err err;
+
+  bool parse_tab(const char* tar_path) {
+    TarReader tr;
+    if (!tr.open(tar_path)) return err.fail(-1, "cannot open metadata file");
+    bool found = false;
+    std::vector<std::pair<size_t, size_t>> cols;  // (offset, len) per field
+    // Column indexes resolved from the header row.
+    int iAcc = -1, iStatus = -1, iUpdated = -1, iPublished = -1,
+        iReceived = -1, iType = -1, iVis = -1, iExp = -1, iSamp = -1,
+        iStudy = -1, iCenter = -1, iSpots = -1, iBases = -1;
+    size_t ncol = 0;
+    while (tr.next(&err)) {
+      if (!ends_with(tr.name, "SRA_Accessions")) continue;
+      found = true;
+      bool header_done = false;
+      const bool ok = for_each_line(tr, &err, [&](const char* p, size_t n) {
+        cols.clear();
+        size_t start = 0;
+        for (size_t i = 0; i <= n; ++i) {
+          if (i == n || p[i] == '\t') {
+            cols.emplace_back(start, i - start);
+            start = i + 1;
+          }
+        }
+        if (!header_done) {
+          header_done = true;
+          ncol = cols.size();
+          for (size_t c = 0; c < ncol; ++c) {
+            const std::string name(p + cols[c].first, cols[c].second);
+            if (name == "Accession") iAcc = (int)c;
+            else if (name == "Status") iStatus = (int)c;
+            else if (name == "Updated") iUpdated = (int)c;
+            else if (name == "Published") iPublished = (int)c;
+            else if (name == "Received") iReceived = (int)c;
+            else if (name == "Type") iType = (int)c;
+            else if (name == "Visibility") iVis = (int)c;
+            else if (name == "Experiment") iExp = (int)c;
+            else if (name == "Sample") iSamp = (int)c;
+            else if (name == "Study") iStudy = (int)c;
+            else if (name == "Center") iCenter = (int)c;
+            else if (name == "Spots") iSpots = (int)c;
+            else if (name == "Bases") iBases = (int)c;
+          }
+          if (iAcc < 0 || iStatus < 0 || iUpdated < 0 || iPublished < 0 ||
+              iReceived < 0 || iType < 0 || iVis < 0 || iExp < 0 ||
+              iSamp < 0 || iStudy < 0 || iCenter < 0 || iSpots < 0 ||
+              iBases < 0) {
+            return err.fail(-2,
+                            "missing required column in SRA Accessions file");
+          }
+          return true;
+        }
+        if (cols.size() != ncol) {
+          return err.fail(-2, "unexpected column count in SRA Accessions file");
+        }
+        auto field = [&](int c) {
+          return std::make_pair(p + cols[c].first, cols[c].second);
+        };
+        auto eq = [&](int c, const char* s) {
+          const auto f = field(c);
+          return f.second == strlen(s) && memcmp(f.first, s, f.second) == 0;
+        };
+        if (!eq(iType, "RUN")) return true;
+        if (eq(iStatus, "suppressed") || eq(iStatus, "controlled_access") ||
+            eq(iStatus, "unpublished")) {
+          return true;
+        }
+        if (eq(iVis, "suppressed") || eq(iVis, "controlled_access")) {
+          return true;
+        }
+        Rec r;
+        auto acc_field = [&](int c, uint64_t* out) {
+          const auto f = field(c);
+          const uint64_t v = acc_parse(f.first, f.second);
+          if (v == 0) {
+            return err.fail(-2, "unable to parse accession string " +
+                                    std::string(f.first, f.second));
+          }
+          *out = v;
+          return true;
+        };
+        if (!acc_field(iAcc, &r.run)) return false;
+        if (!eq(iSpots, "-")) {
+          const auto f = field(iSpots);
+          if (!u64_parse(f.first, f.second, &r.spots)) {
+            return err.fail(-2, "unable to parse spot count");
+          }
+        }
+        if (!eq(iBases, "-")) {
+          const auto f = field(iBases);
+          if (!u64_parse(f.first, f.second, &r.bases)) {
+            return err.fail(-2, "unable to parse base count");
+          }
+        }
+        {
+          const auto f = field(iReceived);
+          if (!date_parse(f.first, f.second, &r.dd, &r.dm, &r.dy)) {
+            return err.fail(-2, "malformed date string " +
+                                    std::string(f.first, f.second));
+          }
+        }
+        if (!eq(iExp, "-") && !acc_field(iExp, &r.exp)) return false;
+        if (!eq(iSamp, "-") && !eq(iSamp, "Multiplex") &&
+            !acc_field(iSamp, &r.samp)) {
+          return false;
+        }
+        if (!eq(iStudy, "-") && !acc_field(iStudy, &r.study)) return false;
+        if (!eq(iCenter, "-")) {
+          const auto f = field(iCenter);
+          r.attrs.set("Center", std::string(f.first, f.second));
+        }
+        db.push_back(std::move(r));
+        return true;
+      });
+      if (!ok) return false;
+    }
+    if (err.code) return false;
+    if (!found) {
+      return err.fail(-2, "no SRA_Accessions table found in metadata archive");
+    }
+    for (uint32_t i = 0; i < db.size(); ++i) {
+      if (db[i].exp) by_exp[db[i].exp].push_back(i);
+      if (db[i].samp) by_samp[db[i].samp].push_back(i);
+      if (db[i].study) by_study[db[i].study].push_back(i);
+    }
+    return true;
+  }
+
+  // Fold accumulated XML annotations into the run records (_merge_xml
+  // twin; per-entry application is order-independent and equivalent).
+  void merge() {
+    for (auto& kv : xml) {
+      const uint64_t acc = kv.first;
+      Xml& x = kv.second;
+      auto e = by_exp.find(acc);
+      if (e != by_exp.end()) {
+        for (const uint32_t i : e->second) {
+          Rec& r = db[i];
+          if (x.invalid && r.valid) r.valid = false;
+          if (!x.exp_title.empty()) r.exp_title = x.exp_title;
+          if (!x.lib_name.empty()) r.lib_name = x.lib_name;
+          if (!x.lib_strategy.empty()) r.lib_strategy = x.lib_strategy;
+          if (!x.lib_source.empty()) r.lib_source = x.lib_source;
+          if (!x.lib_selection.empty()) r.lib_selection = x.lib_selection;
+          if (!x.instrument.empty()) r.instrument = x.instrument;
+        }
+      }
+      auto s = by_samp.find(acc);
+      if (s != by_samp.end()) {
+        for (const uint32_t i : s->second) {
+          if (!x.taxa.empty()) db[i].taxa = x.taxa;
+        }
+        if (!x.attrs.empty()) sample_attrs[acc].update(x.attrs);
+      }
+      auto t = by_study.find(acc);
+      if (t != by_study.end()) {
+        for (const uint32_t i : t->second) {
+          if (!x.study_title.empty()) db[i].study_title = x.study_title;
+          if (!x.study_abstract.empty()) {
+            db[i].study_abstract = x.study_abstract;
+          }
+        }
+      }
+    }
+    xml.clear();
+  }
+
+  Xml& entry(uint64_t acc) { return xml[acc]; }
+
+  bool parse_xml(const char* tar_path) {
+    TarReader tr;
+    if (!tr.open(tar_path)) return err.fail(-1, "cannot open metadata file");
+    std::string line, val, tmp;
+    while (tr.next(&err)) {
+      int ftype;  // 0 experiment, 1 sample, 2 study
+      if (ends_with(tr.name, ".experiment.xml")) ftype = 0;
+      else if (ends_with(tr.name, ".sample.xml")) ftype = 1;
+      else if (ends_with(tr.name, ".study.xml")) ftype = 2;
+      else continue;
+      if (xml.size() >= kMaxNumXml) merge();
+      uint64_t experiment = 0, sample = 0, study = 0;
+      bool in_attr = false;
+      std::string attr_tag;
+      const bool ok = for_each_line(tr, &err, [&](const char* p, size_t n) {
+        line.assign(p, n);
+        if (ftype == 0) {
+          if (line.find("<EXPERIMENT ") != std::string::npos) {
+            if (!key_value(line, "accession", &val) ||
+                (experiment = acc_parse(val.data(), val.size())) == 0) {
+              return err.fail(-2, "unable to parse experiment accession");
+            }
+          }
+          static const struct { const char* tag; std::string Xml::*var; }
+              kTags[] = {
+                  {"TITLE", &Xml::exp_title},
+                  {"LIBRARY_NAME", &Xml::lib_name},
+                  {"LIBRARY_STRATEGY", &Xml::lib_strategy},
+                  {"LIBRARY_SOURCE", &Xml::lib_source},
+                  {"LIBRARY_SELECTION", &Xml::lib_selection},
+                  {"INSTRUMENT_MODEL", &Xml::instrument},
+              };
+          for (const auto& t : kTags) {
+            tmp = std::string("<") + t.tag + ">";
+            if (line.find(tmp) == std::string::npos) continue;
+            if (experiment == 0) return err.fail(-2, "orphaned experiment tag");
+            if (!xml_value(line, t.tag, &val)) {
+              return err.fail(-2, "malformed experiment tag line");
+            }
+            entry(experiment).*(t.var) = val;
+          }
+          // DESIGN_DESCRIPTION is parsed by the twin but never merged
+          // into run records; skipping it here is output-identical.
+          if (line.find("<EXTERNAL_ID namespace=\"dbgap\">") !=
+              std::string::npos) {
+            if (experiment == 0) return err.fail(-2, "orphaned dbgap id");
+            entry(experiment).invalid = true;
+          }
+        } else if (ftype == 1) {
+          if (line.find("<SAMPLE ") != std::string::npos) {
+            if (!key_value(line, "accession", &val) ||
+                (sample = acc_parse(val.data(), val.size())) == 0) {
+              return err.fail(-2, "unable to parse sample accession");
+            }
+          }
+          if (line.find("<SCIENTIFIC_NAME>") != std::string::npos) {
+            if (sample == 0) return err.fail(-2, "orphaned scientific name");
+            if (!xml_value(line, "SCIENTIFIC_NAME", &val)) {
+              return err.fail(-2, "malformed SCIENTIFIC_NAME line");
+            }
+            entry(sample).taxa = val;
+          }
+          if (line.find("<SAMPLE_ATTRIBUTE>") != std::string::npos) {
+            in_attr = true;
+          }
+          if (line.find("</SAMPLE_ATTRIBUTE>") != std::string::npos) {
+            in_attr = false;
+          }
+          if (in_attr && line.find("<TAG>") != std::string::npos) {
+            if (!xml_value(line, "TAG", &attr_tag)) {
+              return err.fail(-2, "malformed TAG line");
+            }
+          }
+          if (in_attr && line.find("<VALUE>") != std::string::npos) {
+            if (!xml_value(line, "VALUE", &val)) {
+              return err.fail(-2, "malformed VALUE line");
+            }
+            if (attr_tag.empty() && sample == 0) {
+              return err.fail(-2, "orphaned sample attribute value");
+            }
+            if (attr_tag != "BioSampleModel") {
+              entry(sample).attrs.set(attr_tag, val);
+            }
+          }
+        } else {
+          if (line.find("<STUDY ") != std::string::npos) {
+            if (!key_value(line, "accession", &val) ||
+                (study = acc_parse(val.data(), val.size())) == 0) {
+              return err.fail(-2, "unable to parse study accession");
+            }
+          }
+          if (line.find("<STUDY_TITLE>") != std::string::npos) {
+            if (study == 0) return err.fail(-2, "orphaned study title");
+            if (!xml_value(line, "STUDY_TITLE", &val)) {
+              return err.fail(-2, "malformed STUDY_TITLE line");
+            }
+            entry(study).study_title = val;
+          }
+          if (line.find("<STUDY_ABSTRACT>") != std::string::npos) {
+            if (study == 0) return err.fail(-2, "orphaned study abstract");
+            if (!xml_value(line, "STUDY_ABSTRACT", &val)) {
+              return err.fail(-2, "malformed STUDY_ABSTRACT line");
+            }
+            entry(study).study_abstract = val;
+          }
+        }
+        return true;
+      });
+      if (!ok) return false;
+    }
+    if (err.code) return false;
+    merge();
+    return true;
+  }
+};
+
+// Buffered little-endian writer for the binary inventory codec.
+struct InvWriter {
+  FILE* f;
+  std::string buf;
+  explicit InvWriter(FILE* fp) : f(fp) { buf.reserve(1 << 20); }
+  void flush() {
+    if (!buf.empty()) fwrite(buf.data(), 1, buf.size(), f);
+    buf.clear();
+  }
+  void maybe_flush() {
+    if (buf.size() >= (1 << 20)) flush();
+  }
+  void u32(uint32_t v) { buf.append(reinterpret_cast<char*>(&v), 4); }
+  void u64(uint64_t v) { buf.append(reinterpret_cast<char*>(&v), 8); }
+  void str(const std::string& s) {
+    buf.append(s);
+    buf.push_back('\0');
+  }
+  void rec(const Rec& r, const OrderedMap& attrs) {
+    u64(r.run);
+    u64(r.exp);
+    str(r.exp_title);
+    str(r.exp_design);
+    str(r.lib_name);
+    str(r.lib_strategy);
+    str(r.lib_source);
+    str(r.lib_selection);
+    str(r.instrument);
+    u64(r.samp);
+    str(r.taxa);
+    u64(attrs.items.size());
+    for (const auto& kv : attrs.items) {
+      str(kv.first);
+      str(kv.second);
+    }
+    u64(r.study);
+    str(r.study_title);
+    str(r.study_abstract);
+    u64(r.spots);
+    u64(r.bases);
+    u32(r.dd);
+    u32(r.dm);
+    u32(r.dy);
+    maybe_flush();
+  }
+};
+
+}  // namespace kninv
+
+extern "C" {
+
+// Build the binary inventory natively. strategies / sources are
+// '\n'-joined required sets (empty string = no filter); include is a
+// sorted run-accession allowlist (n_include == 0 = no filter); the two
+// (day, month, year) triples bound date_received. Returns the record
+// count written, or a negative code (-1 open, -2 parse, -3 read) with a
+// message in err (NUL-terminated, truncated to err_cap).
+int64_t kn_build_inventory(const char* tar_path, const char* out_path,
+                           const char* strategies, const char* sources,
+                           const uint64_t* include, uint64_t n_include,
+                           uint32_t bd, uint32_t bm, uint32_t by,
+                           uint32_t ed, uint32_t em, uint32_t ey,
+                           uint64_t* out_injected, char* err,
+                           uint64_t err_cap) {
+  using namespace kninv;
+  auto split_set = [](const char* joined) {
+    std::vector<std::string> out;
+    const char* p = joined;
+    while (p && *p) {
+      const char* nl = strchr(p, '\n');
+      if (!nl) {
+        out.emplace_back(p);
+        break;
+      }
+      out.emplace_back(p, nl - p);
+      p = nl + 1;
+    }
+    return out;
+  };
+  Builder b;
+  const bool ok = b.parse_tab(tar_path) && b.parse_xml(tar_path);
+  if (!ok) {
+    if (err && err_cap) {
+      snprintf(err, err_cap, "%s", b.err.msg.c_str());
+    }
+    return b.err.code ? b.err.code : -2;
+  }
+  const auto strat = split_set(strategies);
+  const auto src = split_set(sources);
+  auto in_set = [&](const std::vector<std::string>& set,
+                    const std::string& v) {
+    for (const auto& s : set) {
+      if (s == v) return true;
+    }
+    return false;
+  };
+  auto date_lt = [](uint32_t ad, uint32_t am, uint32_t ay, uint32_t bd2,
+                    uint32_t bm2, uint32_t by2) {
+    if (ay != by2) return ay < by2;
+    if (am != bm2) return am < bm2;
+    return ad < bd2;
+  };
+  for (auto& r : b.db) {
+    if (!src.empty() && !in_set(src, r.lib_source)) r.valid = false;
+    if (!strat.empty() && !in_set(strat, r.lib_strategy)) r.valid = false;
+    if (date_lt(r.dd, r.dm, r.dy, bd, bm, by) ||
+        date_lt(ed, em, ey, r.dd, r.dm, r.dy)) {
+      r.valid = false;
+    }
+  }
+  if (n_include) {
+    std::unordered_map<uint64_t, bool> inc;
+    for (uint64_t i = 0; i < n_include; ++i) inc[include[i]] = true;
+    for (auto& r : b.db) {
+      if (!inc.count(r.run)) r.valid = false;
+    }
+  }
+  std::vector<uint32_t> order;
+  order.reserve(b.db.size());
+  for (uint32_t i = 0; i < b.db.size(); ++i) {
+    if (b.db[i].valid) order.push_back(i);
+  }
+  std::stable_sort(order.begin(), order.end(), [&](uint32_t a, uint32_t c) {
+    return b.db[a].bases < b.db[c].bases;
+  });
+  FILE* f = fopen(out_path, "wb");
+  if (!f) {
+    if (err && err_cap) snprintf(err, err_cap, "cannot open output file");
+    return -1;
+  }
+  InvWriter w(f);
+  w.u64(order.size());
+  uint64_t injected = 0;
+  OrderedMap merged;
+  for (const uint32_t i : order) {
+    Rec& r = b.db[i];
+    const auto sa = b.sample_attrs.find(r.samp);
+    if (sa != b.sample_attrs.end() && !sa->second.empty()) {
+      merged = r.attrs;
+      merged.update(sa->second);
+      ++injected;
+      w.rec(r, merged);
+    } else {
+      w.rec(r, r.attrs);
+    }
+  }
+  w.flush();
+  fclose(f);
+  if (out_injected) *out_injected = injected;
+  return (int64_t)order.size();
+}
+
+}  // extern "C"

@@ -316,9 +316,31 @@ def build_inventory(
     filters: InventoryFilters | None = None,
     verbose: bool = True,
 ) -> int:
-    """Full pipeline; returns the number of records written."""
+    """Full pipeline; returns the number of records written.
+
+    When the native library is available the whole build (two tar.gz
+    scans, annotation merges, filters, sort, codec) runs in C
+    (kn_build_inventory) -- output byte-identical to this module's
+    Python path on valid-UTF-8 archives (the native path passes member
+    bytes through raw, like the reference; Python re-encodes via UTF-8
+    with replacement characters on malformed input).
+    """
     from ..io.binary import BinaryWriter
+    from ..native import build_inventory_native
     import struct
+
+    f = filters or InventoryFilters()
+    native = build_inventory_native(
+        metadata_file, output_file, f.required_strategy, f.required_source,
+        f.include_accessions,
+        (f.begin_date.day, f.begin_date.month, f.begin_date.year),
+        (f.end_date.day, f.end_date.month, f.end_date.year))
+    if native is not None:
+        count, injected = native
+        if verbose:
+            print(f"Injected sample attribute data for {injected} SRA runs",
+                  file=sys.stderr)
+        return count
 
     db, sample_attributes = parse_sra_metadata(metadata_file, verbose)
     db = apply_filters(db, filters or InventoryFilters(), verbose)

@@ -251,3 +251,139 @@ def test_inventory_matches_reference_binary(metadata_tar, tmp_path, golden_dir):
         ):
             assert getattr(a, field) == getattr(b, field), field
         assert dict(a.sample_attributes) == dict(b.sample_attributes)
+
+
+def test_native_inventory_matches_python_twin(metadata_tar, tmp_path, monkeypatch):
+    """kn_build_inventory (the whole two-pass build in C) is byte-identical
+    to the Python path across filter combinations, and raises the same
+    way on malformed archives."""
+    import tarfile
+
+    import pytest
+
+    import kwage_tpu.pipeline.inventory as inv
+    from kwage_tpu.native import available
+
+    if not available():
+        return
+
+    def both(filters):
+        a = tmp_path / "native.bin"
+        b = tmp_path / "python.bin"
+        na = build_inventory(metadata_tar, str(a), filters, verbose=False)
+        monkeypatch.setattr(
+            "kwage_tpu.native.build_inventory_native",
+            lambda *args, **kw: None)
+        try:
+            nb = build_inventory(metadata_tar, str(b), filters, verbose=False)
+        finally:
+            monkeypatch.undo()
+        assert na == nb
+        assert a.read_bytes() == b.read_bytes()
+        return na
+
+    assert both(None) == 2  # dbgap run filtered
+    assert both(InventoryFilters(required_strategy={"WGS"})) == 1
+    assert both(InventoryFilters(required_source={"GENOMIC"})) == 1
+    assert both(InventoryFilters(begin_date=Date(1, 1, 2020))) == 1
+    assert both(InventoryFilters(end_date=Date(31, 12, 2019))) == 1
+    assert both(InventoryFilters(
+        include_accessions=[str_to_accession("SRR0000002"),
+                            str_to_accession("SRR0000004")])) == 1
+    assert both(InventoryFilters(required_strategy={"nope"})) == 0
+
+    # Malformed archive: both paths raise.
+    bad = tmp_path / "bad.tar.gz"
+    with tarfile.open(bad, "w:gz") as tf:
+        import io as _io
+        data = b"not\ta\tvalid\theader\nrow\n"
+        ti = tarfile.TarInfo("SRA_Accessions")
+        ti.size = len(data)
+        tf.addfile(ti, _io.BytesIO(data))
+    with pytest.raises(ValueError):
+        build_inventory(str(bad), str(tmp_path / "x.bin"), verbose=False)
+    # No SRA_Accessions member at all.
+    empty = tmp_path / "empty.tar.gz"
+    with tarfile.open(empty, "w:gz") as tf:
+        pass
+    with pytest.raises(ValueError):
+        build_inventory(str(empty), str(tmp_path / "y.bin"), verbose=False)
+
+
+def test_native_inventory_fuzz_vs_twin(tmp_path, monkeypatch):
+    """Randomized archive shapes: long member names, multi-line XML
+    records, repeated samples across runs, attribute overrides, lowercase
+    accessions in XML, '-' fields -- native and Python paths byte-equal."""
+    import io
+    import random
+    import tarfile
+
+    import kwage_tpu.pipeline.inventory as inv
+    from kwage_tpu.native import available
+
+    if not available():
+        return
+    random.seed(8)
+    header = "\t".join(
+        ["Accession", "Submission", "Status", "Updated", "Published",
+         "Received", "Type", "Center", "Visibility", "Alias", "Experiment",
+         "Sample", "Study", "Loaded", "Spots", "Bases"])
+    for trial in range(4):
+        rows = [header]
+        exps, samps, studies = [], [], []
+        for i in range(1, 60):
+            gid = trial * 100 + i
+            samp = f"SRS{(gid // 2):07d}"   # samples shared by run pairs
+            status = random.choice(["live", "live", "live", "suppressed"])
+            center = random.choice(["LANL", "-", "JGI"])
+            spots = random.choice(["-", str(i * 10)])
+            bases = random.choice(["-", str((i % 7) * 1000)])  # tie-heavy
+            rows.append("\t".join(
+                [f"SRR{gid:07d}", f"SUB{trial}", status, "2020-01-01",
+                 "2020-01-02", f"2020-{(i % 12) + 1:02d}-03T01:02:03Z",
+                 "RUN", center, "public", "-", f"SRX{gid:07d}", samp,
+                 f"SRP{trial:07d}", "1", spots, bases]))
+            exps.append(
+                f'<EXPERIMENT accession="SRX{gid:07d}" alias="e">\n'
+                f"<TITLE>T {gid} &amp; things</TITLE>\n"
+                f"<LIBRARY_STRATEGY>{random.choice(['WGS', 'RNA-Seq'])}"
+                f"</LIBRARY_STRATEGY>\n</EXPERIMENT>")
+            if i % 2 == 0:
+                samps.append(
+                    f'<SAMPLE accession="{samp.lower()}" alias="s">\n'
+                    f"<SCIENTIFIC_NAME>Taxon {gid}</SCIENTIFIC_NAME>\n"
+                    "<SAMPLE_ATTRIBUTE>\n<TAG>env</TAG>\n"
+                    f"<VALUE>value {gid}</VALUE>\n</SAMPLE_ATTRIBUTE>\n"
+                    "<SAMPLE_ATTRIBUTE>\n<TAG>Center</TAG>\n"
+                    "<VALUE>override</VALUE>\n</SAMPLE_ATTRIBUTE>\n"
+                    "</SAMPLE>")
+        studies.append(
+            f'<STUDY accession="SRP{trial:07d}" alias="p">\n'
+            f"<STUDY_TITLE>Study {trial}</STUDY_TITLE>\n</STUDY>")
+        path = tmp_path / f"fuzz{trial}.tar.gz"
+        longdir = "a" * 90 + f"/deep{trial}"
+        with tarfile.open(path, "w:gz") as tf:
+            def add(name, text):
+                b = text.encode()
+                ti = tarfile.TarInfo(name)
+                ti.size = len(b)
+                tf.addfile(ti, io.BytesIO(b))
+            add(f"{longdir}/SUB.experiment.xml",
+                "<EXPERIMENT_SET>\n" + "\n".join(exps) + "\n</EXPERIMENT_SET>")
+            add("SUB/SUB.sample.xml",
+                "<SAMPLE_SET>\n" + "\n".join(samps) + "\n</SAMPLE_SET>")
+            add("SUB/SUB.study.xml",
+                "<STUDY_SET>\n" + "\n".join(studies) + "\n</STUDY_SET>")
+            add("SRA_Accessions", "\n".join(rows) + "\n")
+        a = tmp_path / f"na{trial}.bin"
+        b = tmp_path / f"py{trial}.bin"
+        na = build_inventory(str(path), str(a), verbose=False)
+        monkeypatch.setattr(
+            "kwage_tpu.native.build_inventory_native",
+            lambda *args, **kw: None)
+        try:
+            nb = build_inventory(str(path), str(b), verbose=False)
+        finally:
+            monkeypatch.undo()
+        assert na == nb and na > 0
+        assert a.read_bytes() == b.read_bytes(), trial
