@@ -348,6 +348,10 @@ def build_inventory_native(
     lib = get_lib()
     if lib is None:
         return None
+    if "" in strategies or "" in sources:
+        # The newline-joined wire format cannot express a set containing
+        # the empty string; the Python twin treats it as an active filter.
+        return None
     inc = np.asarray(sorted(include_accessions), dtype=np.uint64)
     injected = ctypes.c_uint64()
     err = ctypes.create_string_buffer(512)
@@ -362,6 +366,9 @@ def build_inventory_native(
     if rc == -1:
         raise FileNotFoundError(
             f"{err.value.decode(errors='replace')}: {tar_path}")
+    if rc == -5:
+        raise OSError(
+            f"{err.value.decode(errors='replace')}: {out_path}")
     if rc < 0:
         raise ValueError(err.value.decode(errors="replace"))
     return int(rc), int(injected.value)
@@ -407,8 +414,10 @@ def search_all_native(
     nq = len(queries)
     # Non-ASCII codepoints become one invalid byte each ('?'): the C
     # extractor resets its window on them, exactly like the Python twin
-    # does on the original characters.
-    encoded = [q.encode("ascii", errors="replace") for q in queries]
+    # does on the original characters. Callers with several database
+    # files pass pre-encoded bytes to avoid re-encoding per file.
+    encoded = [q if isinstance(q, bytes) else
+               q.encode("ascii", errors="replace") for q in queries]
     blob = b"".join(encoded)
     off = np.zeros(nq + 1, dtype=np.uint64)
     np.cumsum([len(b) for b in encoded], out=off[1:])

@@ -840,6 +840,9 @@ uint64_t kn_search_all(const uint8_t* slices, uint64_t slice_size,
                        float threshold, uint32_t* out_qid,
                        uint32_t* out_fidx, uint64_t* out_counts,
                        uint64_t* out_nkmer) {
+  if (num_hash == 0 || num_hash > kMaxPlanes) {
+    return ~0ull;  // murmur_kmer5 fills kMaxPlanes lanes; caller falls back
+  }
   const int complete = threshold == 1.0f;
   const uint64_t mask =
       log2_filter_len >= 32 ? 0xFFFFFFFFull : (1ull << log2_filter_len) - 1;
@@ -1208,8 +1211,8 @@ struct Rec {
 };
 
 struct Xml {
-  std::string exp_title, lib_name, lib_strategy, lib_source, lib_selection,
-      instrument;
+  std::string exp_title, exp_design, lib_name, lib_strategy, lib_source,
+      lib_selection, instrument;
   std::string taxa, study_title, study_abstract;
   OrderedMap attrs;
   bool invalid = false;  // dbgap controlled access
@@ -1240,6 +1243,11 @@ struct TarReader {
     return true;
   }
   static uint64_t octal(const char* p, int n) {
+    if (n > 0 && (uint8_t)p[0] & 0x80) {  // GNU base-256 (members >= 8 GiB)
+      uint64_t v = (uint8_t)p[0] & 0x7F;
+      for (int i = 1; i < n; ++i) v = (v << 8) | (uint8_t)p[i];
+      return v;
+    }
     uint64_t v = 0;
     for (int i = 0; i < n; ++i) {
       const char c = p[i];
@@ -1258,6 +1266,8 @@ struct TarReader {
     if (!skip(remaining + pad, e)) return false;
     remaining = pad = 0;
     std::string longname;
+    uint64_t pax_size = 0;
+    bool have_pax_size = false;
     for (;;) {
       char hdr[512];
       int got = gzread(f, hdr, 512);
@@ -1268,6 +1278,10 @@ struct TarReader {
       if (zero) return false;  // end-of-archive marker
       uint64_t size = octal(hdr + 124, 12);
       const char type = hdr[156];
+      if (have_pax_size && type != 'L' && type != 'x') {
+        size = pax_size;  // PAX size= overrides the (possibly 0) octal field
+        have_pax_size = false;
+      }
       const uint64_t padded = (size + 511) & ~511ull;
       if (type == 'L' || type == 'x') {
         // GNU longname ('L': data IS the next member's name) or a PAX
@@ -1294,6 +1308,10 @@ struct TarReader {
             const std::string body =
                 buf.substr(sp + 1, pos + rec_len - sp - 2);
             if (body.compare(0, 5, "path=") == 0) longname = body.substr(5);
+            if (body.compare(0, 5, "size=") == 0) {
+              pax_size = strtoull(body.c_str() + 5, nullptr, 10);
+              have_pax_size = true;
+            }
             pos += rec_len;
           }
         }
@@ -1448,8 +1466,8 @@ struct Builder {
   bool parse_tab(const char* tar_path) {
     TarReader tr;
     if (!tr.open(tar_path)) return err.fail(-1, "cannot open metadata file");
-    bool found = false;
     std::vector<std::pair<size_t, size_t>> cols;  // (offset, len) per field
+    bool header_done = false;  // one header row across ALL matching members
     // Column indexes resolved from the header row.
     int iAcc = -1, iStatus = -1, iUpdated = -1, iPublished = -1,
         iReceived = -1, iType = -1, iVis = -1, iExp = -1, iSamp = -1,
@@ -1457,8 +1475,6 @@ struct Builder {
     size_t ncol = 0;
     while (tr.next(&err)) {
       if (!ends_with(tr.name, "SRA_Accessions")) continue;
-      found = true;
-      bool header_done = false;
       const bool ok = for_each_line(tr, &err, [&](const char* p, size_t n) {
         cols.clear();
         size_t start = 0;
@@ -1561,7 +1577,7 @@ struct Builder {
       if (!ok) return false;
     }
     if (err.code) return false;
-    if (!found) {
+    if (!header_done) {
       return err.fail(-2, "no SRA_Accessions table found in metadata archive");
     }
     for (uint32_t i = 0; i < db.size(); ++i) {
@@ -1639,6 +1655,9 @@ struct Builder {
           static const struct { const char* tag; std::string Xml::*var; }
               kTags[] = {
                   {"TITLE", &Xml::exp_title},
+                  // parsed with the twin's error checks but never merged
+                  // into run records (matching _merge_xml's variable list)
+                  {"DESIGN_DESCRIPTION", &Xml::exp_design},
                   {"LIBRARY_NAME", &Xml::lib_name},
                   {"LIBRARY_STRATEGY", &Xml::lib_strategy},
                   {"LIBRARY_SOURCE", &Xml::lib_source},
@@ -1654,8 +1673,6 @@ struct Builder {
             }
             entry(experiment).*(t.var) = val;
           }
-          // DESIGN_DESCRIPTION is parsed by the twin but never merged
-          // into run records; skipping it here is output-identical.
           if (line.find("<EXTERNAL_ID namespace=\"dbgap\">") !=
               std::string::npos) {
             if (experiment == 0) return err.fail(-2, "orphaned dbgap id");
@@ -1784,8 +1801,9 @@ extern "C" {
 // '\n'-joined required sets (empty string = no filter); include is a
 // sorted run-accession allowlist (n_include == 0 = no filter); the two
 // (day, month, year) triples bound date_received. Returns the record
-// count written, or a negative code (-1 open, -2 parse, -3 read) with a
-// message in err (NUL-terminated, truncated to err_cap).
+// count written, or a negative code (-1 input open, -2 parse, -3 read,
+// -5 output open) with a message in err (NUL-terminated, truncated to
+// err_cap).
 int64_t kn_build_inventory(const char* tar_path, const char* out_path,
                            const char* strategies, const char* sources,
                            const uint64_t* include, uint64_t n_include,
@@ -1857,7 +1875,7 @@ int64_t kn_build_inventory(const char* tar_path, const char* out_path,
   FILE* f = fopen(out_path, "wb");
   if (!f) {
     if (err && err_cap) snprintf(err, err_cap, "cannot open output file");
-    return -1;
+    return -5;
   }
   InvWriter w(f);
   w.u64(order.size());

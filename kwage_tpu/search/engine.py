@@ -153,6 +153,10 @@ def search_database_files(
 
     from ..io.dbz_file import open_database
 
+    # Encode the query batch once; every per-file batched search reuses it.
+    encoded_queries = [
+        seq.encode("ascii", errors="replace") for _, seq in queries]
+
     def search_one(path: str) -> dict[int, list[MatchResult]]:
         per_file: dict[int, list[MatchResult]] = {}
         reader = open_database(path)
@@ -173,7 +177,7 @@ def search_database_files(
             # hashing, gather and reduction all in C (identical output to
             # the per-query path; per-query Python/ctypes overhead gone).
             batched = search_all_native(
-                slices, [seq for _, seq in queries], hdr.kmer_len,
+                slices, encoded_queries, hdr.kmer_len,
                 hdr.num_hash, hdr.log_2_filter_len, hdr.num_filter,
                 threshold)
         for qpos, (qid, seq) in enumerate(queries):

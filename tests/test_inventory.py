@@ -265,7 +265,7 @@ def test_native_inventory_matches_python_twin(metadata_tar, tmp_path, monkeypatc
     from kwage_tpu.native import available
 
     if not available():
-        return
+        pytest.skip("native library unavailable")
 
     def both(filters):
         a = tmp_path / "native.bin"
@@ -321,8 +321,10 @@ def test_native_inventory_fuzz_vs_twin(tmp_path, monkeypatch):
     import kwage_tpu.pipeline.inventory as inv
     from kwage_tpu.native import available
 
+    import pytest
+
     if not available():
-        return
+        pytest.skip("native library unavailable")
     random.seed(8)
     header = "\t".join(
         ["Accession", "Submission", "Status", "Updated", "Published",
@@ -387,3 +389,171 @@ def test_native_inventory_fuzz_vs_twin(tmp_path, monkeypatch):
             monkeypatch.undo()
         assert na == nb and na > 0
         assert a.read_bytes() == b.read_bytes(), trial
+
+
+def _tar_member_raw(name: str, data: bytes, size_mode: str = "octal") -> bytes:
+    """One ustar member as raw bytes with the size field encoded as
+    'octal', 'base256' (GNU binary, the >=8 GiB form) or 'pax' (zeroed
+    octal field + a PAX 'x' header carrying the size= record)."""
+    import tarfile as _t
+
+    def header(nm, size_field: bytes, typeflag: bytes, size_for_pad: int):
+        h = bytearray(512)
+        h[0:len(nm)] = nm.encode()
+        h[100:108] = b"0000644\x00"
+        h[108:116] = b"0000000\x00"
+        h[116:124] = b"0000000\x00"
+        h[124:136] = size_field
+        h[136:148] = b"00000000000\x00"
+        h[148:156] = b" " * 8  # checksum placeholder
+        h[156:157] = typeflag
+        h[257:263] = b"ustar\x00"
+        h[263:265] = b"00"
+        chk = sum(h)
+        h[148:156] = (f"{chk:06o}\x00 ").encode()
+        return bytes(h)
+
+    def padded(b: bytes) -> bytes:
+        pad = (-len(b)) % 512
+        return b + b"\x00" * pad
+
+    if size_mode == "octal":
+        sf = (f"{len(data):011o}\x00").encode()
+        return header(name, sf, b"0", len(data)) + padded(data)
+    if size_mode == "base256":
+        sf = bytearray(12)
+        sf[0] = 0x80
+        v = len(data)
+        for i in range(11, 0, -1):
+            sf[i] = v & 0xFF
+            v >>= 8
+        return header(name, bytes(sf), b"0", len(data)) + padded(data)
+    assert size_mode == "pax"
+    rec = f"size={len(data)}\n"
+    n = len(rec) + 3  # "LL " prefix, 2-digit assumption adjusted below
+    while len(f"{n} {rec}") != n:
+        n = len(f"{n} {rec}")
+    pax = f"{n} {rec}".encode()
+    sfz = b"00000000000\x00"  # zeroed octal: only the PAX record has it
+    sfp = (f"{len(pax):011o}\x00").encode()
+    return (header("PaxHeaders.0/" + name, sfp, b"x", len(pax)) + padded(pax)
+            + header(name, sfz, b"0", len(data)) + padded(data))
+
+
+@pytest.mark.parametrize("size_mode", ["base256", "pax"])
+def test_native_inventory_large_size_encodings(tmp_path, monkeypatch, size_mode):
+    """GNU base-256 and PAX size= member sizes (what tar writes past the
+    8 GiB octal limit) parse identically to Python tarfile in the native
+    tar reader -- byte-equal inventories from both paths."""
+    from kwage_tpu.native import available
+
+    if not available():
+        pytest.skip("native library unavailable")
+    header = "\t".join(
+        ["Accession", "Submission", "Status", "Updated", "Published",
+         "Received", "Type", "Center", "Visibility", "Alias", "Experiment",
+         "Sample", "Study", "Loaded", "Spots", "Bases"])
+    rows = [header]
+    for i in range(1, 6):
+        rows.append("\t".join(
+            [f"SRR{i:07d}", "SUB1", "live", "2020-01-01", "2020-01-02",
+             "2020-06-15T10:00:00Z", "RUN", "LANL", "public", "-",
+             f"SRX{i:07d}", f"SRS{i:07d}", "SRP0000001", "1", str(i * 10),
+             str(i * 1000)]))
+    data = ("\n".join(rows) + "\n").encode()
+    raw = _tar_member_raw("SRA_Accessions", data, size_mode) + b"\x00" * 1024
+    path = tmp_path / f"{size_mode}.tar"
+    path.write_bytes(raw)
+
+    a = tmp_path / "native.bin"
+    b = tmp_path / "python.bin"
+    na = build_inventory(str(path), str(a), verbose=False)
+    monkeypatch.setattr(
+        "kwage_tpu.native.build_inventory_native", lambda *x, **k: None)
+    nb = build_inventory(str(path), str(b), verbose=False)
+    monkeypatch.undo()
+    assert na == nb == 5
+    assert a.read_bytes() == b.read_bytes()
+
+
+def test_native_inventory_edge_semantics(metadata_tar, tmp_path, monkeypatch):
+    """Parity of the edge cases: an empty-string filter set entry (not
+    expressible on the native wire -> twin handles it), an EMPTY
+    SRA_Accessions member (error on both paths), a second table member
+    treated as data rows, and output-open failure naming the right path."""
+    import io
+    import tarfile
+
+    from kwage_tpu.native import available
+
+    if not available():
+        pytest.skip("native library unavailable")
+
+    # {""} as a filter must behave like the Python twin (everything
+    # filtered out, since no record has an empty strategy).
+    out = tmp_path / "empty_filter.bin"
+    n = build_inventory(metadata_tar, str(out),
+                        InventoryFilters(required_strategy={""}),
+                        verbose=False)
+    assert n == 0
+
+    # Empty SRA_Accessions member: both paths raise.
+    bad = tmp_path / "empty_member.tar.gz"
+    with tarfile.open(bad, "w:gz") as tf:
+        ti = tarfile.TarInfo("SRA_Accessions")
+        ti.size = 0
+        tf.addfile(ti, io.BytesIO(b""))
+    with pytest.raises(ValueError):
+        build_inventory(str(bad), str(tmp_path / "x.bin"), verbose=False)
+    monkeypatch.setattr(
+        "kwage_tpu.native.build_inventory_native", lambda *a, **k: None)
+    with pytest.raises(ValueError):
+        build_inventory(str(bad), str(tmp_path / "x2.bin"), verbose=False)
+    monkeypatch.undo()
+
+    # Two SRA_Accessions members: the second member's rows are DATA
+    # (one global header), identical on both paths.
+    header = "Accession\tSubmission\tStatus\tUpdated\tPublished\tReceived\tType\tCenter\tVisibility\tAlias\tExperiment\tSample\tStudy\tLoaded\tSpots\tBases"
+    row = lambda i: "\t".join(
+        [f"SRR{i:07d}", "SUB1", "live", "2020-01-01", "2020-01-02",
+         "2020-06-15T10:00:00Z", "RUN", "-", "public", "-", "-", "-", "-",
+         "1", "1", str(i)])
+    two = tmp_path / "two_members.tar.gz"
+    with tarfile.open(two, "w:gz") as tf:
+        for name, text in [("a/SRA_Accessions", header + "\n" + row(1) + "\n"),
+                           ("b/SRA_Accessions", row(2) + "\n" + row(3) + "\n")]:
+            b = text.encode()
+            ti = tarfile.TarInfo(name)
+            ti.size = len(b)
+            tf.addfile(ti, io.BytesIO(b))
+    a = tmp_path / "two_native.bin"
+    c = tmp_path / "two_python.bin"
+    na = build_inventory(str(two), str(a), verbose=False)
+    monkeypatch.setattr(
+        "kwage_tpu.native.build_inventory_native", lambda *x, **k: None)
+    nc = build_inventory(str(two), str(c), verbose=False)
+    monkeypatch.undo()
+    assert na == nc == 3
+    assert a.read_bytes() == c.read_bytes()
+
+    # Output open failure: OSError naming the OUTPUT path.
+    with pytest.raises(OSError, match="no/such"):
+        build_inventory(metadata_tar, str(tmp_path / "no/such/dir/o.bin"),
+                        verbose=False)
+
+
+def test_search_all_native_rejects_bad_num_hash():
+    """num_hash outside the reference's 1..5 range returns None (the
+    caller falls back to the per-query twin) instead of reading
+    uninitialized hash lanes."""
+    import numpy as np
+
+    from kwage_tpu.native import available, search_all_native
+
+    if not available():
+        pytest.skip("native library unavailable")
+    slices = np.zeros((16, 2), dtype=np.uint8)
+    assert search_all_native(slices, ["ACGTACGTACGTACGTACGTA"],
+                             21, 6, 4, 10, 0.5) is None
+    assert search_all_native(slices, ["ACGTACGTACGTACGTACGTA"],
+                             21, 0, 4, 10, 0.5) is None

@@ -355,7 +355,7 @@ def test_native_file_scan_stops_at_range_end(tmp_path):
     from kwage_tpu.sriracha.engine import SrirachaOptions, StreamStats
 
     if not available():
-        return
+        pytest.skip("native library unavailable")
     import random
 
     random.seed(5)
@@ -391,7 +391,7 @@ def test_native_scan_callback_exception_propagates(tmp_path):
     from kwage_tpu.sriracha.engine import SrirachaOptions
 
     if not available():
-        return
+        pytest.skip("native library unavailable")
     import random
 
     random.seed(6)
