@@ -59,6 +59,7 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.kn_num_bp.restype = u64
     lib.kn_num_bp.argtypes = [ctypes.c_void_p]
     lib.kn_add_seq.argtypes = [ctypes.c_void_p, ctypes.c_char_p, u64]
+    lib.kn_fold.restype = ctypes.c_int
     lib.kn_fold.argtypes = [ctypes.c_void_p, u32, u32, u8p]
     lib.kn_digest_file.restype = ctypes.c_int
     lib.kn_digest_file.argtypes = [
@@ -189,9 +190,14 @@ class CountingBuilder:
         if self._ptr is None:
             return self._impl.fold(log2_filter_len, num_hash)
         out = np.zeros((1 << log2_filter_len) // 8, dtype=np.uint8)
-        self._lib.kn_fold(
+        rc = self._lib.kn_fold(
             self._ptr, log2_filter_len, num_hash,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if rc == -4:
+            raise MemoryError("counting builder ran out of memory mid-stream")
+        if rc != 0:
+            raise ValueError(
+                f"invalid fold parameters (L={log2_filter_len}, h={num_hash})")
         return out
 
     def digest_file(self, path: str, file_format: int) -> tuple[int, int]:

@@ -43,11 +43,13 @@ inline uint32_t fmix32(uint32_t h) {
 // Murmur3-32 of the decoded ASCII k-mer for seeds 0..num_seeds-1.
 // The per-block mixing of the message is seed independent, so each block
 // constant is computed once and folded into all seed lanes.
-inline void murmur_kmer(uint64_t word, uint32_t k, uint32_t num_seeds,
-                        uint32_t* out) {
+// num_seeds <= 8 per call (h is 8 lanes); kn_murmur32 chunks larger
+// counts with seed_base offsets.
+inline void murmur_kmer(uint64_t word, uint32_t k, uint32_t seed_base,
+                        uint32_t num_seeds, uint32_t* out) {
   static const uint32_t kAscii[4] = {65u, 67u, 71u, 84u};  // "ACGT"
   uint32_t h[8];
-  for (uint32_t s = 0; s < num_seeds; ++s) h[s] = s;
+  for (uint32_t s = 0; s < num_seeds; ++s) h[s] = seed_base + s;
 
   const uint32_t nblocks = k / 4;
   const uint32_t tail = k & 3;
@@ -143,7 +145,7 @@ inline void murmur_kmer5(uint64_t word, uint32_t k, uint32_t* out8) {
 #ifdef __AVX2__
   murmur_kmer8_avx(word, k, out8);
 #else
-  murmur_kmer(word, k, kMaxPlanes, out8);
+  murmur_kmer(word, k, 0, kMaxPlanes, out8);
 #endif
 }
 
@@ -213,8 +215,11 @@ struct KnBuilder {
   uint64_t hash_vec_cap;
   uint64_t vec_max;      // spill threshold (kVecMaxKmers; env-overridable)
   bool vec_mode;
+  bool oom;              // an allocation failed: adds become no-ops
   uint32_t* hash_buf;    // [kChunk * 8] chunked hash pipeline scratch
 };
+
+void kn_free(KnBuilder* b);  // defined below
 
 KnBuilder* kn_new(uint32_t k, uint32_t min_count, uint32_t log2_count_len,
                   uint32_t max_log2_filter_len) {
@@ -250,6 +255,11 @@ KnBuilder* kn_new(uint32_t k, uint32_t min_count, uint32_t log2_count_len,
   b->hash_vec = static_cast<uint32_t*>(
       malloc(b->hash_vec_cap * kMaxPlanes * sizeof(uint32_t)));
   b->hash_buf = static_cast<uint32_t*>(malloc(kChunk * 8 * sizeof(uint32_t)));
+  b->oom = false;
+  if (b->cells == NULL || b->hash_vec == NULL || b->hash_buf == NULL) {
+    kn_free(b);
+    return nullptr;  // clean error instead of a later null deref
+  }
   return b;
 }
 
@@ -273,6 +283,13 @@ static void kn_spill_to_planes(KnBuilder* b) {
     b->planes[h] = static_cast<uint8_t*>(calloc(b->plane_bytes, 1));
     b->touched[h] =
         static_cast<uint64_t*>(calloc(b->touched_words, sizeof(uint64_t)));
+    if (b->planes[h] == NULL || b->touched[h] == NULL) {
+      // The spill IS the OOM fallback; if even the planes cannot be
+      // allocated, poison the builder (adds become no-ops, fold and the
+      // file drivers report -4) instead of dereferencing null.
+      b->oom = true;
+      return;
+    }
   }
   for (uint64_t i = 0; i < b->num_valid_kmer; ++i) {
     const uint32_t* hv = b->hash_vec + i * kMaxPlanes;
@@ -331,7 +348,10 @@ inline void kn_update_one(KnBuilder* b, const uint32_t* hashes) {
           }
         }
       }
-      if (b->vec_mode) {
+      if (b->oom) {
+        // poisoned (spill allocation failed): count but record nothing;
+        // fold/digest report -4 so callers fall back to the Python twin
+      } else if (b->vec_mode) {
         uint32_t* hv = b->hash_vec + b->num_valid_kmer * kMaxPlanes;
         for (uint32_t h = 0; h < kMaxPlanes; ++h) hv[h] = hashes[h];
       } else {
@@ -419,8 +439,13 @@ void kn_add_seq(KnBuilder* b, const char* seq, uint64_t len) {
 // contributes nothing, so the result is byte-identical to the reference's
 // full-plane scan while the cost scales with num_valid_kmer, not with
 // 2**max_log2_filter_len.
-void kn_fold(const KnBuilder* b, uint32_t log2_filter_len, uint32_t num_hash,
-             uint8_t* out) {
+int kn_fold(const KnBuilder* b, uint32_t log2_filter_len, uint32_t num_hash,
+            uint8_t* out) {
+  if (log2_filter_len < 3 || (1ull << log2_filter_len) / 8 > b->plane_bytes ||
+      num_hash > kMaxPlanes) {
+    return -1;  // degenerate/oversized fold: caller raises
+  }
+  if (b->oom) return -4;
   const uint64_t dst_bytes = (1ull << log2_filter_len) / 8;
   const uint64_t dst_mask = dst_bytes - 1;  // dst_bytes is a power of two
   const uint64_t line_bytes = 1ull << kTouchShift;
@@ -437,7 +462,7 @@ void kn_fold(const KnBuilder* b, uint32_t log2_filter_len, uint32_t num_hash,
         out[bit >> 3] |= static_cast<uint8_t>(1u << (bit & 7));
       }
     }
-    return;
+    return 0;
   }
   for (uint32_t h = 0; h < num_hash && h < kMaxPlanes; ++h) {
     const uint8_t* src = b->planes[h];
@@ -461,6 +486,7 @@ void kn_fold(const KnBuilder* b, uint32_t log2_filter_len, uint32_t num_hash,
       }
     }
   }
+  return 0;
 }
 
 // ---------------------------------------------------------------------------
@@ -476,10 +502,17 @@ struct KnRecordBuf {
   char* data = nullptr;
   uint64_t len = 0;
   uint64_t cap = 0;
+  bool oom = false;
   void push(char c) {
     if (len == cap) {
-      cap = cap ? cap * 2 : 1 << 20;
-      data = static_cast<char*>(realloc(data, cap));
+      const uint64_t new_cap = cap ? cap * 2 : 1 << 20;
+      char* nd = static_cast<char*>(realloc(data, new_cap));
+      if (nd == NULL) {  // old buffer stays valid; record is poisoned
+        oom = true;
+        return;
+      }
+      data = nd;
+      cap = new_cap;
     }
     data[len++] = c;
   }
@@ -500,11 +533,21 @@ static int kn_parse_file(const char* path, int format, F&& on_record) {
 
   const uint64_t kBuf = 1 << 20;
   char* buf = static_cast<char*>(malloc(kBuf));
+  if (buf == NULL) {
+    gzclose(f);
+    return -4;  // OOM: callers fall back to the Python parser
+  }
   KnRecordBuf rec;
   int rc = 0;
   bool stopped = false;
 
   auto flush_record = [&]() {
+    if (rec.oom) {  // a push failed: the record is incomplete
+      rc = -4;
+      stopped = true;
+      rec.len = 0;
+      return;
+    }
     if (rec.len == 0) return;
     stopped = on_record(rec.data, rec.len);
     rec.len = 0;
@@ -584,6 +627,7 @@ int kn_digest_file(KnBuilder* b, const char* path, int format,
   });
   if (out_spots) *out_spots = spots;
   if (out_bp) *out_bp = bp;
+  if (rc == 0 && b && b->oom) return -4;  // builder poisoned mid-stream
   return rc;
 }
 
@@ -901,17 +945,21 @@ uint64_t kn_search_all(const uint8_t* slices, uint64_t slice_size,
 // words to `out` (caller sizes for len - k + 1) and the TOTAL k-mer
 // count (pre-dedup, N-windows excluded) to *out_total; returns the
 // unique count.
+static uint64_t kn_sort_dedup(uint64_t* a, uint64_t n) {
+  if (n <= 1) return n;
+  std::sort(a, a + n);
+  uint64_t u = 1;
+  for (uint64_t i = 1; i < n; ++i) {
+    if (a[i] != a[u - 1]) a[u++] = a[i];
+  }
+  return u;
+}
+
 uint64_t kn_unique_kmers(const char* seq, uint64_t len, uint32_t k,
                          uint64_t* out, uint64_t* out_total) {
   const uint64_t n = kn_canonical_kmers(seq, len, k, out);
   if (out_total) *out_total = n;
-  if (n == 0) return 0;
-  std::sort(out, out + n);
-  uint64_t u = 1;
-  for (uint64_t i = 1; i < n; ++i) {
-    if (out[i] != out[u - 1]) out[u++] = out[i];
-  }
-  return u;
+  return kn_sort_dedup(out, n);
 }
 
 // |uniq ∩ subject| where both arrays are sorted u64: one branchless
@@ -980,14 +1028,7 @@ uint64_t kn_sorted_intersect_count(const uint64_t* uniq, uint64_t n,
 // table would spill the cache.
 static uint64_t kn_dedup_kmers(uint64_t* kbuf, uint64_t n) {
   if (n <= 1) return n;
-  if (n > (1u << 15)) {
-    std::sort(kbuf, kbuf + n);
-    uint64_t u = 1;
-    for (uint64_t i = 1; i < n; ++i) {
-      if (kbuf[i] != kbuf[u - 1]) kbuf[u++] = kbuf[i];
-    }
-    return u;
-  }
+  if (n > (1u << 15)) return kn_sort_dedup(kbuf, n);
   uint64_t cap = 16;
   while (cap < 2 * n) cap <<= 1;
   static thread_local uint64_t* table = nullptr;
@@ -997,12 +1038,7 @@ static uint64_t kn_dedup_kmers(uint64_t* kbuf, uint64_t n) {
     table = static_cast<uint64_t*>(malloc(cap * sizeof(uint64_t)));
     table_cap = table ? cap : 0;
     if (table == nullptr) {  // OOM: the sort path needs no scratch
-      std::sort(kbuf, kbuf + n);
-      uint64_t u = 1;
-      for (uint64_t i = 1; i < n; ++i) {
-        if (kbuf[i] != kbuf[u - 1]) kbuf[u++] = kbuf[i];
-      }
-      return u;
+      return kn_sort_dedup(kbuf, n);
     }
   }
   memset(table, 0xff, cap * sizeof(uint64_t));
@@ -1151,8 +1187,13 @@ void kn_murmur32(const uint64_t* words, uint64_t n, uint32_t k,
     return;
   }
 #endif
+  // Any seed count: 8-lane chunks with seed_base offsets (a corrupt
+  // header's num_hash can exceed the 8-lane state without overflowing).
   for (uint64_t i = 0; i < n; ++i) {
-    murmur_kmer(words[i], k, num_seeds, out + i * num_seeds);
+    for (uint32_t base = 0; base < num_seeds; base += 8) {
+      const uint32_t cnt = num_seeds - base < 8 ? num_seeds - base : 8;
+      murmur_kmer(words[i], k, base, cnt, out + i * num_seeds + base);
+    }
   }
 }
 
@@ -1750,9 +1791,12 @@ struct Builder {
 struct InvWriter {
   FILE* f;
   std::string buf;
+  bool ok = true;
   explicit InvWriter(FILE* fp) : f(fp) { buf.reserve(1 << 20); }
   void flush() {
-    if (!buf.empty()) fwrite(buf.data(), 1, buf.size(), f);
+    if (!buf.empty() && fwrite(buf.data(), 1, buf.size(), f) != buf.size()) {
+      ok = false;  // short write (ENOSPC/EIO): surfaced as -6
+    }
     buf.clear();
   }
   void maybe_flush() {
@@ -1802,8 +1846,8 @@ extern "C" {
 // sorted run-accession allowlist (n_include == 0 = no filter); the two
 // (day, month, year) triples bound date_received. Returns the record
 // count written, or a negative code (-1 input open, -2 parse, -3 read,
-// -5 output open) with a message in err (NUL-terminated, truncated to
-// err_cap).
+// -5 output open, -6 write failure) with a message in err
+// (NUL-terminated, truncated to err_cap).
 int64_t kn_build_inventory(const char* tar_path, const char* out_path,
                            const char* strategies, const char* sources,
                            const uint64_t* include, uint64_t n_include,
@@ -1894,7 +1938,11 @@ int64_t kn_build_inventory(const char* tar_path, const char* out_path,
     }
   }
   w.flush();
-  fclose(f);
+  const bool closed_ok = fclose(f) == 0;
+  if (!w.ok || !closed_ok) {
+    if (err && err_cap) snprintf(err, err_cap, "inventory write failed");
+    return -6;
+  }
   if (out_injected) *out_injected = injected;
   return (int64_t)order.size();
 }
