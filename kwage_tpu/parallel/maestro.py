@@ -387,7 +387,10 @@ def _take_until_bp(stream, limit_bp: int) -> tuple[list[str], int, bool]:
 # streaming shape, SriRachA/sra_stream.cpp:90-211). Matches the batch
 # builder's own big-job routing threshold (make_bloom.chunk_bp).
 # Overridable via KWAGE_STREAM_BUFFER_BP (engine extension).
-STREAM_BATCH_BUFFER_BP = int(os.environ.get("KWAGE_STREAM_BUFFER_BP", 8_000_000))
+def _stream_batch_buffer_bp() -> int:
+    """KWAGE_STREAM_BUFFER_BP read at use time (like the other env
+    knobs), not frozen at import."""
+    return int(os.environ.get("KWAGE_STREAM_BUFFER_BP", 8_000_000))
 
 
 @dataclass
@@ -413,7 +416,7 @@ def prepare_bloom_batch(
     No device work: safe on a parse thread while the device runs another
     batch. ``tasks`` entries are (key, accession, FilterInfo, phase);
     ``on_downloaded(key)`` fires after each successful non-streaming
-    download. Streamed sources larger than STREAM_BATCH_BUFFER_BP never
+    download. Streamed sources larger than KWAGE_STREAM_BUFFER_BP (8 Mbp default) never
     materialize -- their buffered prefix plus the live pipe are handed to
     the device phase for a chunked build."""
     from itertools import chain
@@ -434,7 +437,7 @@ def prepare_bloom_batch(
                 stream = resolver.open_stream(acc)
                 if stream is not None:
                     buf, _bp, exhausted = _take_until_bp(
-                        stream, STREAM_BATCH_BUFFER_BP
+                        stream, _stream_batch_buffer_bp()
                     )
                     if exhausted:
                         # Small accession: the bounded buffer joins the
@@ -1064,6 +1067,17 @@ class Maestro:
     def _absorb_bloom_event(self, idx: int, status: int, param, dt: float) -> None:
         """Apply one bloom/download completion to the state machine."""
         opt = self.opt
+        if status != STATUS_BLOOM_SUCCESS and (
+            idx in self._grouped
+            or int(self.status[idx]) in (STATUS_BLOOM_SUCCESS,
+                                         STATUS_DATABASE_SUCCESS)
+        ):
+            # Stale FAILURE after an absorbed success (--task-timeout
+            # re-dispatch raced a slow-but-alive worker, or a buffered
+            # remote event arrived late): the completed filter stands --
+            # overwriting would mark a built accession terminal-failed
+            # and drop it from the corpus on the next checkpoint.
+            return
         if status == STATUS_BLOOM_SUCCESS:
             if int(self.status[idx]) == STATUS_BLOOM_SUCCESS or idx in self._grouped:
                 # Duplicate completion (e.g. --task-timeout re-dispatched a

@@ -355,6 +355,14 @@ class RemoteWorker:
         if self._secret:
             msg = dict(msg, token=self._secret)
         reply = _send_msg(self.address, msg)
+        if not reply:
+            # Connection closed without a reply line (handler crash, or
+            # the coordinator died between read and respond): treat as
+            # UNDELIVERED so the event stays buffered and is resent --
+            # the eid dedupe absorbs the case where it was applied but
+            # the reply was lost. (The coordinator always replies with
+            # at least an "op" field.)
+            raise OSError("empty reply from coordinator")
         if reply.get("op") == "denied":
             # NOT an OSError subclass: the transient-fault retry loops
             # (except OSError) must not spin on a config error.

@@ -313,19 +313,27 @@ def iter_toolkit_fragments_range(path: str, rank: int, ntasks: int):
         return
     start, stop = assign_read_range(1, num_spot, rank, ntasks)
     prev: str | None = None
-    spot = 0
+    ordinal = 0  # positional spot count: partitions the slice ranges
+    spot = 0     # REPORTED index: the toolkit's row id from the header
     sub = 0
     for header, seq in iter_sequences(path):
         key = _spot_key(header)
         if not key or key != prev:
-            spot += 1
+            ordinal += 1
+            # Number spots from the header's trailing row id exactly like
+            # the streamed pipe path (stream_accession), so idx.sub rows
+            # do not depend on whether the accession was materialized.
+            # Toolkit ids are consecutive, so ordinal == id in practice;
+            # the positional ordinal still drives slice partitioning.
+            tail = key.rsplit(".", 1)[-1] if key else ""
+            spot = int(tail) if tail.isdigit() else spot + 1
             sub = 1
         else:
             sub += 1
         prev = key or None
-        if spot >= stop:
+        if ordinal >= stop:
             break
-        if spot >= start:
+        if ordinal >= start:
             yield seq, spot, sub
 
 

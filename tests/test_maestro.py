@@ -477,3 +477,39 @@ def test_static_slice_split(manifest, data_dir, tmp_path):
 
     assert shard_blooms == want
     assert not (db_names[0] & db_names[1])
+
+
+def test_stale_failure_after_success_is_ignored(manifest, data_dir, tmp_path):
+    """A FAILURE event arriving after a success was absorbed (a
+    --task-timeout re-dispatch raced a slow worker, or a buffered remote
+    event landed late) must not overwrite the completed status or queue a
+    spurious rebuild -- the built filter stands."""
+    from kwage_tpu.core.params import BloomParam
+    from kwage_tpu.parallel.maestro import (
+        STATUS_BLOOM_FAIL,
+        STATUS_BLOOM_INVALID,
+        STATUS_BLOOM_SUCCESS,
+        STATUS_DOWNLOAD_FAIL,
+    )
+
+    _write_inventory(manifest, tmp_path)
+    opt = _options(manifest, tmp_path)
+    m = Maestro(opt, LocalFastaResolver(str(data_dir)))
+    m.restore()
+    param = BloomParam(kmer_len=manifest["k"], log_2_filter_len=12, num_hash=2)
+
+    m._absorb_bloom_event(0, STATUS_BLOOM_SUCCESS, param, 0.1)
+    assert int(m.status[0]) == STATUS_BLOOM_SUCCESS
+    before_groups = {p: list(v) for p, v in m._groups.items()}
+
+    for stale in (STATUS_BLOOM_FAIL, STATUS_BLOOM_INVALID,
+                  STATUS_DOWNLOAD_FAIL):
+        m._absorb_bloom_event(0, stale, None, 0.1)
+        assert int(m.status[0]) == STATUS_BLOOM_SUCCESS, stale
+    assert not m._retry
+    assert {p: list(v) for p, v in m._groups.items()} == before_groups
+
+    # And a failure for an accession with NO absorbed success still
+    # applies normally.
+    m._absorb_bloom_event(1, STATUS_BLOOM_FAIL, None, 0.1)
+    assert int(m.status[1]) != STATUS_BLOOM_SUCCESS

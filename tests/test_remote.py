@@ -471,3 +471,50 @@ def test_sliced_coordinator_interleaves_db_indices(manifest, data_dir, tmp_path)
             assert int(p.name.split(".")[1]) % 2 == (s + 1) % 2, p.name
         db_names.append({p.name for p in names})
     assert not (db_names[0] & db_names[1])
+
+
+def test_empty_reply_is_retried(manifest, data_dir, tmp_path, monkeypatch):
+    """A connection that closes WITHOUT a reply line (handler crash /
+    coordinator death mid-request) must count as UNDELIVERED: the event
+    stays buffered and is resent, with the eid dedupe absorbing the case
+    where it had actually been applied."""
+    import kwage_tpu.parallel.remote as remote_mod
+
+    accs = manifest["accessions"][:3]
+    infos = [FilterInfo(run_accession=str_to_accession(a),
+                        number_of_bases=1000)
+             for a in accs]
+    write_inventory(str(tmp_path / "inventory.bin"), infos)
+    opt = _options(manifest, tmp_path)
+
+    real_send = remote_mod._send_msg
+    swallowed = {"n": 0}
+
+    def eof_send(address, msg, timeout=30.0):
+        reply = real_send(address, msg, timeout)
+        if msg.get("op") == "bloom_done" and swallowed["n"] < 2 \
+                and not reply.get("dup"):
+            # Applied by the coordinator, but the socket closed with no
+            # reply line -- _send_msg returns {} in that case.
+            swallowed["n"] += 1
+            return {}
+        return reply
+
+    monkeypatch.setattr(remote_mod, "_send_msg", eof_send)
+
+    m = Maestro(opt, LocalFastaResolver(str(data_dir)))
+    m.restore()
+    coord = CoordinatorServer(m, host="127.0.0.1")
+    coord.start()
+    try:
+        worker = RemoteWorker(opt, LocalFastaResolver(str(data_dir)),
+                              coord.address, name="w0")
+        t = threading.Thread(target=worker.run, daemon=True)
+        t.start()
+        coord.wait()
+        t.join(timeout=30)
+    finally:
+        coord.shutdown()
+    assert swallowed["n"] == 2
+    assert all(s == STATUS_DATABASE_SUCCESS for s in m.status), m.summary()
+    assert m._total_bp == 1000 * len(accs), m._total_bp

@@ -393,7 +393,7 @@ def test_bloom_batch_streams_big_accessions_unbuffered(tmp_path, monkeypatch):
             state["exhausted_at_build"] = SpyResolver.exhausted
         return real_build(stream, opts, info, chunk_bp)
 
-    monkeypatch.setattr(maestro_mod, "STREAM_BATCH_BUFFER_BP", 2000)
+    monkeypatch.setenv("KWAGE_STREAM_BUFFER_BP", "2000")
     monkeypatch.setattr(mb_mod, "build_bloom_device", spy_build)
 
     opt = MaestroOptions(
