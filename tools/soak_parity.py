@@ -107,7 +107,21 @@ for seed in range(base, base+rounds):
         for d in dbs: dargs += ["-d", d]
         base = dargs + ["-i", qf, "-t", str(t), f"--{fmt}"]
         o = os.path.join(work, "o.out"); m = os.path.join(work, "m.out"); dv = os.path.join(work, "d.out")
-        subprocess.run([ORACLE] + base + ["-o", o], check=True, capture_output=True)
+        # The oracle can exit 0 WITHOUT output under box load: a failed
+        # FindFiles walk makes subject_files empty, options.cpp:144 sets
+        # quit, and main returns EXIT_SUCCESS with only a stderr line.
+        # Retry once with diagnostics so load flakes don't masquerade as
+        # parity failures (2000-round run of 2026-08-18 hit this 3x).
+        for attempt in range(2):
+            proc = subprocess.run([ORACLE] + base + ["-o", o], check=True,
+                                  capture_output=True)
+            if os.path.exists(o):
+                break
+            print(f"SEED {seed}: oracle wrote no output (attempt {attempt}); "
+                  f"rc={proc.returncode} stderr={proc.stderr[-300:]!r} "
+                  f"dir={sorted(os.listdir(work))}", flush=True)
+            import time as _time
+            _time.sleep(1.0)
         assert kwage_main(base + ["-o", m]) == 0
         assert kwage_main(base + ["-o", dv, "--device"]) == 0
         if open(o,"rb").read() != open(m,"rb").read():
