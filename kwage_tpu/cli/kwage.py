@@ -133,9 +133,13 @@ def main(argv: list[str] | None = None) -> int:
     query_seqs = list(args)
 
     subject_files = find_db_files(db_paths)
+    # Every options-stage rejection below exits 0 like the reference:
+    # options.cpp sets `quit` with a stderr message and main returns
+    # EXIT_SUCCESS (kwage.cpp:44-46) -- scripted callers must check
+    # stderr/output, not the exit code, exactly as with the reference.
     if not subject_files:
         print("Please provide at least one database file to search (-d)", file=sys.stderr)
-        return 1
+        return 0
     if serve_port is not None:
         from ..search.resident import SearchServer
 
@@ -152,17 +156,17 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if not query_files and not query_seqs:
         print("Please provide at least one query sequence or file", file=sys.stderr)
-        return 1
+        return 0
     for qf in query_files:
         if get_file_type(qf) == UNKNOWN_SEQUENCE:
             print(
                 f"The query sequence file name, {qf}, does not have an allowed file extension",
                 file=sys.stderr,
             )
-            return 1
+            return 0
     if threshold <= 0.0 or threshold > 1.0:
         print("Please provide: 0.0 < search threshold <= 1.0", file=sys.stderr)
-        return 1
+        return 0
 
     # Query ids: command-line sequences and file-based sequences live in
     # separate id spaces (kwage.cpp:116-148); command-line matches print

@@ -259,3 +259,24 @@ def test_edge_kmer_lengths_differential(tmp_path, k):
         ours = tmp_path / f"m{len(extra)}.json"
         assert kwage_main(base + ["-o", str(ours)] + extra) == 0
         assert ours.read_bytes() == oracle_out.read_bytes(), (k, extra)
+
+
+def test_options_stage_exit_codes_match_reference(tmp_path):
+    """The reference exits 0 (EXIT_SUCCESS) on every options-stage
+    rejection -- quit + stderr message, kwage.cpp:44-46. Scripted callers
+    key off output, not the exit code; ours must match."""
+    import subprocess as sp
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    cases = [
+        ["-d", str(empty), "ACGTACGTACGTACGTACGTACGTACGTACGT"],  # no .db found
+        ["-d", str(empty)],                                      # no query
+        ["-d", str(empty), "-t", "2.0", "ACGT"],                 # bad threshold
+    ]
+    for extra in cases:
+        oracle = sp.run([os.path.join(ORACLE, "kwage")] + extra,
+                        capture_output=True, text=True)
+        ours = sp.run([sys.executable, "-m", "kwage_tpu.cli.kwage"] + extra,
+                      capture_output=True, text=True)
+        assert ours.returncode == oracle.returncode == 0, extra
