@@ -190,9 +190,11 @@ def main(argv: list[str] | None = None) -> int:
             usage()
             return 0
 
+    # Options-stage rejections exit 0 like the reference (maestro.cpp:51-55
+    # returns EXIT_SUCCESS on opt.quit); callers key off stderr/output.
     if not opt.metadata_file:
         print("Please specify a binary inventory file (--meta)", file=sys.stderr)
-        return 1
+        return 0
     if scratch:
         import os
 
@@ -200,19 +202,19 @@ def main(argv: list[str] | None = None) -> int:
         opt.scratch_database_dir = opt.scratch_database_dir or os.path.join(scratch, "database")
     if not opt.scratch_bloom_dir or not opt.scratch_database_dir:
         print("Please specify scratch directories (--scratch)", file=sys.stderr)
-        return 1
+        return 0
     if opt.hash_func == UNKNOWN_HASH:
         print("Unknown hash function name", file=sys.stderr)
-        return 1
+        return 0
     if not 1 <= opt.min_kmer_count <= MAX_SRA_MIN_KMER_COUNT:
         print(f"Please specify: 1 <= min k-mer count <= {MAX_SRA_MIN_KMER_COUNT}", file=sys.stderr)
-        return 1
+        return 0
     if not 0 <= opt.slice_index < opt.num_slice:
         print("Please specify: 0 <= --slice < --of", file=sys.stderr)
-        return 1
+        return 0
     if not source_dir and not use_prefetch and not opt.stream_sra:
         print("Please specify an accession source (--source-dir, --prefetch or --stream)", file=sys.stderr)
-        return 1
+        return 0
     if opt.device_build and opt.num_workers > 2:
         # One chip = one resource: batched dispatch from TWO workers
         # pipelines host parsing against device work (measured fastest);

@@ -73,8 +73,10 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
     if not metadata_file:
+        # Options-stage rejection exits 0 like the reference
+        # (sra_inventory.cpp:70-72 returns EXIT_SUCCESS on opt.quit).
         print("Please specify an NCBI SRA metadata file (-i)", file=sys.stderr)
-        return 1
+        return 0
 
     if list_only:
         db, _ = parse_sra_metadata(metadata_file)

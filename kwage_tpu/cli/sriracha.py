@@ -127,31 +127,33 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         elif flag == "--search-by-align":
             print("Currently, SriRachA only supports search by kmer", file=sys.stderr)
-            return 1
+            return 0
         elif flag == "--search-by-bloom":
             print("Currently, SriRachA only supports search by kmer", file=sys.stderr)
-            return 1
+            return 0
 
     opt.sra_accession = list(args)
 
+    # Options-stage rejections exit 0 like the reference: quit + stderr,
+    # EXIT_SUCCESS (SriRachA/main.cpp:99-104); callers key off output.
     if opt.min_valid_kmer == 0:
         print("Please specify: 0 < minimum number of valid kmers", file=sys.stderr)
-        return 1
+        return 0
     if opt.max_num_match == 0:
         print("Please specify: 0 < max number of matches to report", file=sys.stderr)
-        return 1
+        return 0
     if not MIN_KMER_LEN <= opt.kmer_len <= MAX_KMER_LEN:
         print(f"Please specify: {MIN_KMER_LEN} <= kmer length <= {MAX_KMER_LEN}", file=sys.stderr)
-        return 1
+        return 0
     if not 0.0 < opt.kmer_match_threshold <= 1.0:
         print("Please specify: 0.0 < kmer match threshold <= 1.0", file=sys.stderr)
-        return 1
+        return 0
     if not 0 <= opt.slice_index < opt.num_slice:
         print("Please specify: slice index < number of slices", file=sys.stderr)
-        return 1
+        return 0
     if not opt.input_sequence_files:
         print("Please specify at least one input sequence file (-i)", file=sys.stderr)
-        return 1
+        return 0
 
     out = open(opt.output_filename, "w") if opt.output_filename else sys.stdout
     try:
