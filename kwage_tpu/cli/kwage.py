@@ -34,8 +34,16 @@ def find_db_files(paths: list[str]) -> list[str]:
     """
     from collections import deque
 
-    def is_db(name: str) -> bool:
-        return name.endswith(".db") or name.endswith(".dbz")
+    from ..io.sequence import reference_ext_match
+
+    def is_db(path: str) -> bool:
+        # The reference's quirky matcher applies to the FULL path
+        # (file_util.cpp find_file_extension: first case-insensitive
+        # occurrence must end the string), so databases under a
+        # '.db'-containing directory are invisible -- mirrored, with the
+        # same rule for the .dbz extension.
+        return (reference_ext_match(path, ".db")
+                or reference_ext_match(path, ".dbz"))
 
     out: list[str] = []
     targets = deque(paths)
@@ -49,7 +57,7 @@ def find_db_files(paths: list[str]) -> list[str]:
                 for entry in it:
                     if entry.is_dir():
                         targets.append(entry.path)
-                    elif entry.is_file() and is_db(entry.name):
+                    elif entry.is_file() and is_db(entry.path):
                         out.append(entry.path)
     return out
 

@@ -16,14 +16,26 @@ FASTQ = 1
 UNKNOWN_SEQUENCE = 2
 
 _FASTA_EXTS = (".fna", ".fna.gz", ".fa", ".fa.gz", ".fasta", ".fasta.gz")
-_FASTQ_EXTS = (".fastq", ".fastq.gz", ".fq", ".fq.gz")
+_FASTQ_EXTS = (".fastq", ".fastq.gz")
+
+
+def reference_ext_match(path: str, ext: str) -> bool:
+    """The reference's extension test (file_util.cpp find_file_extension):
+    the FIRST case-insensitive occurrence of ``ext`` anywhere in the path
+    must end the string. Consequence (mirrored deliberately): a file whose
+    DIRECTORY path contains the same extension earlier never matches --
+    e.g. '/data/x.fasta.d/q.fasta' is UNKNOWN and '/runs.db/sra.1.db' is
+    not a database. Live-oracle test pins this."""
+    loc = path.lower().find(ext.lower())
+    return loc >= 0 and loc + len(ext) == len(path)
 
 
 def get_file_type(filename: str) -> int:
-    lower = filename.lower()
-    if any(lower.endswith(e) for e in _FASTA_EXTS):
+    """FASTA/FASTQ/UNKNOWN from the filename (parse_sequence.cpp:13-26;
+    same extension set -- .fq is NOT recognized, matching the reference)."""
+    if any(reference_ext_match(filename, e) for e in _FASTA_EXTS):
         return FASTA
-    if any(lower.endswith(e) for e in _FASTQ_EXTS):
+    if any(reference_ext_match(filename, e) for e in _FASTQ_EXTS):
         return FASTQ
     return UNKNOWN_SEQUENCE
 

@@ -119,8 +119,8 @@ class SourceResolver:
 class LocalFastaResolver(SourceResolver):
     """Accession -> <source_dir>/<accession>.(fasta|fastq)[.gz]."""
 
-    EXTS = (".fasta", ".fa", ".fna", ".fastq", ".fq",
-            ".fasta.gz", ".fa.gz", ".fna.gz", ".fastq.gz", ".fq.gz", ".sra")
+    EXTS = (".fasta", ".fa", ".fna", ".fastq",
+            ".fasta.gz", ".fa.gz", ".fna.gz", ".fastq.gz", ".sra")
 
     def __init__(self, source_dir: str):
         self.source_dir = source_dir

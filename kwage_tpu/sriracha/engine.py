@@ -455,8 +455,8 @@ def search_accession(
         # directory containing <leaf>.fasta/.fastq etc (reference expects
         # <leaf>.sra; for the file-based engine pick the first sequence file)
         for name in sorted(os.listdir(path)):
-            if name.endswith((".fasta", ".fa", ".fna", ".fastq", ".fq",
-                              ".fasta.gz", ".fa.gz", ".fna.gz", ".fastq.gz", ".fq.gz")):
+            if name.endswith((".fasta", ".fa", ".fna", ".fastq",
+                              ".fasta.gz", ".fa.gz", ".fna.gz", ".fastq.gz")):
                 path = os.path.join(path, name)
                 break
 

@@ -59,8 +59,8 @@ class DownloadError(OSError):
 
 
 _SEQ_EXT = (
-    ".fasta", ".fa", ".fna", ".fastq", ".fq",
-    ".fasta.gz", ".fa.gz", ".fna.gz", ".fastq.gz", ".fq.gz",
+    ".fasta", ".fa", ".fna", ".fastq",
+    ".fasta.gz", ".fa.gz", ".fna.gz", ".fastq.gz",
 )
 
 

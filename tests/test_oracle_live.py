@@ -280,3 +280,37 @@ def test_options_stage_exit_codes_match_reference(tmp_path):
         ours = sp.run([sys.executable, "-m", "kwage_tpu.cli.kwage"] + extra,
                       capture_output=True, text=True)
         assert ours.returncode == oracle.returncode == 0, extra
+
+
+def test_quirky_extension_matching_matches_reference(corpus, tmp_path):
+    """find_file_extension quirk (file_util.cpp): the FIRST case-insensitive
+    occurrence of the extension anywhere in the path must END the string,
+    so a database under a '.db'-containing directory is INVISIBLE. Both
+    engines must agree on hidden and visible layouts."""
+    import shutil
+    import subprocess as sp
+
+    _work, dbs, _q = corpus
+    db = dbs[0]
+    hidden_dir = tmp_path / "runs.db"
+    visible_dir = tmp_path / "runs_db"
+    hidden_dir.mkdir()
+    visible_dir.mkdir()
+    shutil.copy(db, hidden_dir / "sra.1.db")
+    shutil.copy(db, visible_dir / "sra.1.db")
+    q = "ACGTACGTACGTACGTACGTACGTACGTACGTACGTACGT"
+
+    for d, expect_hidden in ((hidden_dir, True), (visible_dir, False)):
+        oracle = sp.run(
+            [os.path.join(ORACLE, "kwage"), "-d", str(d / "sra.1.db"),
+             "-t", "0.5", q], capture_output=True, text=True)
+        ours = sp.run(
+            [sys.executable, "-m", "kwage_tpu.cli.kwage", "-d",
+             str(d / "sra.1.db"), "-t", "0.5", q],
+            capture_output=True, text=True)
+        hidden_msg = "Please provide at least one database file"
+        assert (hidden_msg in oracle.stderr) == expect_hidden, (d, oracle.stderr)
+        assert (hidden_msg in ours.stderr) == expect_hidden, (d, ours.stderr)
+        assert ours.returncode == oracle.returncode == 0
+        if not expect_hidden:
+            assert ours.stdout == oracle.stdout

@@ -33,7 +33,7 @@ for seed in range(base, base+rounds):
     minL = int(rng.integers(10, 14)); maxL = int(rng.integers(16, 21))
     fp = float(rng.choice([0.05, 0.25, 0.5]))
     mc = int(rng.choice([1, 1, 2]))
-    work = tempfile.mkdtemp(prefix="soak.")
+    work = tempfile.mkdtemp(prefix="soak_")  # no "." -- a ".db"-bearing dirname hides databases from BOTH engines (mirrored reference quirk)
     try:
         opts = BuildOptions(kmer_len=k, min_kmer_count=mc, false_positive_probability=fp,
                             min_log_2_filter_len=minL, max_log_2_filter_len=maxL,
