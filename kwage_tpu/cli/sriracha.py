@@ -155,7 +155,17 @@ def main(argv: list[str] | None = None) -> int:
         print("Please specify at least one input sequence file (-i)", file=sys.stderr)
         return 0
 
-    out = open(opt.output_filename, "w") if opt.output_filename else sys.stdout
+    if opt.output_filename:
+        try:
+            out = open(opt.output_filename, "w")
+        except OSError:
+            # quit + EXIT_SUCCESS like the reference (main.cpp:86-104) --
+            # note kwage differs (EXIT_FAILURE there); each is mirrored.
+            print(f"Unable to open {opt.output_filename} for writing",
+                  file=sys.stderr)
+            return 0
+    else:
+        out = sys.stdout
     try:
         subject_kmers = load_subject_kmers(
             opt.input_sequence_files, opt.kmer_len, opt.verbose
