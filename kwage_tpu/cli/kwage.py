@@ -13,7 +13,7 @@ import time
 
 from .. import KWAGE_VERSION
 from ..core.params import DEFAULT_SEARCH_THRESHOLD
-from ..io.sequence import get_file_type, UNKNOWN_SEQUENCE, iter_sequences
+from ..io.sequence import iter_sequences, reference_sequence_gate
 from ..search.engine import search_database_files
 from ..search.output import render_csv, render_json
 
@@ -166,7 +166,7 @@ def main(argv: list[str] | None = None) -> int:
         print("Please provide at least one query sequence or file", file=sys.stderr)
         return 0
     for qf in query_files:
-        if get_file_type(qf) == UNKNOWN_SEQUENCE:
+        if not reference_sequence_gate(qf):
             print(
                 f"The query sequence file name, {qf}, does not have an allowed file extension",
                 file=sys.stderr,

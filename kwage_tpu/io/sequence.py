@@ -17,25 +17,40 @@ UNKNOWN_SEQUENCE = 2
 
 _FASTA_EXTS = (".fna", ".fna.gz", ".fa", ".fa.gz", ".fasta", ".fasta.gz")
 _FASTQ_EXTS = (".fastq", ".fastq.gz")
+# The one canonical sequence-extension set (the reference's
+# allowed_sequence_extentions, options.cpp:22-28; .fq is NOT accepted).
+SEQUENCE_EXTS = _FASTA_EXTS + _FASTQ_EXTS
 
 
 def reference_ext_match(path: str, ext: str) -> bool:
     """The reference's extension test (file_util.cpp find_file_extension):
     the FIRST case-insensitive occurrence of ``ext`` anywhere in the path
-    must end the string. Consequence (mirrored deliberately): a file whose
-    DIRECTORY path contains the same extension earlier never matches --
-    e.g. '/data/x.fasta.d/q.fasta' is UNKNOWN and '/runs.db/sra.1.db' is
-    not a database. Live-oracle test pins this."""
-    loc = path.lower().find(ext.lower())
-    return loc >= 0 and loc + len(ext) == len(path)
+    must end the string. Consequence (mirrored deliberately at the
+    USER-FACING gates -- CLI -d/-i arguments -- where the reference
+    applies it): a file whose DIRECTORY path contains the same extension
+    earlier never matches, e.g. '/runs.db/sra.1.db' is not a database.
+    Engine-internal routing (parser selection for resolver-verified
+    files) uses plain suffix matching instead -- those paths have no
+    reference analog to mirror. Live-oracle test pins the gate quirk."""
+    lp = path.lower()
+    loc = lp.find(ext.lower())
+    return loc >= 0 and loc + len(ext) == len(lp)
+
+
+def reference_sequence_gate(path: str) -> bool:
+    """The kwage CLI's -i extension gate (options.cpp:161 with the quirky
+    matcher). True = the reference would accept this query file name."""
+    return any(reference_ext_match(path, e) for e in SEQUENCE_EXTS)
 
 
 def get_file_type(filename: str) -> int:
-    """FASTA/FASTQ/UNKNOWN from the filename (parse_sequence.cpp:13-26;
-    same extension set -- .fq is NOT recognized, matching the reference)."""
-    if any(reference_ext_match(filename, e) for e in _FASTA_EXTS):
+    """FASTA/FASTQ/UNKNOWN parser selection from the filename suffix
+    (parse_sequence.cpp:13-26's extension set; robust suffix matching --
+    see reference_ext_match for where the quirky gate applies)."""
+    lower = filename.lower()
+    if lower.endswith(_FASTA_EXTS):
         return FASTA
-    if any(reference_ext_match(filename, e) for e in _FASTQ_EXTS):
+    if lower.endswith(_FASTQ_EXTS):
         return FASTQ
     return UNKNOWN_SEQUENCE
 

@@ -237,6 +237,9 @@ def _digest_file(lib, ptr, path: str, file_format: int) -> tuple[int, int]:
         raise FileNotFoundError(path)
     if rc == -2:
         raise ValueError(f"truncated FASTQ record in {path}")
+    if rc == -4:
+        # Counting-builder/parser scratch OOM (same class as fold's -4).
+        raise MemoryError(f"native builder ran out of memory ({path})")
     if rc != 0:
         raise OSError(f"error reading {path} (code {rc})")
     return spots.value, bp.value

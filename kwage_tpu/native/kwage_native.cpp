@@ -285,8 +285,9 @@ static void kn_spill_to_planes(KnBuilder* b) {
         static_cast<uint64_t*>(calloc(b->touched_words, sizeof(uint64_t)));
     if (b->planes[h] == NULL || b->touched[h] == NULL) {
       // The spill IS the OOM fallback; if even the planes cannot be
-      // allocated, poison the builder (adds become no-ops, fold and the
-      // file drivers report -4) instead of dereferencing null.
+      // allocated, poison the builder (adds become no-ops; fold and the
+      // file drivers report -4, surfaced to Python as MemoryError)
+      // instead of dereferencing null.
       b->oom = true;
       return;
     }
@@ -350,7 +351,7 @@ inline void kn_update_one(KnBuilder* b, const uint32_t* hashes) {
       }
       if (b->oom) {
         // poisoned (spill allocation failed): count but record nothing;
-        // fold/digest report -4 so callers fall back to the Python twin
+        // fold/digest report -4, surfaced to Python as MemoryError
       } else if (b->vec_mode) {
         uint32_t* hv = b->hash_vec + b->num_valid_kmer * kMaxPlanes;
         for (uint32_t h = 0; h < kMaxPlanes; ++h) hv[h] = hashes[h];

@@ -119,8 +119,9 @@ class SourceResolver:
 class LocalFastaResolver(SourceResolver):
     """Accession -> <source_dir>/<accession>.(fasta|fastq)[.gz]."""
 
-    EXTS = (".fasta", ".fa", ".fna", ".fastq",
-            ".fasta.gz", ".fa.gz", ".fna.gz", ".fastq.gz", ".sra")
+    from ..io.sequence import SEQUENCE_EXTS as _SEQ
+    EXTS = _SEQ + (".sra",)
+    del _SEQ
 
     def __init__(self, source_dir: str):
         self.source_dir = source_dir

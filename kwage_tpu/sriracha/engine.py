@@ -455,8 +455,9 @@ def search_accession(
         # directory containing <leaf>.fasta/.fastq etc (reference expects
         # <leaf>.sra; for the file-based engine pick the first sequence file)
         for name in sorted(os.listdir(path)):
-            if name.endswith((".fasta", ".fa", ".fna", ".fastq",
-                              ".fasta.gz", ".fa.gz", ".fna.gz", ".fastq.gz")):
+            from ..io.sequence import SEQUENCE_EXTS
+
+            if name.endswith(SEQUENCE_EXTS):
                 path = os.path.join(path, name)
                 break
 

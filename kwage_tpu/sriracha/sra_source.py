@@ -58,10 +58,7 @@ class DownloadError(OSError):
         self.status = status
 
 
-_SEQ_EXT = (
-    ".fasta", ".fa", ".fna", ".fastq",
-    ".fasta.gz", ".fa.gz", ".fna.gz", ".fastq.gz",
-)
+from ..io.sequence import SEQUENCE_EXTS as _SEQ_EXT
 
 
 def is_local_source(path: str) -> bool:

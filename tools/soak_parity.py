@@ -117,11 +117,14 @@ for seed in range(base, base+rounds):
                                   capture_output=True)
             if os.path.exists(o):
                 break
+            # check=True already raised on nonzero: rc here is always 0.
             print(f"SEED {seed}: oracle wrote no output (attempt {attempt}); "
-                  f"rc={proc.returncode} stderr={proc.stderr[-300:]!r} "
+                  f"stderr={proc.stderr[-300:]!r} "
                   f"dir={sorted(os.listdir(work))}", flush=True)
             import time as _time
             _time.sleep(1.0)
+        else:
+            raise RuntimeError("oracle produced no output after retry")
         assert kwage_main(base + ["-o", m]) == 0
         assert kwage_main(base + ["-o", dv, "--device"]) == 0
         if open(o,"rb").read() != open(m,"rb").read():
