@@ -1,0 +1,29 @@
+"""Miniature of the distributed at-scale proof
+(tools/run_at_scale_distributed.py): coordinator + 2 subprocess workers
+over TCP build the corpus; the result SET equals a single-process run
+over the same inputs (db packing order legitimately differs under
+dynamic pulling) and the packed corpus searches byte-identically to the
+reference binary when the oracle is present. The full-size run (1000
+accessions) is the tool's default; DSCALE_r03.json records it."""
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_dscale_mini(tmp_path):
+    env = dict(os.environ)
+    env.update(SCALE_N_ACC="24", SCALE_GENOME="2500", SCALE_WORKERS="2")
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools", "run_at_scale_distributed.py")
+    proc = subprocess.run(
+        [sys.executable, script, str(tmp_path / "work")], env=env,
+        cwd=tmp_path, capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stdout + proc.stderr[-2000:]
+    phases = {json.loads(l)["phase"]: json.loads(l)
+              for l in proc.stdout.splitlines() if l.startswith("{")}
+    assert phases["distributed_run"]["worker_rcs"] == [0, 0]
+    assert phases["search_parity"]["distributed_equals_single"] is True
+    assert phases["done"]["ok"] is True

