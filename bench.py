@@ -212,6 +212,14 @@ def _run_with_retries() -> int:
         print("bench: attempt %d failed (rc=%s)\n%s"
               % (i + 1, last.returncode, "\n".join(tail)),
               file=sys.stderr, flush=True)
+    # Every attempt failed (chip down hard): emit one structured line so
+    # the recorded artifact says WHY there is no measurement, instead of
+    # silently producing nothing. value 0 is unmistakably not a result.
+    print(json.dumps({
+        "metric": "kmer_file_queries_per_sec",
+        "value": 0, "unit": "kq/s", "vs_baseline": 0,
+        "error": "accelerator unreachable after all retry attempts",
+    }), flush=True)
     return 1
 
 
