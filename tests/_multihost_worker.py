@@ -11,6 +11,9 @@ import json
 import os
 import sys
 
+# Runnable straight from a checkout, with or without `pip install -e .`.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main() -> None:
     pid, nproc, port, work = (

@@ -37,6 +37,9 @@ import time
 
 import numpy as np
 
+# Runnable straight from a checkout, with or without `pip install -e .`.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 N_ACC = int(os.environ.get("SCALE_N_ACC", "4350"))
 HALT = int(os.environ.get("SCALE_HALT", "4200"))
 GENOME = int(os.environ.get("SCALE_GENOME", "28000"))

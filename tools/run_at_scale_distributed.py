@@ -24,6 +24,9 @@ import sys
 import tempfile
 import time
 
+# Runnable straight from a checkout, with or without `pip install -e .`.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def log(phase, **kw):
     rec = {"phase": phase, **kw}

@@ -12,6 +12,9 @@ counting filter promoted collisions -- that divergence is by design
 """
 import numpy as np, subprocess, sys, os, tempfile, shutil
 
+# Runnable straight from a checkout, with or without `pip install -e .`.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from kwage_tpu.utils.runtime import pin_platform_from_env
 
 pin_platform_from_env()  # sitecustomize outranks the env var alone
