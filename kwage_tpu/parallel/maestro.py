@@ -112,8 +112,46 @@ class SourceResolver:
         reference's VDB-cursor shape, sra_stream.cpp:90-211)."""
         return None
 
+    def open_bloom_stream(self, accession: str,
+                          force_unaligned: bool = False):
+        """Read stream in the reference's BLOOM ingest order
+        (make_bloom.cpp:170-300: primary alignments first, then fully
+        unaligned spots, for aligned runs), as a BloomStream carrying
+        live progress counters, or None. Default: wrap open_stream
+        (spot order, no counters -- correct for local files and
+        unaligned runs)."""
+        stream = self.open_stream(accession)
+        return None if stream is None else BloomStream(stream)
+
     def cleanup(self, accession: str, path: str) -> None:
         pass
+
+
+class BloomStream:
+    """A read-sequence stream plus its live ingest-progress counters
+    (sriracha.vdb.BloomStreamProgress, or None when the source has no
+    aligned/unaligned distinction)."""
+
+    def __init__(self, it, progress=None):
+        self._it = iter(it)
+        self.progress = progress
+
+    def __iter__(self):
+        return self._it
+
+
+def _colorspace_retry_signature(progress) -> bool:
+    """The aligned-colorspace failure signature (worker_main.cpp:301-310,
+    ncbi-vdb#31): every primary alignment streamed, unaligned reads known
+    to exist, none read. A failed build matching it retries once with
+    force_unaligned."""
+    return (
+        progress is not None
+        and progress.num_primary_align > 0
+        and progress.curr_primary_align == progress.num_primary_align
+        and progress.num_unaligned_read > 0
+        and progress.curr_unaligned_read == 0
+    )
 
 
 class LocalFastaResolver(SourceResolver):
@@ -210,6 +248,25 @@ class StreamingResolver(SourceResolver):
 
         return (seq for _, _, seq in stream_accession(accession))
 
+    def open_bloom_stream(self, accession: str,
+                          force_unaligned: bool = False):
+        """Bloom-order stream (make_bloom.cpp:170-300): with libncbi-vdb
+        present, aligned runs stream primary alignments first, then
+        fully unaligned spots, and the returned BloomStream's progress
+        counters let the worker detect the aligned-colorspace failure
+        signature. Pipe fallback is spot order (not bit-identical for
+        aligned runs -- PARITY.md)."""
+        from ..sriracha.sra_source import stream_accession_bloom
+        from ..sriracha.vdb import BloomStreamProgress
+
+        progress = BloomStreamProgress()
+        return BloomStream(
+            stream_accession_bloom(
+                accession, force_unaligned=force_unaligned, progress=progress
+            ),
+            progress,
+        )
+
     def cleanup(self, accession: str, path: str) -> None:
         import shutil
 
@@ -294,6 +351,65 @@ class MaestroOptions:
         )
 
 
+def _open_sra_bloom_stream(path: str, force_unaligned: bool = False):
+    """Bloom-order stream over a staged local .sra (a valid
+    VDBManagerPathType target), or None without libncbi-vdb."""
+    from ..sriracha import vdb
+
+    if os.environ.get("KWAGE_NO_VDB") == "1" or not vdb.available():
+        return None
+    progress = vdb.BloomStreamProgress()
+    return BloomStream(
+        vdb.stream_accession_bloom_vdb(
+            path, force_unaligned=force_unaligned, progress=progress),
+        progress,
+    )
+
+
+def _build_bloom_streamed(
+    open_stream_fn,
+    opt: "MaestroOptions",
+    info: FilterInfo,
+    bloom_out_path: str,
+) -> tuple[int, "BloomParam | None"]:
+    """Build + write one filter off a bloom-order stream, classifying the
+    outcome, with the aligned-colorspace forced-unaligned retry: a failed
+    attempt whose progress counters match the signature re-streams the
+    whole accession force-unaligned (worker_main.cpp:301-310).
+    ``open_stream_fn(force_unaligned)`` returns a BloomStream."""
+    from ..pipeline.make_bloom import build_bloom_from_sequences
+    from ..sriracha.sra_source import DownloadError
+
+    stream = open_stream_fn(False)
+    for attempt in range(2):
+        try:
+            if opt.device_build:
+                from ..pipeline.make_bloom import build_bloom_device
+
+                rec = build_bloom_device(stream, opt.build_options(), info)
+            else:
+                # The inventory's number_of_bases pre-sizes the counting
+                # filter exactly like the reference reads BASE_COUNT from
+                # SRA metadata (sra_meta.cpp:17-122).
+                rec = build_bloom_from_sequences(
+                    stream, opt.build_options(), info,
+                    num_bp_hint=info.number_of_bases or None,
+                )
+            write_bloom_file(bloom_out_path, rec)
+            return STATUS_BLOOM_SUCCESS, rec.param
+        except BloomInvalid:
+            return STATUS_BLOOM_INVALID, None
+        except Exception as e:  # noqa: BLE001 -- classified below
+            if attempt == 0 and _colorspace_retry_signature(
+                    getattr(stream, "progress", None)):
+                stream = open_stream_fn(True)
+                continue
+            if isinstance(e, DownloadError):
+                return STATUS_DOWNLOAD_FAIL, None
+            return STATUS_BLOOM_FAIL, None
+    raise AssertionError("unreachable")  # pragma: no cover
+
+
 def execute_bloom_task(
     acc: str,
     info: FilterInfo,
@@ -314,38 +430,42 @@ def execute_bloom_task(
     persist STATUS_DOWNLOAD_SUCCESS for crash resume.
     """
     if phase == "full" and opt.stream_sra:
-        stream = resolver.open_stream(acc)
+        stream = resolver.open_bloom_stream(acc)
         if stream is not None:
-            from ..pipeline.make_bloom import build_bloom_from_sequences
-            from ..sriracha.sra_source import DownloadError
+            first = [stream]
 
-            try:
-                if opt.device_build:
-                    from ..pipeline.make_bloom import build_bloom_device
+            def open_fn(forced: bool):
+                if not forced and first:
+                    return first.pop()
+                return resolver.open_bloom_stream(acc, force_unaligned=forced)
 
-                    rec = build_bloom_device(stream, opt.build_options(), info)
-                else:
-                    # The inventory's number_of_bases pre-sizes the
-                    # counting filter exactly like the reference reads
-                    # BASE_COUNT from SRA metadata (sra_meta.cpp:17-122).
-                    rec = build_bloom_from_sequences(
-                        stream, opt.build_options(), info,
-                        num_bp_hint=info.number_of_bases or None,
-                    )
-                write_bloom_file(bloom_out_path, rec)
-                return STATUS_BLOOM_SUCCESS, rec.param
-            except DownloadError:
-                return STATUS_DOWNLOAD_FAIL, None
-            except BloomInvalid:
-                return STATUS_BLOOM_INVALID, None
-            except Exception:
-                return STATUS_BLOOM_FAIL, None
+            return _build_bloom_streamed(open_fn, opt, info, bloom_out_path)
 
     path = resolver.lookup(acc) if phase == "bloom" else resolver.resolve(acc)
     if path is None:
         return STATUS_DOWNLOAD_FAIL, None
     if not opt.stream_sra and on_downloaded is not None:
         on_downloaded()
+    if path.endswith(".sra"):
+        # A staged .sra (prefetch mode, worker_main.cpp:384-474) is
+        # opaque to the FASTA/FASTQ parsers; read it through the VDB
+        # bloom stream -- local paths are valid VDBManagerPathType
+        # targets -- so aligned runs keep the reference's
+        # alignments-first ingest order (make_bloom.cpp:170-300).
+        stream = _open_sra_bloom_stream(path)
+        if stream is not None:
+            first = [stream]
+
+            def open_sra(forced: bool):
+                if not forced and first:
+                    return first.pop()
+                return _open_sra_bloom_stream(path, force_unaligned=forced)
+
+            status, param = _build_bloom_streamed(
+                open_sra, opt, info, bloom_out_path)
+            if not opt.save_sra:
+                resolver.cleanup(acc, path)
+            return status, param
     try:
         if opt.device_build:
             from ..io.sequence import iter_sequences
@@ -401,7 +521,7 @@ class BloomBatchWork:
     out: list                 # early (status) events: failures, routed jobs
     jobs: list                # fused-batch jobs [(source, FilterInfo)]
     job_meta: list            # (key, accession, cleanup path) per job
-    big_streams: list         # (key, read iterator, FilterInfo): live pipes
+    big_streams: list         # (key, acc, read iter, progress, FilterInfo)
     prep: "object | None"     # make_bloom.DeviceBatchPrep for the fused jobs
     t0: float
 
@@ -434,34 +554,63 @@ def prepare_bloom_batch(
         source: list[str] | str | None = None
         path: str | None = None
         try:
+            stream = open_fn = None
             if phase == "full" and opt.stream_sra:
-                stream = resolver.open_stream(acc)
+                stream = resolver.open_bloom_stream(acc)
                 if stream is not None:
-                    buf, _bp, exhausted = _take_until_bp(
-                        stream, _stream_batch_buffer_bp()
-                    )
-                    if exhausted:
-                        # Small accession: the bounded buffer joins the
-                        # fused batch dispatch.
-                        source = buf
-                    else:
-                        # Big accession: hand the buffered prefix + live
-                        # pipe to the device phase for a chunked
-                        # KMC-style build -- peak RAM is the chunk plus
-                        # the distinct-k-mer set, independent of
-                        # accession size.
-                        big_streams.append((key, chain(buf, stream), info))
-                        continue
-            if source is None:
+                    def open_fn(forced, _a=acc):  # noqa: E731
+                        return resolver.open_bloom_stream(
+                            _a, force_unaligned=forced)
+            if stream is None:
                 path = resolver.lookup(acc) if phase == "bloom" else resolver.resolve(acc)
                 if path is None:
                     out.append((key, STATUS_DOWNLOAD_FAIL, None, time.time() - t0))
                     continue
                 if not opt.stream_sra and on_downloaded is not None:
                     on_downloaded(key)
-                # Pass the path through: the batch builder parses and
-                # 2-bit-packs it natively (zero Python strings).
-                source = path
+                if path.endswith(".sra"):
+                    # Staged .sra: opaque to the FASTA/FASTQ parsers;
+                    # stream it through the VDB cursors in the
+                    # reference's bloom ingest order.
+                    stream = _open_sra_bloom_stream(path)
+                    if stream is not None:
+                        def open_fn(forced, _p=path):  # noqa: E731
+                            return _open_sra_bloom_stream(
+                                _p, force_unaligned=forced)
+                if stream is None:
+                    # Pass the path through: the batch builder parses and
+                    # 2-bit-packs it natively (zero Python strings).
+                    source = path
+            if stream is not None:
+                try:
+                    buf, _bp, exhausted = _take_until_bp(
+                        stream, _stream_batch_buffer_bp()
+                    )
+                except Exception:
+                    # Aligned-colorspace fallback: re-stream forced
+                    # unaligned (worker_main.cpp:301-310).
+                    if not _colorspace_retry_signature(
+                            getattr(stream, "progress", None)):
+                        raise
+                    stream = open_fn(True)
+                    buf, _bp, exhausted = _take_until_bp(
+                        stream, _stream_batch_buffer_bp()
+                    )
+                if exhausted:
+                    # Small accession: the bounded buffer joins the
+                    # fused batch dispatch.
+                    source = buf
+                else:
+                    # Big accession: hand the buffered prefix + live
+                    # pipe to the device phase for a chunked
+                    # KMC-style build -- peak RAM is the chunk plus
+                    # the distinct-k-mer set, independent of
+                    # accession size.
+                    big_streams.append((
+                        key, acc, open_fn, chain(buf, iter(stream)),
+                        getattr(stream, "progress", None), info, path,
+                    ))
+                    continue
         except DownloadError:
             out.append((key, STATUS_DOWNLOAD_FAIL, None, time.time() - t0))
             continue
@@ -498,9 +647,19 @@ def finish_bloom_batch(
 
     out = list(work.out)
     t0 = work.t0
-    for key, stream, info in work.big_streams:
+    for key, acc, open_fn, stream, progress, info, path in work.big_streams:
         try:
-            rec = build_bloom_device(stream, opt.build_options(), info)
+            try:
+                rec = build_bloom_device(stream, opt.build_options(), info)
+            except BloomInvalid:
+                raise
+            except Exception:
+                # Aligned-colorspace fallback: re-stream the whole
+                # accession force-unaligned (worker_main.cpp:301-310).
+                if not _colorspace_retry_signature(progress):
+                    raise
+                rec = build_bloom_device(
+                    open_fn(True), opt.build_options(), info)
             write_bloom_file(bloom_path_fn(key), rec)
             out.append((key, STATUS_BLOOM_SUCCESS, rec.param, time.time() - t0))
         except DownloadError:
@@ -509,6 +668,8 @@ def finish_bloom_batch(
             out.append((key, STATUS_BLOOM_INVALID, None, time.time() - t0))
         except Exception:
             out.append((key, STATUS_BLOOM_FAIL, None, time.time() - t0))
+        if path is not None and not opt.save_sra:
+            resolver.cleanup(acc, path)
 
     if work.prep is not None:
         if state is not None:

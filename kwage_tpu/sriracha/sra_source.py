@@ -238,3 +238,36 @@ def stream_accession(accession: str, rank: int = 0, ntasks: int = 1):
         raise DownloadError(
             SRA_DOWNLOAD_FILE_READ_ERROR, f"no reads streamed for {accession}"
         )
+
+def stream_accession_bloom(
+    accession: str,
+    force_unaligned: bool = False,
+    progress=None,
+):
+    """Yield bare read sequences in the reference's BLOOM ingest order
+    (make_bloom.cpp:170-300): primary alignments first, then fully
+    unaligned spots, for aligned runs; spot order otherwise.
+
+    Requires libncbi-vdb for the aligned-run order/content (the
+    PRIMARY_ALIGNMENT table is only reachable through the VDB API). The
+    fasterq-dump pipe fallback streams spots in spot order -- correct
+    content for unaligned runs, but NOT bit-identical to the reference
+    for aligned runs (the conservative-update counting Bloom is
+    order-sensitive). ``progress``, when given, must be a
+    vdb.BloomStreamProgress; callers use it to detect the
+    aligned-colorspace failure signature (worker_main.cpp:301-310).
+    """
+    if os.environ.get("KWAGE_NO_VDB") != "1":
+        from . import vdb
+
+        if vdb.available():
+            yield from vdb.stream_accession_bloom_vdb(
+                accession, force_unaligned=force_unaligned, progress=progress
+            )
+            return
+    for _idx, _sub, seq in stream_accession(accession):
+        if progress is not None:
+            progress.curr_read += 1
+            progress.num_read = progress.curr_read
+            progress.num_bp += len(seq)
+        yield seq

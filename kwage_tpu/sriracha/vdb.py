@@ -28,6 +28,7 @@ import ctypes
 import ctypes.util
 import os
 import time
+from dataclasses import dataclass
 
 from .sra_source import (
     SRA_DOWNLOAD_ADD_COLUMN_READ_ERROR,
@@ -229,8 +230,8 @@ def _stream_table(lib, tbl, rank: int, ntasks: int, flat: bool = False):
         lib.VCursorRelease(cur)
 
 
-def _db_has_sequence_table(lib, db) -> bool:
-    """contains(tables, "SEQUENCE") (sra_stream.cpp:145-162,213-218)."""
+def _db_table_names(lib, db) -> set[bytes]:
+    """The database's table-name set (sra_stream.cpp:145-162,213-218)."""
     kl = ctypes.c_void_p()
     if lib.VDatabaseListTbl(db, ctypes.byref(kl)):
         raise DownloadError(SRA_DOWNLOAD_LIST_TABLE_ERROR,
@@ -240,16 +241,40 @@ def _db_has_sequence_table(lib, db) -> bool:
         if lib.KNamelistCount(kl, ctypes.byref(n)):
             raise DownloadError(SRA_DOWNLOAD_NAME_LIST_ERROR,
                                 "KNamelistCount failed")
+        names: set[bytes] = set()
         for i in range(n.value):
             name = ctypes.c_char_p()
             if lib.KNamelistGet(kl, i, ctypes.byref(name)):
                 raise DownloadError(SRA_DOWNLOAD_NAME_LIST_ERROR,
                                     "KNamelistGet failed")
-            if name.value == b"SEQUENCE":
-                return True
-        return False
+            names.add(name.value)
+        return names
     finally:
         lib.KNamelistRelease(kl)
+
+
+def _db_has_sequence_table(lib, db) -> bool:
+    """contains(tables, "SEQUENCE") (sra_stream.cpp:145-162,213-218)."""
+    return b"SEQUENCE" in _db_table_names(lib, db)
+
+
+def _open_manager(lib) -> "ctypes.c_void_p":
+    mgr = ctypes.c_void_p()
+    if lib.VDBManagerMakeRead(ctypes.byref(mgr), None):
+        raise DownloadError(SRA_DOWNLOAD_NETWORK_FAILURE,
+                            "VDBManagerMakeRead failed")
+    return mgr
+
+
+def _resolve_path_type(lib, mgr, acc: bytes) -> int:
+    """PathType with the kptNotFound retry loop (sra_stream.cpp:113-130)."""
+    path_type = lib.VDBManagerPathType(mgr, b"%s", acc) & ~KPT_ALIAS
+    retry = 0
+    while path_type == KPT_NOTFOUND and retry < MAX_RETRY:
+        time.sleep(_retry_sleep())
+        path_type = lib.VDBManagerPathType(mgr, b"%s", acc) & ~KPT_ALIAS
+        retry += 1
+    return path_type
 
 
 def stream_accession_vdb(accession: str, rank: int = 0, ntasks: int = 1):
@@ -262,18 +287,10 @@ def stream_accession_vdb(accession: str, rank: int = 0, ntasks: int = 1):
     if lib is None:
         raise DownloadError(SRA_DOWNLOAD_VDB_ERROR, "libncbi-vdb not found")
 
-    mgr = ctypes.c_void_p()
-    if lib.VDBManagerMakeRead(ctypes.byref(mgr), None):
-        raise DownloadError(SRA_DOWNLOAD_NETWORK_FAILURE,
-                            "VDBManagerMakeRead failed")
+    mgr = _open_manager(lib)
     try:
         acc = accession.encode()
-        path_type = lib.VDBManagerPathType(mgr, b"%s", acc) & ~KPT_ALIAS
-        retry = 0
-        while path_type == KPT_NOTFOUND and retry < MAX_RETRY:
-            time.sleep(_retry_sleep())
-            path_type = lib.VDBManagerPathType(mgr, b"%s", acc) & ~KPT_ALIAS
-            retry += 1
+        path_type = _resolve_path_type(lib, mgr, acc)
 
         if path_type == KPT_DATABASE:
             db = ctypes.c_void_p()
@@ -309,6 +326,229 @@ def stream_accession_vdb(accession: str, rank: int = 0, ntasks: int = 1):
         else:
             # Invalid path type: most likely an unauthorized record
             # (sra_stream.cpp:200-204).
+            raise DownloadError(SRA_DOWNLOAD_CONTROLLED_ACCESS,
+                                f"path type {path_type} for {accession}")
+    finally:
+        lib.VDBManagerRelease(mgr)
+
+
+@dataclass
+class BloomStreamProgress:
+    """The ingest counters of the reference's BloomProgress
+    (make_bloom.h; updated make_bloom.cpp:181-299). Maestro's worker uses
+    them to detect the aligned-colorspace failure signature -- all
+    primary alignments read, unaligned reads known to exist but none
+    read -- and retry with force_unaligned (worker_main.cpp:301-310)."""
+
+    num_primary_align: int = 0
+    curr_primary_align: int = 0
+    num_unaligned_read: int = 0
+    curr_unaligned_read: int = 0
+    num_read: int = 0
+    curr_read: int = 0
+    num_bp: int = 0
+
+
+def _open_db_table(lib, db, name: bytes):
+    tbl = ctypes.c_void_p()
+    if lib.VDatabaseOpenTableRead(db, ctypes.byref(tbl), b"%s", name):
+        raise DownloadError(SRA_DOWNLOAD_NETWORK_FAILURE,
+                            f"VDatabaseOpenTableRead({name.decode()}) failed")
+    return tbl
+
+
+def _make_cursor(lib, tbl, columns: list[bytes]) -> tuple:
+    """Cached cursor + column ids + READ-column row range."""
+    cur = ctypes.c_void_p()
+    if lib.VTableCreateCachedCursorRead(
+            tbl, ctypes.byref(cur), DEFAULT_CURSOR_CACHE):
+        raise DownloadError(SRA_DOWNLOAD_CREATE_CURSOR_ERROR,
+                            "VTableCreateCachedCursorRead failed")
+    try:
+        ids = []
+        for col in columns:
+            cid = ctypes.c_uint32()
+            if lib.VCursorAddColumn(cur, ctypes.byref(cid), col):
+                raise DownloadError(SRA_DOWNLOAD_ADD_COLUMN_READ_ERROR,
+                                    f"VCursorAddColumn({col.decode()}) failed")
+            ids.append(cid.value)
+        if lib.VCursorOpen(cur):
+            raise DownloadError(SRA_DOWNLOAD_CURSOR_OPEN_ERROR,
+                                "VCursorOpen failed")
+        first = ctypes.c_int64()
+        count = ctypes.c_uint64()
+        if lib.VCursorIdRange(cur, ids[0], ctypes.byref(first),
+                              ctypes.byref(count)) or first.value < 0:
+            raise DownloadError(SRA_DOWNLOAD_VDB_ERROR, "VCursorIdRange failed")
+        return cur, ids, first.value, count.value
+    except DownloadError:
+        lib.VCursorRelease(cur)
+        raise
+
+
+def _stream_primary_alignments(lib, tbl, progress: BloomStreamProgress):
+    """Walk the PRIMARY_ALIGNMENT table's READ column -- the clipped
+    aligned bases ngs::Alignment::getAlignedFragmentBases returns -- one
+    sequence per alignment row (make_bloom.cpp:194-215)."""
+    cur, (read_col,), first, count = _make_cursor(lib, tbl, [b"READ"])
+    try:
+        for row in range(first, first + count):
+            _, base, _, seq_len = _cell(
+                lib, cur, row, read_col, SRA_DOWNLOAD_CELL_DATA_ERROR)
+            seq = ctypes.string_at(base, seq_len).decode("ascii", "replace")
+            progress.curr_primary_align += 1
+            progress.num_bp += len(seq)
+            yield seq
+    finally:
+        lib.VCursorRelease(cur)
+
+
+def _stream_unaligned_reads(lib, tbl, progress: BloomStreamProgress):
+    """The ngs::Read::unaligned category over the SEQUENCE table
+    (make_bloom.cpp:217-258): spots NONE of whose fragments have a
+    primary alignment, split per fragment. Two passes over one cursor:
+    the PRIMARY_ALIGNMENT_ID column (cheap) picks the unaligned spot
+    rows and fixes num_unaligned_read up front -- NGS knows the category
+    count before reading any bases, which is what makes the
+    aligned-colorspace failure signature (count > 0, none read)
+    detectable (worker_main.cpp:301-310) -- then READ/READ_LEN stream
+    only those rows. The unaligned mate of a partially-aligned spot is
+    deliberately missed (make_bloom.cpp:174-178)."""
+    cur, (read_col, len_col, pal_col), first, count = _make_cursor(
+        lib, tbl, [b"READ", b"READ_LEN", b"PRIMARY_ALIGNMENT_ID"])
+    try:
+        unaligned_rows = []
+        for row in range(first, first + count):
+            elem_bits, base, boff, n_ids = _cell(
+                lib, cur, row, pal_col, SRA_DOWNLOAD_CELL_DATA_ERROR)
+            if elem_bits != 64 or boff != 0:
+                raise DownloadError(SRA_DOWNLOAD_READ_FORMAT_ERROR,
+                                    f"PRIMARY_ALIGNMENT_ID cell format row {row}")
+            ids = ctypes.cast(
+                base, ctypes.POINTER(ctypes.c_int64 * n_ids)
+            ).contents[:] if n_ids else []
+            if all(i == 0 for i in ids):
+                unaligned_rows.append(row)
+        progress.num_unaligned_read = len(unaligned_rows)
+        for row in unaligned_rows:
+            elem_bits, base, boff, seq_len = _cell(
+                lib, cur, row, read_col, SRA_DOWNLOAD_CELL_DATA_ERROR)
+            if elem_bits != 8 or boff != 0:
+                raise DownloadError(SRA_DOWNLOAD_READ_FORMAT_ERROR,
+                                    f"READ cell format row {row}")
+            seq = ctypes.string_at(base, seq_len).decode("ascii", "replace")
+            elem_bits, lbase, boff, n_frag = _cell(
+                lib, cur, row, len_col, SRA_DOWNLOAD_CELL_DATA_ERROR)
+            if elem_bits != 32 or boff != 0:
+                raise DownloadError(SRA_DOWNLOAD_READ_FORMAT_ERROR,
+                                    f"READ_LEN cell format row {row}")
+            lens = ctypes.cast(
+                lbase, ctypes.POINTER(ctypes.c_uint32 * n_frag)
+            ).contents[:] if n_frag else []
+            pos = 0
+            for flen in lens:
+                progress.num_bp += flen
+                yield seq[pos:pos + flen]
+                pos += flen
+            progress.curr_unaligned_read += 1
+    finally:
+        lib.VCursorRelease(cur)
+
+
+def stream_accession_bloom_vdb(
+    accession: str,
+    force_unaligned: bool = False,
+    progress: BloomStreamProgress | None = None,
+):
+    """Yield bare sequences in the reference's Bloom ingest order
+    (make_bloom.cpp:170-300).
+
+    For runs whose PRIMARY_ALIGNMENT table is non-empty, the reference
+    streams every primary alignment's aligned bases FIRST (minimizing
+    random I/O), then the fragments of fully-unaligned spots. Runs with
+    no alignments -- and any run under ``force_unaligned``, the
+    aligned-colorspace fallback (worker_main.cpp:301-310) -- stream every
+    spot per fragment in spot order. The conservative-update counting
+    Bloom is order-sensitive, so reproducing this order (and content:
+    alignment records, not raw spots) is required for bit-identical
+    ``.bloom`` output on aligned accessions.
+
+    ``progress`` (when given) is updated live so a caller that fails
+    mid-stream can detect the colorspace signature and retry forced.
+    """
+    lib = _load()
+    if lib is None:
+        raise DownloadError(SRA_DOWNLOAD_VDB_ERROR, "libncbi-vdb not found")
+    if progress is None:
+        progress = BloomStreamProgress()
+
+    mgr = _open_manager(lib)
+    try:
+        acc = accession.encode()
+        path_type = _resolve_path_type(lib, mgr, acc)
+
+        if path_type == KPT_DATABASE:
+            db = ctypes.c_void_p()
+            if lib.VDBManagerOpenDBRead(mgr, ctypes.byref(db), None,
+                                        b"%s", acc):
+                raise DownloadError(SRA_DOWNLOAD_NETWORK_FAILURE,
+                                    "VDBManagerOpenDBRead failed")
+            try:
+                tables = _db_table_names(lib, db)
+                if b"SEQUENCE" not in tables:
+                    raise DownloadError(SRA_DOWNLOAD_VDB_ERROR,
+                                        "no SEQUENCE table")
+                aligned = False
+                if b"PRIMARY_ALIGNMENT" in tables and not force_unaligned:
+                    # Step 1 (make_bloom.cpp:181): getAlignmentCount --
+                    # the table's row count decides the branch.
+                    ptbl = _open_db_table(lib, db, b"PRIMARY_ALIGNMENT")
+                    try:
+                        cur, _ids, _f, n_align = _make_cursor(
+                            lib, ptbl, [b"READ"])
+                        lib.VCursorRelease(cur)
+                        progress.num_primary_align = n_align
+                        if n_align > 0:
+                            aligned = True
+                            yield from _stream_primary_alignments(
+                                lib, ptbl, progress)
+                    finally:
+                        lib.VTableRelease(ptbl)
+                stbl = _open_db_table(lib, db, b"SEQUENCE")
+                try:
+                    if aligned:
+                        yield from _stream_unaligned_reads(
+                            lib, stbl, progress)
+                    else:
+                        prev_row = None
+                        for row, _sub, seq in _stream_table(
+                                lib, stbl, 0, 1):
+                            if row != prev_row:
+                                progress.curr_read += 1
+                                progress.num_read = progress.curr_read
+                                prev_row = row
+                            progress.num_bp += len(seq)
+                            yield seq
+                finally:
+                    lib.VTableRelease(stbl)
+            finally:
+                lib.VDatabaseRelease(db)
+        elif path_type in (KPT_TABLE, KPT_PRERELEASE_TBL):
+            tbl = ctypes.c_void_p()
+            if lib.VDBManagerOpenTableRead(mgr, ctypes.byref(tbl), None,
+                                           b"%s", acc):
+                raise DownloadError(SRA_DOWNLOAD_NETWORK_FAILURE,
+                                    "VDBManagerOpenTableRead failed")
+            try:
+                for _row, _sub, seq in _stream_table(lib, tbl, 0, 1,
+                                                     flat=True):
+                    progress.curr_read += 1
+                    progress.num_read = progress.curr_read
+                    progress.num_bp += len(seq)
+                    yield seq
+            finally:
+                lib.VTableRelease(tbl)
+        else:
             raise DownloadError(SRA_DOWNLOAD_CONTROLLED_ACCESS,
                                 f"path type {path_type} for {accession}")
     finally:

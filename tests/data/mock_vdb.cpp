@@ -7,6 +7,18 @@
 //   <acc>.controlled -> PathType reports kptFile (unauthorized branch)
 //   <acc>.flaky      -> first PathType call returns kptNotFound
 //   <acc>.cellflaky  -> first VCursorCellDataDirect per row fails once
+// Aligned-run layout (the make_bloom.cpp:181-258 ingest shape):
+//   <acc>.pal        -> PRIMARY_ALIGNMENT table exists; one aligned READ
+//                       per line (row order = stream order)
+//   <acc>.palid      -> SEQUENCE PRIMARY_ALIGNMENT_ID column: one line
+//                       per spot, '|'-separated int64 ids per fragment
+//                       (0 = that fragment is unaligned); absent file =
+//                       all zeros (every spot fully unaligned)
+//   <acc>.unalbroken -> READ cells fail persistently on a SEQUENCE
+//                       cursor that also selected PRIMARY_ALIGNMENT_ID
+//                       -- the ncbi-vdb#31 aligned-colorspace bug shape
+//                       (reading the unaligned category fails; reading
+//                       ALL reads via a plain cursor works)
 //
 // The exported surface matches the subset of the VDB C API the binding
 // (and the reference's sra_stream.cpp) uses; rc_t 0 = OK.
@@ -28,6 +40,7 @@ struct Accession {
   std::string name;
   std::vector<std::string> spot_seq;                 // concatenated fragments
   std::vector<std::vector<uint32_t>> spot_lens;      // per-fragment lengths
+  std::vector<std::vector<int64_t>> spot_palids;     // per-fragment align ids
 };
 
 std::string data_dir() {
@@ -62,17 +75,57 @@ bool load(const std::string& acc, Accession* out) {
     out->spot_seq.push_back(seq);
     out->spot_lens.push_back(lens);
   }
+  // PRIMARY_ALIGNMENT_ID sidecar: one line per spot, '|'-separated int64
+  // per fragment. Absent -> all zeros (every spot fully unaligned).
+  out->spot_palids.assign(out->spot_seq.size(), {});
+  for (size_t i = 0; i < out->spot_seq.size(); ++i)
+    out->spot_palids[i].assign(out->spot_lens[i].size(), 0);
+  std::ifstream pf(data_dir() + "/" + acc + ".palid");
+  if (pf.good()) {
+    size_t i = 0;
+    while (std::getline(pf, line) && i < out->spot_palids.size()) {
+      std::vector<int64_t> ids;
+      size_t start = 0;
+      while (start <= line.size()) {
+        size_t bar = line.find('|', start);
+        std::string tok = line.substr(
+            start, bar == std::string::npos ? std::string::npos : bar - start);
+        ids.push_back(tok.empty() ? 0 : std::strtoll(tok.c_str(), nullptr, 10));
+        if (bar == std::string::npos) break;
+        start = bar + 1;
+      }
+      out->spot_palids[i++] = ids;
+    }
+  }
+  return true;
+}
+
+// PRIMARY_ALIGNMENT table: one aligned READ per line of <acc>.pal
+// (single-fragment rows; READ_LEN/PRIMARY_ALIGNMENT_ID never queried).
+bool load_pal(const std::string& acc, Accession* out) {
+  std::ifstream f(data_dir() + "/" + acc + ".pal");
+  if (!f.good()) return false;
+  out->name = acc;
+  std::string line;
+  while (std::getline(f, line)) {
+    if (line.empty()) continue;
+    out->spot_seq.push_back(line);
+    out->spot_lens.push_back({static_cast<uint32_t>(line.size())});
+    out->spot_palids.push_back({0});
+  }
   return true;
 }
 
 struct Cursor {
   Accession acc;
   bool open = false;
+  bool has_palid_col = false;          // cursor selected PRIMARY_ALIGNMENT_ID
   std::set<int64_t> cell_failed_once;  // rows that already failed once
 };
 
 struct Handle {            // manager / db / table all carry the accession
   std::string acc;
+  std::string table = "SEQUENCE";
 };
 
 std::map<std::string, int> path_type_calls;
@@ -144,9 +197,13 @@ uint32_t VDatabaseOpenTableRead(void* db, void** tbl, const char* fmt, ...) {
   va_start(ap, fmt);
   std::string name = va_path(fmt, ap);
   va_end(ap);
-  if (name != "SEQUENCE") return 1;
+  const std::string acc = static_cast<Handle*>(db)->acc;
+  if (name != "SEQUENCE" &&
+      !(name == "PRIMARY_ALIGNMENT" && marker(acc, ".pal")))
+    return 1;
   auto* h = new Handle();
-  h->acc = static_cast<Handle*>(db)->acc;
+  h->acc = acc;
+  h->table = name;
   *tbl = h;
   return 0;
 }
@@ -155,19 +212,24 @@ uint32_t VTableRelease(void* tbl) {
   return 0;
 }
 
-// Namelist: always exactly {"SEQUENCE"} for a database.
-uint32_t VDatabaseListTbl(void*, void** kl) {
-  *kl = new Handle();
+// Namelist: {"SEQUENCE"} plus PRIMARY_ALIGNMENT when <acc>.pal exists.
+uint32_t VDatabaseListTbl(void* db, void** kl) {
+  auto* h = new Handle();
+  h->acc = static_cast<Handle*>(db)->acc;
+  *kl = h;
   return 0;
 }
-uint32_t KNamelistCount(void*, uint32_t* n) {
-  *n = 1;
+uint32_t KNamelistCount(void* kl, uint32_t* n) {
+  *n = marker(static_cast<Handle*>(kl)->acc, ".pal") ? 2 : 1;
   return 0;
 }
-uint32_t KNamelistGet(void*, uint32_t i, const char** name) {
-  if (i != 0) return 1;
-  *name = "SEQUENCE";
-  return 0;
+uint32_t KNamelistGet(void* kl, uint32_t i, const char** name) {
+  if (i == 0) { *name = "SEQUENCE"; return 0; }
+  if (i == 1 && marker(static_cast<Handle*>(kl)->acc, ".pal")) {
+    *name = "PRIMARY_ALIGNMENT";
+    return 0;
+  }
+  return 1;
 }
 uint32_t KNamelistRelease(void* kl) {
   delete static_cast<Handle*>(kl);
@@ -175,8 +237,11 @@ uint32_t KNamelistRelease(void* kl) {
 }
 
 uint32_t VTableCreateCachedCursorRead(void* tbl, void** cur, size_t) {
+  auto* h = static_cast<Handle*>(tbl);
   auto* c = new Cursor();
-  if (!load(static_cast<Handle*>(tbl)->acc, &c->acc)) {
+  const bool ok = h->table == "PRIMARY_ALIGNMENT" ? load_pal(h->acc, &c->acc)
+                                                  : load(h->acc, &c->acc);
+  if (!ok) {
     delete c;
     return 1;
   }
@@ -194,6 +259,11 @@ uint32_t VCursorAddColumn(void* cur, uint32_t* id, const char* fmt, ...) {
   va_end(ap);
   if (name == "READ") { *id = 1; return 0; }
   if (name == "READ_LEN") { *id = 2; return 0; }
+  if (name == "PRIMARY_ALIGNMENT_ID") {
+    *id = 3;
+    static_cast<Cursor*>(cur)->has_palid_col = true;
+    return 0;
+  }
   return 1;
 }
 uint32_t VCursorOpen(void* cur) {
@@ -216,6 +286,9 @@ uint32_t VCursorCellDataDirect(void* cur, int64_t row, uint32_t col,
       c->cell_failed_once.insert(row * 10 + col).second) {
     return 1;  // transient failure: the binding must retry
   }
+  if (col == 1 && c->has_palid_col && marker(c->acc.name, ".unalbroken")) {
+    return 1;  // persistent: the aligned-colorspace bug shape (ncbi-vdb#31)
+  }
   const size_t i = static_cast<size_t>(row - 1);
   if (col == 1) {
     *elem_bits = 8;
@@ -229,6 +302,13 @@ uint32_t VCursorCellDataDirect(void* cur, int64_t row, uint32_t col,
     *base = c->acc.spot_lens[i].data();
     *boff = 0;
     *row_len = static_cast<uint32_t>(c->acc.spot_lens[i].size());
+    return 0;
+  }
+  if (col == 3) {
+    *elem_bits = 64;
+    *base = c->acc.spot_palids[i].data();
+    *boff = 0;
+    *row_len = static_cast<uint32_t>(c->acc.spot_palids[i].size());
     return 0;
   }
   return 1;

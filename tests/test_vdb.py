@@ -252,3 +252,277 @@ def test_cli_sliced_no_vdb_env_materializes(vdb_env, data_dir, tmp_path,
     assert rc == 0
     text = out.read_text()
     assert "Download failed" not in text and text.strip().endswith("//")
+
+
+# ---------------------------------------------------------------------------
+# Aligned-accession Bloom ingest (make_bloom.cpp:170-300)
+# ---------------------------------------------------------------------------
+
+def _write_aligned(d, acc, spots, palids, alignments):
+    """Aligned-run layout: spots + per-fragment alignment ids + the
+    PRIMARY_ALIGNMENT table's READ rows."""
+    _write_spots(d, acc, spots)
+    with open(d / f"{acc}.palid", "w") as f:
+        for ids in palids:
+            f.write("|".join(str(i) for i in ids) + "\n")
+    with open(d / f"{acc}.pal", "w") as f:
+        for seq in alignments:
+            f.write(seq + "\n")
+
+
+ALIGNED_SPOTS = [
+    ["AAAATTTTCCCC", "GGGGAAAATTTT"],   # partially aligned (frag 1 aligned)
+    ["CCCCGGGGAAAA"],                   # fully unaligned
+    ["TTTTCCCCGGGG", "ACACACACACAC"],   # fully unaligned
+]
+ALIGNED_PALIDS = [[5, 0], [0], [0, 0]]
+# Alignment READ rows differ from the raw spots (clipped bases) to prove
+# content comes from PRIMARY_ALIGNMENT, not the SEQUENCE table.
+ALIGNED_READS = ["AAATTTTCCC", "GTGTGTGTGT"]
+
+
+def test_aligned_run_streams_alignments_first(vdb_env):
+    """Primary alignments stream FIRST (PRIMARY_ALIGNMENT.READ -- the
+    aligned bases of getAlignedFragmentBases), then the fragments of
+    fully-UNALIGNED spots only; the unaligned mate of a partially aligned
+    spot is deliberately missed (make_bloom.cpp:174-258)."""
+    from kwage_tpu.sriracha.vdb import (
+        BloomStreamProgress,
+        stream_accession_bloom_vdb,
+    )
+
+    _write_aligned(vdb_env, "SRRA000001", ALIGNED_SPOTS, ALIGNED_PALIDS,
+                   ALIGNED_READS)
+    progress = BloomStreamProgress()
+    got = list(stream_accession_bloom_vdb("SRRA000001", progress=progress))
+    assert got == ALIGNED_READS + [
+        "CCCCGGGGAAAA", "TTTTCCCCGGGG", "ACACACACACAC",
+    ]
+    assert progress.num_primary_align == 2
+    assert progress.curr_primary_align == 2
+    assert progress.num_unaligned_read == 2
+    assert progress.curr_unaligned_read == 2
+    assert progress.num_bp == sum(len(s) for s in got)
+
+
+def test_aligned_run_force_unaligned_streams_all_spots(vdb_env):
+    """force_unaligned (the aligned-colorspace fallback,
+    worker_main.cpp:301-310) streams EVERY spot per fragment in spot
+    order, ignoring PRIMARY_ALIGNMENT."""
+    from kwage_tpu.sriracha.vdb import stream_accession_bloom_vdb
+
+    _write_aligned(vdb_env, "SRRA000002", ALIGNED_SPOTS, ALIGNED_PALIDS,
+                   ALIGNED_READS)
+    got = list(stream_accession_bloom_vdb("SRRA000002", force_unaligned=True))
+    assert got == [f for frags in ALIGNED_SPOTS for f in frags]
+
+
+def test_aligned_run_empty_alignment_table_uses_spot_order(vdb_env):
+    """getAlignmentCount == 0 takes the unaligned branch even when the
+    PRIMARY_ALIGNMENT table exists (make_bloom.cpp:188,260-300)."""
+    from kwage_tpu.sriracha.vdb import (
+        BloomStreamProgress,
+        stream_accession_bloom_vdb,
+    )
+
+    _write_spots(vdb_env, "SRRA000003", ALIGNED_SPOTS)
+    (vdb_env / "SRRA000003.pal").touch()  # table present, zero rows
+    progress = BloomStreamProgress()
+    got = list(stream_accession_bloom_vdb("SRRA000003", progress=progress))
+    assert got == [f for frags in ALIGNED_SPOTS for f in frags]
+    assert progress.num_primary_align == 0
+    assert progress.curr_read == len(ALIGNED_SPOTS)
+
+
+def test_unaligned_run_bloom_stream_is_spot_order(vdb_env):
+    """Runs without a PRIMARY_ALIGNMENT table stream all spots per
+    fragment, identical to the search stream's sequence order."""
+    from kwage_tpu.sriracha.vdb import (
+        stream_accession_bloom_vdb,
+        stream_accession_vdb,
+    )
+
+    _write_spots(vdb_env, "SRRA000004", ALIGNED_SPOTS)
+    got = list(stream_accession_bloom_vdb("SRRA000004"))
+    assert got == [s for _, _, s in stream_accession_vdb("SRRA000004")]
+
+
+def test_bloom_order_sensitivity_is_load_bearing():
+    """The conservative-update counting Bloom is order-sensitive: under
+    counting-filter aliasing, a permuted read stream yields a DIFFERENT
+    .bloom, so reproducing the reference's alignments-first ingest order
+    (make_bloom.cpp:181-258) is required for bit parity -- not cosmetic."""
+    import numpy as np
+
+    from kwage_tpu.core.info import FilterInfo
+    from kwage_tpu.pipeline.make_bloom import (
+        BuildOptions,
+        build_bloom_from_sequences,
+    )
+
+    opts = BuildOptions(kmer_len=11, min_kmer_count=2,
+                        min_log_2_count_len=8, max_log_2_count_len=8,
+                        min_log_2_filter_len=10, max_log_2_filter_len=14)
+    r = np.random.default_rng(0)
+    reads = ["".join(r.choice(list("ACGT"), size=40)) for _ in range(30)]
+    fwd = build_bloom_from_sequences(list(reads), opts, FilterInfo())
+    rev = build_bloom_from_sequences(list(reversed(reads)), opts, FilterInfo())
+    assert fwd.bits.tobytes() != rev.bits.tobytes()
+
+
+def _stream_opts(tmp_path, **kw):
+    from kwage_tpu.parallel.maestro import MaestroOptions
+
+    kw.setdefault("stream_sra", True)
+    return MaestroOptions(
+        scratch_bloom_dir=str(tmp_path),
+        kmer_len=11, min_kmer_count=1,
+        min_log_2_filter_len=10, max_log_2_filter_len=14, **kw,
+    )
+
+
+def test_worker_colorspace_fallback_retries_force_unaligned(vdb_env, tmp_path):
+    """The ncbi-vdb#31 signature -- all primary alignments read, unaligned
+    reads exist, none read -- retries the whole build force-unaligned
+    (worker_main.cpp:301-310); the result equals a clean forced build."""
+    from kwage_tpu.io.bloom_file import read_bloom_file, write_bloom_file
+    from kwage_tpu.core.info import FilterInfo
+    from kwage_tpu.parallel.maestro import (
+        STATUS_BLOOM_SUCCESS,
+        StreamingResolver,
+        execute_bloom_task,
+    )
+    from kwage_tpu.pipeline.make_bloom import build_bloom_from_sequences
+    from kwage_tpu.sriracha.vdb import stream_accession_bloom_vdb
+
+    acc = "SRRA000005"
+    _write_aligned(vdb_env, acc, ALIGNED_SPOTS, ALIGNED_PALIDS, ALIGNED_READS)
+    (vdb_env / f"{acc}.unalbroken").touch()
+
+    opt = _stream_opts(tmp_path)
+    out = tmp_path / f"{acc}.bloom"
+    status, param = execute_bloom_task(
+        acc, FilterInfo(), "full",
+        StreamingResolver(str(tmp_path / "scratch")), opt, str(out),
+    )
+    assert status == STATUS_BLOOM_SUCCESS
+
+    forced = build_bloom_from_sequences(
+        list(stream_accession_bloom_vdb(acc, force_unaligned=True)),
+        opt.build_options(), FilterInfo(),
+    )
+    got = read_bloom_file(str(out))
+    assert got.bits.tobytes() == forced.bits.tobytes()
+    assert got.param == forced.param
+
+
+def test_worker_aligned_stream_builds_aligned_order(vdb_env, tmp_path):
+    """A healthy aligned run builds from the alignments-first stream --
+    byte-equal to building from that exact sequence list."""
+    from kwage_tpu.io.bloom_file import read_bloom_file
+    from kwage_tpu.core.info import FilterInfo
+    from kwage_tpu.parallel.maestro import (
+        STATUS_BLOOM_SUCCESS,
+        StreamingResolver,
+        execute_bloom_task,
+    )
+    from kwage_tpu.pipeline.make_bloom import build_bloom_from_sequences
+
+    acc = "SRRA000006"
+    _write_aligned(vdb_env, acc, ALIGNED_SPOTS, ALIGNED_PALIDS, ALIGNED_READS)
+    opt = _stream_opts(tmp_path)
+    out = tmp_path / f"{acc}.bloom"
+    status, _ = execute_bloom_task(
+        acc, FilterInfo(), "full",
+        StreamingResolver(str(tmp_path / "scratch")), opt, str(out),
+    )
+    assert status == STATUS_BLOOM_SUCCESS
+    want_seqs = ALIGNED_READS + ["CCCCGGGGAAAA", "TTTTCCCCGGGG", "ACACACACACAC"]
+    want = build_bloom_from_sequences(
+        want_seqs, opt.build_options(), FilterInfo())
+    assert read_bloom_file(str(out)).bits.tobytes() == want.bits.tobytes()
+
+
+def test_staged_sra_path_streams_vdb_bloom_order(vdb_env, tmp_path):
+    """A resolver that stages <acc>.sra routes through the VDB bloom
+    stream (local paths are valid VDBManagerPathType targets), keeping
+    aligned-first order in prefetch (non-streaming) mode."""
+    import os
+
+    from kwage_tpu.io.bloom_file import read_bloom_file
+    from kwage_tpu.core.info import FilterInfo
+    from kwage_tpu.parallel.maestro import (
+        STATUS_BLOOM_SUCCESS,
+        SourceResolver,
+        execute_bloom_task,
+    )
+    from kwage_tpu.pipeline.make_bloom import build_bloom_from_sequences
+
+    acc = "SRRA000007"
+    sra_path = tmp_path / "staged" / f"{acc}.sra"
+    sra_path.parent.mkdir()
+    sra_path.touch()
+    # The mock resolves "<path>.vdb" relative to FAKE_VDB_DIR: mirror the
+    # absolute staged path inside it.
+    mirror = str(vdb_env) + str(sra_path)
+    os.makedirs(os.path.dirname(mirror), exist_ok=True)
+
+    class Staged(SourceResolver):
+        def resolve(self, a):
+            return str(sra_path)
+
+    import pathlib
+    mirror_dir = pathlib.Path(os.path.dirname(mirror))
+    _write_aligned(mirror_dir, f"{acc}.sra", ALIGNED_SPOTS, ALIGNED_PALIDS,
+                   ALIGNED_READS)
+
+    opt = _stream_opts(tmp_path, stream_sra=False, save_sra=True)
+    out = tmp_path / f"{acc}.bloom"
+    status, _ = execute_bloom_task(
+        acc, FilterInfo(), "full", Staged(), opt, str(out),
+    )
+    assert status == STATUS_BLOOM_SUCCESS
+    want_seqs = ALIGNED_READS + ["CCCCGGGGAAAA", "TTTTCCCCGGGG", "ACACACACACAC"]
+    want = build_bloom_from_sequences(
+        want_seqs, opt.build_options(), FilterInfo())
+    assert read_bloom_file(str(out)).bits.tobytes() == want.bits.tobytes()
+
+
+@pytest.mark.parametrize("buffer_bp", [None, "10"])
+def test_batch_colorspace_fallback(vdb_env, tmp_path, monkeypatch, buffer_bp):
+    """The batched (device-build) worker path retries force-unaligned on
+    the colorspace signature too -- both when the failure hits while
+    buffering a small accession (prepare) and mid-stream on a big one
+    routed to the chunked builder (finish, KWAGE_STREAM_BUFFER_BP
+    shrunk)."""
+    from kwage_tpu.io.bloom_file import read_bloom_file
+    from kwage_tpu.core.info import FilterInfo
+    from kwage_tpu.parallel.maestro import (
+        STATUS_BLOOM_SUCCESS,
+        StreamingResolver,
+        execute_bloom_batch,
+    )
+    from kwage_tpu.pipeline.make_bloom import build_bloom_device
+    from kwage_tpu.sriracha.vdb import stream_accession_bloom_vdb
+
+    if buffer_bp is not None:
+        monkeypatch.setenv("KWAGE_STREAM_BUFFER_BP", buffer_bp)
+    acc = "SRRA000008"
+    _write_aligned(vdb_env, acc, ALIGNED_SPOTS, ALIGNED_PALIDS, ALIGNED_READS)
+    (vdb_env / f"{acc}.unalbroken").touch()
+
+    opt = _stream_opts(tmp_path, device_build=True)
+    out = tmp_path / f"{acc}.bloom"
+    results = execute_bloom_batch(
+        [(0, acc, FilterInfo(), "full")],
+        StreamingResolver(str(tmp_path / "scratch")), opt,
+        lambda key: str(out),
+    )
+    (key, status, param, _t) = results[0]
+    assert (key, status) == (0, STATUS_BLOOM_SUCCESS)
+
+    forced = build_bloom_device(
+        list(stream_accession_bloom_vdb(acc, force_unaligned=True)),
+        opt.build_options(), FilterInfo(),
+    )
+    assert read_bloom_file(str(out)).bits.tobytes() == forced.bits.tobytes()

@@ -38,7 +38,13 @@ import time
 import numpy as np
 
 # Runnable straight from a checkout, with or without `pip install -e .`.
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+# Child processes (python -m kwage_tpu.cli.*) need the same: prepend the
+# repo root to PYTHONPATH so spawned CLIs import from this checkout too.
+os.environ["PYTHONPATH"] = _REPO_ROOT + (
+    os.pathsep + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else ""
+)
 
 N_ACC = int(os.environ.get("SCALE_N_ACC", "4350"))
 HALT = int(os.environ.get("SCALE_HALT", "4200"))

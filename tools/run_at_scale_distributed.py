@@ -25,7 +25,13 @@ import tempfile
 import time
 
 # Runnable straight from a checkout, with or without `pip install -e .`.
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+# Child processes (python -m kwage_tpu.cli.*) need the same: prepend the
+# repo root to PYTHONPATH so spawned CLIs import from this checkout too.
+os.environ["PYTHONPATH"] = _REPO_ROOT + (
+    os.pathsep + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else ""
+)
 
 
 def log(phase, **kw):
