@@ -5,13 +5,15 @@ tree (sra_meta.cpp:17-122) so the counting filter can be pre-sized before
 any read is streamed. This engine's equivalents:
 
 - local FASTA/FASTQ(.gz) files: one streaming pass counting bases/spots;
-- SRA accessions: shell out to the SRA toolkit's ``sra-stat`` when it is
-  installed (the only supported VDB access path in this environment;
-  libncbi-vdb bindings are gated off).
+- SRA accessions: the reference's exact KMetadata read through the
+  libncbi-vdb ctypes layer when the library is present
+  (sriracha/vdb.py:vdb_number_of_bases), else shell out to the SRA
+  toolkit's ``sra-stat -x`` (same numbers, subprocess cost).
 """
 
 from __future__ import annotations
 
+import os
 import shutil
 import subprocess
 import xml.etree.ElementTree as ET
@@ -30,12 +32,23 @@ def number_of_bases(path: str) -> tuple[int, int]:
 
 
 def sra_number_of_bases(accession: str) -> tuple[int, int]:
-    """(base_count, spot_count) for an SRA accession via ``sra-stat -x``.
+    """(base_count, spot_count) for an SRA accession, zero reads streamed.
 
-    Raises RuntimeError when the SRA toolkit is unavailable or the probe
-    fails -- callers fall back to buffering the stream (the same behavior
-    the reference has when the metadata node is missing).
+    Prefers the direct ``STATS/TABLE`` KMetadata read (the reference's
+    path, sra_meta.cpp:17-122) via the libncbi-vdb ctypes layer; falls
+    back to a ``sra-stat -x`` subprocess probe. Raises RuntimeError when
+    neither is available or both fail -- callers fall back to buffering
+    the stream (the same behavior the reference has when the metadata
+    node is missing).
     """
+    if os.environ.get("KWAGE_NO_VDB") != "1":
+        from ..sriracha import vdb
+
+        if vdb.meta_available():
+            try:
+                return vdb.vdb_number_of_bases(accession)
+            except vdb.DownloadError:
+                pass  # node missing / open failure: try the toolkit probe
     exe = shutil.which("sra-stat")
     if exe is None:
         raise RuntimeError(

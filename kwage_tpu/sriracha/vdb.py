@@ -553,3 +553,138 @@ def stream_accession_bloom_vdb(
                                 f"path type {path_type} for {accession}")
     finally:
         lib.VDBManagerRelease(mgr)
+
+
+# ---------------------------------------------------------------------------
+# SRA metadata (KMetadata) -- counting-filter pre-sizing without reading
+# any sequence data (sra_meta.cpp:17-122, itself based on sra-stat.c).
+# ---------------------------------------------------------------------------
+
+_META_REQUIRED = (
+    "VDBManagerMakeSRASchema", "VSchemaRelease",
+    "VTableOpenKTableRead", "KTableRelease",
+    "KTableOpenMetadataRead", "KMetadataRelease",
+    "KMetadataOpenNodeRead", "KMDataNodeOpenNodeRead",
+    "KMDataNodeReadAsU64", "KMDataNodeRelease",
+)
+
+_META_BOUND: "set[int]" = set()
+
+
+def _bind_meta(lib) -> bool:
+    """Bind the KMetadata surface lazily; False when the library predates
+    it (the cursor streaming API stays usable either way)."""
+    if id(lib) in _META_BOUND:
+        return True
+    try:
+        for name in _META_REQUIRED:
+            getattr(lib, name)
+    except AttributeError:
+        return False
+    u32, u64 = ctypes.c_uint32, ctypes.c_uint64
+    vp, vpp = ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p)
+    lib.VDBManagerMakeSRASchema.restype = u32
+    lib.VDBManagerMakeSRASchema.argtypes = [vp, vpp]
+    lib.VSchemaRelease.restype = u32
+    lib.VSchemaRelease.argtypes = [vp]
+    lib.VTableOpenKTableRead.restype = u32
+    lib.VTableOpenKTableRead.argtypes = [vp, vpp]
+    lib.KTableRelease.restype = u32
+    lib.KTableRelease.argtypes = [vp]
+    lib.KTableOpenMetadataRead.restype = u32
+    lib.KTableOpenMetadataRead.argtypes = [vp, vpp]
+    lib.KMetadataRelease.restype = u32
+    lib.KMetadataRelease.argtypes = [vp]
+    lib.KMetadataOpenNodeRead.restype = u32        # varargs: leave loose
+    lib.KMDataNodeOpenNodeRead.restype = u32       # varargs
+    lib.KMDataNodeReadAsU64.restype = u32
+    lib.KMDataNodeReadAsU64.argtypes = [vp, ctypes.POINTER(u64)]
+    lib.KMDataNodeRelease.restype = u32
+    lib.KMDataNodeRelease.argtypes = [vp]
+    _META_BOUND.add(id(lib))
+    return True
+
+
+def meta_available() -> bool:
+    """True when libncbi-vdb is loadable AND exposes the KMetadata API."""
+    lib = _load()
+    return lib is not None and _bind_meta(lib)
+
+
+def _read_stats_u64(lib, node, name: bytes) -> int:
+    sub = ctypes.c_void_p()
+    if lib.KMDataNodeOpenNodeRead(node, ctypes.byref(sub), b"%s", name):
+        raise DownloadError(SRA_DOWNLOAD_VDB_ERROR,
+                            f"KMDataNodeOpenNodeRead({name.decode()}) failed")
+    try:
+        val = ctypes.c_uint64()
+        if lib.KMDataNodeReadAsU64(sub, ctypes.byref(val)):
+            raise DownloadError(SRA_DOWNLOAD_VDB_ERROR,
+                                f"KMDataNodeReadAsU64({name.decode()}) failed")
+        return int(val.value)
+    finally:
+        lib.KMDataNodeRelease(sub)
+
+
+def vdb_number_of_bases(accession: str) -> tuple[int, int]:
+    """(BASE_COUNT, SPOT_COUNT) from the run's ``STATS/TABLE`` metadata
+    node -- zero sequence data read (sra_meta.cpp:17-122): open the flat
+    table with the SRA schema, falling back to database/SEQUENCE when the
+    run is a database (the reference keys the fallback on
+    rcTable/rcIncorrect; any open failure routes there here), then
+    KTable -> KMetadata -> STATS/TABLE -> BASE_COUNT. SPOT_COUNT (also
+    under STATS/TABLE, sra-stat.c) reads 0 when absent -- the reference
+    only consumes BASE_COUNT. Raises DownloadError on any failure; the
+    caller falls back to the sra-stat subprocess probe or to buffering."""
+    lib = _load()
+    if lib is None or not _bind_meta(lib):
+        raise DownloadError(SRA_DOWNLOAD_VDB_ERROR,
+                            "libncbi-vdb KMetadata API not available")
+    mgr = _open_manager(lib)
+    schema = ctypes.c_void_p()
+    db = ctypes.c_void_p()
+    vtbl = ctypes.c_void_p()
+    ktbl = ctypes.c_void_p()
+    meta = ctypes.c_void_p()
+    node = ctypes.c_void_p()
+    acc = accession.encode()
+    try:
+        if lib.VDBManagerMakeSRASchema(mgr, ctypes.byref(schema)):
+            raise DownloadError(SRA_DOWNLOAD_VDB_ERROR,
+                                "VDBManagerMakeSRASchema failed")
+        if lib.VDBManagerOpenTableRead(mgr, ctypes.byref(vtbl), schema,
+                                       b"%s", acc):
+            # Not a flat table: database/SEQUENCE (sra_meta.cpp:42-55).
+            if lib.VDBManagerOpenDBRead(mgr, ctypes.byref(db), schema,
+                                        b"%s", acc):
+                raise DownloadError(SRA_DOWNLOAD_NETWORK_FAILURE,
+                                    "VDBManagerOpenDBRead failed")
+            if lib.VDatabaseOpenTableRead(db, ctypes.byref(vtbl),
+                                          b"%s", b"SEQUENCE"):
+                raise DownloadError(SRA_DOWNLOAD_VDB_ERROR,
+                                    "VDatabaseOpenTableRead failed")
+        if lib.VTableOpenKTableRead(vtbl, ctypes.byref(ktbl)):
+            raise DownloadError(SRA_DOWNLOAD_VDB_ERROR,
+                                "VTableOpenKTableRead failed")
+        if lib.KTableOpenMetadataRead(ktbl, ctypes.byref(meta)):
+            raise DownloadError(SRA_DOWNLOAD_VDB_ERROR,
+                                "KTableOpenMetadataRead failed")
+        if lib.KMetadataOpenNodeRead(meta, ctypes.byref(node),
+                                     b"%s", b"STATS/TABLE"):
+            raise DownloadError(SRA_DOWNLOAD_VDB_ERROR,
+                                "KMetadataOpenNodeRead(STATS/TABLE) failed")
+        base_count = _read_stats_u64(lib, node, b"BASE_COUNT")
+        try:
+            spot_count = _read_stats_u64(lib, node, b"SPOT_COUNT")
+        except DownloadError:
+            spot_count = 0
+        return base_count, spot_count
+    finally:
+        for handle, rel in (
+            (node, lib.KMDataNodeRelease), (meta, lib.KMetadataRelease),
+            (ktbl, lib.KTableRelease), (vtbl, lib.VTableRelease),
+            (db, lib.VDatabaseRelease), (schema, lib.VSchemaRelease),
+        ):
+            if handle.value:
+                rel(handle)
+        lib.VDBManagerRelease(mgr)

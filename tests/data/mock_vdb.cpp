@@ -187,6 +187,11 @@ uint32_t VDBManagerOpenTableRead(void* mgr, void** tbl, void*,
   va_start(ap, fmt);
   std::string acc = va_path(fmt, ap);
   va_end(ap);
+  // Like the real library: a database accession is NOT a flat table
+  // (rcTable/rcIncorrect in sra_meta.cpp:42-43); callers fall back to
+  // OpenDBRead + SEQUENCE.
+  Accession a;
+  if (load(acc, &a) && !marker(acc, ".flat")) return 1;
   auto* h = new Handle();
   h->acc = acc;
   *tbl = h;
@@ -312,6 +317,98 @@ uint32_t VCursorCellDataDirect(void* cur, int64_t row, uint32_t col,
     return 0;
   }
   return 1;
+}
+
+// ---------------------------------------------------------------------
+// KMetadata surface (sra_meta.cpp:17-122): values come from
+// $FAKE_VDB_DIR/<acc>.meta lines "BASE_COUNT=N" / "SPOT_COUNT=M".
+// Absent file or key -> rc 1 at the corresponding open.
+// ---------------------------------------------------------------------
+
+uint32_t VDBManagerMakeSRASchema(void*, void** schema) {
+  *schema = new Handle();
+  return 0;
+}
+uint32_t VSchemaRelease(void* s) {
+  delete static_cast<Handle*>(s);
+  return 0;
+}
+uint32_t VTableOpenKTableRead(void* vtbl, void** ktbl) {
+  auto* h = new Handle();
+  h->acc = static_cast<Handle*>(vtbl)->acc;
+  *ktbl = h;
+  return 0;
+}
+uint32_t KTableRelease(void* k) {
+  delete static_cast<Handle*>(k);
+  return 0;
+}
+uint32_t KTableOpenMetadataRead(void* ktbl, void** meta) {
+  const std::string acc = static_cast<Handle*>(ktbl)->acc;
+  if (!marker(acc, ".meta")) return 1;
+  auto* h = new Handle();
+  h->acc = acc;
+  *meta = h;
+  return 0;
+}
+uint32_t KMetadataRelease(void* m) {
+  delete static_cast<Handle*>(m);
+  return 0;
+}
+namespace {
+// Both the STATS/TABLE node and its value subnodes are KMDataNodes.
+struct MetaNode {
+  std::string acc;
+  uint64_t value = 0;
+};
+bool meta_lookup(const std::string& acc, const std::string& key,
+                 uint64_t* out) {
+  std::ifstream f(data_dir() + "/" + acc + ".meta");
+  std::string line;
+  while (std::getline(f, line)) {
+    size_t eq = line.find('=');
+    if (eq == std::string::npos) continue;
+    if (line.substr(0, eq) == key) {
+      *out = std::strtoull(line.c_str() + eq + 1, nullptr, 10);
+      return true;
+    }
+  }
+  return false;
+}
+}  // namespace
+
+uint32_t KMetadataOpenNodeRead(void* meta, void** node, const char* fmt, ...) {
+  va_list ap;
+  va_start(ap, fmt);
+  std::string path = va_path(fmt, ap);
+  va_end(ap);
+  if (path != "STATS/TABLE") return 1;
+  auto* h = new MetaNode();
+  h->acc = static_cast<Handle*>(meta)->acc;
+  *node = h;
+  return 0;
+}
+uint32_t KMDataNodeOpenNodeRead(void* node, void** sub, const char* fmt, ...) {
+  va_list ap;
+  va_start(ap, fmt);
+  std::string name = va_path(fmt, ap);
+  va_end(ap);
+  auto* parent = static_cast<MetaNode*>(node);
+  uint64_t v;
+  if (!meta_lookup(parent->acc, name, &v)) return 1;
+  auto* m = new MetaNode();
+  m->acc = parent->acc;
+  m->value = v;
+  *sub = m;
+  return 0;
+}
+uint32_t KMDataNodeReadAsU64(void* sub, uint64_t* out) {
+  *out = static_cast<MetaNode*>(sub)->value;
+  return 0;
+}
+uint32_t KMDataNodeRelease(void* sub) {
+  delete static_cast<MetaNode*>(sub);
+  return 0;
 }
 
 }  // extern "C"

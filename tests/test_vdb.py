@@ -526,3 +526,56 @@ def test_batch_colorspace_fallback(vdb_env, tmp_path, monkeypatch, buffer_bp):
         opt.build_options(), FilterInfo(),
     )
     assert read_bloom_file(str(out)).bits.tobytes() == forced.bits.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Direct VDB metadata (sra_meta.cpp:17-122)
+# ---------------------------------------------------------------------------
+
+def test_vdb_metadata_database_fallback(vdb_env):
+    """A database accession is not a flat table: OpenTableRead fails and
+    the read falls back to OpenDBRead + SEQUENCE (sra_meta.cpp:42-55),
+    then KTable -> KMetadata -> STATS/TABLE -> BASE_COUNT."""
+    from kwage_tpu.sriracha.vdb import meta_available, vdb_number_of_bases
+
+    _write_spots(vdb_env, "SRRM000001", [["ACGTACGT"]])
+    (vdb_env / "SRRM000001.meta").write_text(
+        "BASE_COUNT=12345\nSPOT_COUNT=67\n")
+    assert meta_available()
+    assert vdb_number_of_bases("SRRM000001") == (12345, 67)
+
+
+def test_vdb_metadata_flat_table_direct(vdb_env):
+    """Flat-table accessions open directly; SPOT_COUNT absent reads 0
+    (the reference only consumes BASE_COUNT)."""
+    from kwage_tpu.sriracha.vdb import vdb_number_of_bases
+
+    _write_spots(vdb_env, "SRRM000002", [["ACGT"]], flat=True)
+    (vdb_env / "SRRM000002.meta").write_text("BASE_COUNT=999\n")
+    assert vdb_number_of_bases("SRRM000002") == (999, 0)
+
+
+def test_vdb_metadata_missing_node_raises(vdb_env):
+    from kwage_tpu.sriracha.sra_source import DownloadError
+    from kwage_tpu.sriracha.vdb import vdb_number_of_bases
+
+    _write_spots(vdb_env, "SRRM000003", [["ACGT"]])
+    with pytest.raises(DownloadError):
+        vdb_number_of_bases("SRRM000003")
+
+
+def test_sra_meta_prefers_library(vdb_env, monkeypatch):
+    """pipeline.sra_meta.sra_number_of_bases uses the KMetadata read when
+    libncbi-vdb is present -- no sra-stat subprocess; KWAGE_NO_VDB=1
+    routes to the toolkit probe (RuntimeError when absent)."""
+    import kwage_tpu.pipeline.sra_meta as sm
+
+    _write_spots(vdb_env, "SRRM000004", [["ACGT"]])
+    (vdb_env / "SRRM000004.meta").write_text(
+        "BASE_COUNT=4242\nSPOT_COUNT=11\n")
+    monkeypatch.setattr(sm.shutil, "which", lambda _name: None)
+    assert sm.sra_number_of_bases("SRRM000004") == (4242, 11)
+
+    monkeypatch.setenv("KWAGE_NO_VDB", "1")
+    with pytest.raises(RuntimeError):
+        sm.sra_number_of_bases("SRRM000004")
