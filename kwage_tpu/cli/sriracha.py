@@ -50,6 +50,10 @@ def usage() -> None:
     print("\t[--device (run the batched TPU search kernel)]", file=e)
     print("\t[--threads <n> (host-path search threads over the read range; "
           "the reference's OpenMP local-file split)]", file=e)
+    print("\t[--merge-slices <slice TSV> (repeatable; merge independent "
+          "--slice/--of outputs into the single-job TSV: re-sort, re-cull "
+          "to --max-results, all-slices-agree // terminator. Give the "
+          "same -i/-a/accession arguments as the sliced runs)]", file=e)
     print("\tSearch strategies", file=e)
     print("\t\t[--search-by-kmer] (default)", file=e)
     print(f"\t\t\t[-k <k-mer length>] (default is {DEFAULT_KMER_LENGTH})", file=e)
@@ -64,6 +68,7 @@ def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     start = time.time()
     opt = SrirachaOptions()
+    merge_slices: list[str] = []
 
     try:
         flags, args = getopt.gnu_getopt(
@@ -72,7 +77,7 @@ def main(argv: list[str] | None = None) -> int:
             ["search-by-align", "search-by-kmer", "search-by-bloom",
              "read.len.min=", "read.complexity.min=", "max-results=",
              "vv", "vvv", "vvvv", "retry=", "slice=", "of=", "device",
-             "threads="],
+             "threads=", "merge-slices="],
         )
     except getopt.GetoptError as e:
         print(e, file=sys.stderr)
@@ -120,6 +125,8 @@ def main(argv: list[str] | None = None) -> int:
             opt.num_slice = max(1, int(val))
         elif flag == "--threads":
             opt.num_threads = max(1, int(val))
+        elif flag == "--merge-slices":
+            merge_slices.append(val)
         elif flag == "--device":
             opt.use_device = True
         elif flag in ("-h", "-?"):
@@ -153,6 +160,47 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if not opt.input_sequence_files:
         print("Please specify at least one input sequence file (-i)", file=sys.stderr)
+        return 0
+
+    if merge_slices:
+        # Cross-slice merge mode (engine extension mechanics, reference
+        # semantics): reproduce rank 0's gather + re-sort + re-cull +
+        # all-slices-agree terminator (SriRachA/main.cpp:462-578) from
+        # independently written --slice/--of TSVs. -i and the accession
+        # arguments fix the output ordering exactly as they did for the
+        # sliced runs.
+        from ..io.sequence import iter_sequences
+        from ..sriracha.engine import merge_slice_tsvs
+
+        deflines = []
+        for path in opt.input_sequence_files:
+            deflines += [d for d, _ in iter_sequences(path)]
+        accessions = list(opt.sra_accession)
+        if opt.sra_accession_filename:
+            with open(opt.sra_accession_filename) as f:
+                accessions += f.read().split()
+        if not accessions:
+            accessions = sys.stdin.read().split()
+        try:
+            texts = []
+            for path in merge_slices:
+                with open(path) as f:
+                    texts.append(f.read())
+            merged = merge_slice_tsvs(
+                texts, deflines, accessions, opt.max_num_match)
+        except (OSError, ValueError) as e:
+            print(f"slice merge failed: {e}", file=sys.stderr)
+            return 1
+        if opt.output_filename:
+            try:
+                with open(opt.output_filename, "w") as f:
+                    f.write(merged)
+            except OSError:
+                print(f"Unable to open {opt.output_filename} for writing",
+                      file=sys.stderr)
+                return 0
+        else:
+            sys.stdout.write(merged)
         return 0
 
     if opt.output_filename:

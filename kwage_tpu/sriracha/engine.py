@@ -538,3 +538,99 @@ def search_accession(
         iter_reads_range(path, opt.slice_index, opt.num_slice, num_read),
         subject_kmers, opt, stats,
     )
+
+
+def merge_slice_tsvs(
+    slice_texts: "list[str]",
+    subject_deflines: "list[str]",
+    accessions: "list[str]",
+    max_num_match: int,
+) -> str:
+    """Rank-0 cross-slice merge of independently written --slice/--of
+    TSVs (the MPI gather + re-cull of SriRachA/main.cpp:462-578).
+
+    The reference's rank 0 concatenates every rank's per-subject match
+    deques, re-sorts by the SearchMatch ordering (score descending, then
+    read index, then subindex) and re-culls to max_num_match before
+    anything is written; all ranks agree on per-accession failure via
+    MPI_Allreduce(MAX) -- any failed rank turns the whole accession into
+    one ``NA`` line -- and the final ``//`` terminator is written only
+    when no accession failed anywhere. Here each slice's TSV plays the
+    role of the packed result buffer: a slice ending in ``//`` vouches
+    that it saw no failures, so the merged output ends in ``//`` iff
+    every slice did.
+
+    ``subject_deflines`` (the -i query deflines, in load order) and
+    ``accessions`` (the CLI accession order) reconstruct rank 0's output
+    ordering, which the slice files alone cannot fix (an accession or
+    query absent from a slice leaves no ordering trace).
+
+    Transport note: scores ride the TSV as %g text (6 significant
+    digits) and are compared as float32 after re-parsing; two *distinct*
+    scores that render identically would tie here and fall back to the
+    read-index order. Score steps are 1/num_query_kmers, so this needs
+    queries with >~10^5 k-mers to even be possible.
+    """
+    if len(set(subject_deflines)) != len(subject_deflines):
+        raise ValueError(
+            "duplicate query deflines: cross-slice merge cannot attribute "
+            "TSV rows to a unique query"
+        )
+    order = {d: i for i, d in enumerate(subject_deflines)}
+
+    rows: dict[str, dict[str, list]] = {}   # acc -> defline -> [row...]
+    failures: dict[str, str] = {}           # acc -> failure line
+    all_terminated = bool(slice_texts)
+    for text in slice_texts:
+        lines = text.splitlines()
+        if lines and lines[-1] == "//":
+            lines.pop()
+        else:
+            all_terminated = False
+        for line in lines:
+            parts = line.split("\t", 4)
+            if len(parts) == 4 and parts[1] == "NA":
+                # Per-accession failure line "<acc>\tNA\t0\t<error>"
+                # (main.cpp:538-543): any slice's failure wins for the
+                # whole accession.
+                failures.setdefault(parts[0], line)
+                continue
+            if len(parts) != 5:
+                raise ValueError(f"malformed slice TSV row: {line!r}")
+            acc, idx, score_text, seq, defline = parts
+            if defline not in order:
+                raise ValueError(f"TSV row for unknown query: {defline!r}")
+            if "." in idx:
+                ridx, rsub = (int(x) for x in idx.split(".", 1))
+            else:
+                ridx, rsub = int(idx), 0
+            rows.setdefault(acc, {}).setdefault(defline, []).append(
+                (float(np.float32(score_text)), ridx, rsub, line)
+            )
+
+    out: list[str] = []
+    seen: set[str] = set()
+    for acc_arg in accessions:
+        acc = extract_sra_accession(acc_arg)
+        if acc in seen:
+            continue
+        seen.add(acc)
+        if acc in failures:
+            out.append(failures[acc] + "\n")
+            continue
+        per_subject = rows.get(acc, {})
+        for defline in sorted(per_subject, key=order.__getitem__):
+            bucket = per_subject[defline]
+            bucket.sort(key=lambda r: (-r[0], r[1], r[2]))
+            if max_num_match > 0 and len(bucket) > max_num_match:
+                del bucket[max_num_match:]
+            out.extend(r[3] + "\n" for r in bucket)
+    leftover = set(rows) - seen | set(failures) - seen
+    if leftover:
+        raise ValueError(
+            f"slice TSV rows for accessions not in the merge argument "
+            f"list: {sorted(leftover)}"
+        )
+    if all_terminated and not failures:
+        out.append("//\n")
+    return "".join(out)

@@ -402,3 +402,55 @@ def test_native_scan_callback_exception_propagates(tmp_path):
     opt = SrirachaOptions(kmer_len=21, kmer_match_threshold=0.2)
     with pytest.raises(UnicodeDecodeError):
         eng._search_file_range_native(str(fa), 1, 1 << 62, subj, opt, None)
+
+
+@pytest.mark.parametrize("with_failure", [False, True])
+def test_merge_slices_reproduces_single_process(data_dir, tmp_path,
+                                                with_failure):
+    """--merge-slices over N independent --slice/--of TSVs reproduces the
+    single-process TSV byte-for-byte: gather + re-sort + re-cull to
+    --max-results + the all-slices-agree // terminator
+    (SriRachA/main.cpp:462-578). A failed accession (any slice) collapses
+    to one NA line and suppresses the terminator everywhere."""
+    from kwage_tpu.cli.sriracha import main
+
+    args = ["-k", "11", "-t", "0.4", "--max-results", "3",
+            "-i", str(data_dir / "sriracha_queries.fasta")]
+    accs = [str(data_dir / "sriracha_reads.fasta")]
+    if with_failure:
+        accs.append("SRRNOPE00")
+
+    single = tmp_path / "single.tsv"
+    assert main(args + ["-o", str(single)] + accs) == 0
+
+    margs = args + []
+    for sl in range(3):
+        p = tmp_path / f"s{sl}.tsv"
+        assert main(args + ["-o", str(p), "--slice", str(sl), "--of", "3"]
+                    + accs) == 0
+        margs += ["--merge-slices", str(p)]
+
+    merged = tmp_path / "merged.tsv"
+    assert main(margs + ["-o", str(merged)] + accs) == 0
+    assert merged.read_bytes() == single.read_bytes()
+
+    text = single.read_text()
+    rows = [l for l in text.splitlines() if "\t" in l and "\tNA\t" not in l]
+    assert len(rows) >= 3  # the re-cull boundary is actually exercised
+    if with_failure:
+        assert "\tNA\t0\t" in text and not text.strip().endswith("//")
+    else:
+        assert text.strip().endswith("//")
+
+
+def test_merge_slices_rejects_unknown_rows(data_dir, tmp_path):
+    """Slice rows for accessions missing from the merge arguments are an
+    error, not silent drops."""
+    from kwage_tpu.cli.sriracha import main
+
+    p = tmp_path / "s0.tsv"
+    p.write_text("GHOST\t1\t0.5\tACGT\tq1\n//\n")
+    rc = main(["-k", "11", "-i", str(data_dir / "sriracha_queries.fasta"),
+               "--merge-slices", str(p), "-o", str(tmp_path / "m.tsv"),
+               str(data_dir / "sriracha_reads.fasta")])
+    assert rc == 1
