@@ -73,7 +73,11 @@ def usage() -> None:
     print("\t[--source-dir <directory of local <accession>.fasta files>] (engine extension)", file=e)
     print("\t[--prefetch (resolve accessions with the SRA toolkit)] (engine extension)", file=e)
     print("\t[--workers <N>] (engine extension, default 4)", file=e)
-    print("\t[--device-build (exact-count thresholding on the TPU)] (engine extension)", file=e)
+    print("\t[--device-build (exact-count thresholding on the TPU; "
+          "NOT counting-Bloom-aliased: with min.kmer.count > 1, bits can "
+          "differ from reference-built filters whenever the reference's "
+          "counting filter aliases -- see README 'Device-build parity "
+          "envelope')] (engine extension)", file=e)
     print("\t[--compress (write zlib-chunked .dbz database files)] (engine extension)", file=e)
     print("\t[--device-transpose (bit-slice transpose on the TPU)] (engine extension)", file=e)
     print("\t[--lazy-inventory (index the inventory; load records on demand)] (engine extension)", file=e)

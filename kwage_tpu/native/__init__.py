@@ -113,6 +113,7 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         u32, u32, u32, u32, ctypes.c_float,
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
         ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64)]
+    lib.kn_transpose_bits.argtypes = [u8p, u64, u64, u8p, u64]
     lib.kn_build_inventory.restype = ctypes.c_int64
     lib.kn_build_inventory.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
@@ -626,3 +627,25 @@ def murmur32_native(words: np.ndarray, k: int, num_seeds: int) -> np.ndarray:
         words.shape[0], k, num_seeds,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
     return out
+
+
+def transpose_bits_native(
+    filter_bytes: "np.ndarray", num_filter: int
+) -> "np.ndarray | None":
+    """Packed bit-matrix transpose [F, nbytes] -> [8*nbytes,
+    ceil(num_filter/8)] (the .db build's filters -> bit-slices step,
+    build_db.cpp:280-362), LSB-first both sides. Delta-swap 8x8 blocks
+    with output-resident tiling -- ~50x numpy's unpack/transpose/pack on
+    the 2048-filter x 2^18-bit design point. None without the library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(filter_bytes, dtype=np.uint8)
+    F, nbytes = src.shape
+    stride = max((num_filter + 7) // 8, 1)
+    dst = np.empty((8 * nbytes, stride), dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.kn_transpose_bits(
+        src.ctypes.data_as(u8p), F, nbytes, dst.ctypes.data_as(u8p), stride
+    )
+    return dst

@@ -1849,6 +1849,79 @@ extern "C" {
 // count written, or a negative code (-1 input open, -2 parse, -3 read,
 // -5 output open, -6 write failure) with a message in err
 // (NUL-terminated, truncated to err_cap).
+// Transpose a packed bit matrix (the .db build's filters -> bit-slices
+// step, build_db.cpp:280-362): src is [num_filter rows x nbytes cols]
+// (8*nbytes bits per filter, LSB-first within each byte); dst is
+// [8*nbytes rows x dst_stride cols] with bit f%8 of dst[bit][f/8] =
+// bit (8j+b) of filter f. Delta-swap 8x8 bit-block transpose
+// (Hacker's Delight 7-3) with a source-byte tile sized so the output
+// working set stays cache-resident; tail columns of each dst row
+// (past ceil(num_filter/8)) are zero-filled.
+void kn_transpose_bits(const uint8_t* src, uint64_t num_filter,
+                       uint64_t nbytes, uint8_t* dst, uint64_t dst_stride) {
+  const uint64_t fb_total = (num_filter + 7) / 8;
+  if (dst_stride > fb_total) {
+    // Zero the padding columns once (rows x [fb_total, dst_stride)).
+    for (uint64_t r = 0; r < 8 * nbytes; ++r) {
+      memset(dst + r * dst_stride + fb_total, 0, dst_stride - fb_total);
+    }
+  }
+  // 64x64-bit blocks: one unaligned u64 load per source row octet, an
+  // in-register transpose (Hacker's Delight fig. 7-6), one u64 store
+  // per output row. Power-of-2 dst strides (2048-filter files -> 256 B)
+  // alias cache sets badly under byte-granular scatter; u64 stores cut
+  // the store count 8x and the j-tile keeps the touched dst window
+  // (8*tile rows x stride) L2-resident across the filter sweep.
+  const uint64_t nf64 = (num_filter + 63) / 64;
+  uint64_t tile = (128 * 1024) / (8 * (dst_stride ? dst_stride : 1));
+  tile &= ~(uint64_t)7;  // whole 8-byte block columns
+  if (tile < 8) tile = 8;
+  uint64_t a[64];
+  for (uint64_t j0 = 0; j0 < nbytes; j0 += tile) {
+    const uint64_t j1 = j0 + tile < nbytes ? j0 + tile : nbytes;
+    for (uint64_t g = 0; g < nf64; ++g) {
+      const uint64_t f0 = g * 64;
+      const uint64_t nrow =
+          num_filter - f0 < 64 ? num_filter - f0 : 64;
+      const uint64_t col = f0 / 8;                 // dst byte column
+      const uint64_t cbytes =                      // writable dst bytes
+          fb_total - col < 8 ? fb_total - col : 8;
+      for (uint64_t j8 = j0; j8 < j1; j8 += 8) {
+        const uint64_t jb = nbytes - j8 < 8 ? nbytes - j8 : 8;
+        for (uint64_t k = 0; k < nrow; ++k) {
+          uint64_t v = 0;
+          memcpy(&v, src + (f0 + k) * nbytes + j8, jb);
+          a[k] = v;
+        }
+        for (uint64_t k = nrow; k < 64; ++k) a[k] = 0;
+        // In-place 64x64 bit transpose, LSB-first columns: bit b of a[k]
+        // <-> bit k of a[b] (delta-swap network mirrored from Hacker's
+        // Delight fig. 7-6, whose original form anti-transposes under
+        // LSB-first indexing).
+        uint64_t m = 0x00000000FFFFFFFFULL;
+        for (unsigned s = 32; s != 0; s >>= 1, m ^= m << s) {
+          for (unsigned k = 0; k < 64; k = (k + s + 1) & ~s) {
+            const uint64_t t = ((a[k] >> s) ^ a[k | s]) & m;
+            a[k | s] ^= t;
+            a[k] ^= (t << s);
+          }
+        }
+        uint8_t* o = dst + (uint64_t)8 * j8 * dst_stride + col;
+        const uint64_t nb = 8 * jb;                // valid output rows
+        if (cbytes == 8) {
+          for (uint64_t b = 0; b < nb; ++b) {
+            memcpy(o + b * dst_stride, &a[b], 8);
+          }
+        } else {
+          for (uint64_t b = 0; b < nb; ++b) {
+            memcpy(o + b * dst_stride, &a[b], cbytes);
+          }
+        }
+      }
+    }
+  }
+}
+
 int64_t kn_build_inventory(const char* tar_path, const char* out_path,
                            const char* strategies, const char* sources,
                            const uint64_t* include, uint64_t n_include,

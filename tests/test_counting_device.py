@@ -175,3 +175,57 @@ def test_batched_device_build_mixed_filter_lengths():
         assert got[j].param == want.param
         assert got[j].bits.tobytes() == want.bits.tobytes()
     assert got[0].param.log_2_filter_len != got[1].param.log_2_filter_len
+
+
+def test_device_build_parity_envelope():
+    """The documented envelope (README 'Device-build parity envelope'):
+    with a collision-free counting filter, device (exact-count) and host
+    (counting-Bloom) builds are bit-identical at min_count > 1; when the
+    counting filter is forced to alias, they diverge -- and the device
+    side equals the exact ground truth, proving the divergence is the
+    reference approximation's, not ours."""
+    import numpy as np
+
+    from kwage_tpu.core.info import FilterInfo
+    from kwage_tpu.core.words import canonical_kmers
+    from kwage_tpu.pipeline.make_bloom import (
+        BuildOptions,
+        build_bloom_device,
+        build_bloom_from_sequences,
+    )
+
+    rng = np.random.default_rng(3)
+    reads = ["".join(rng.choice(list("ACGT"), size=60)) for _ in range(40)]
+    reads += reads[:15]  # repeats so min_count=2 passes some k-mers
+
+    def exact_valid_count(k, min_count):
+        from collections import Counter
+
+        c = Counter()
+        for s in reads:
+            c.update(canonical_kmers(s, k).tolist())
+        return sum(1 for v in c.values() if v >= min_count)
+
+    # Collision-free sizing: bit-identical.
+    free = BuildOptions(kmer_len=15, min_kmer_count=2,
+                        min_log_2_count_len=22, max_log_2_count_len=22,
+                        min_log_2_filter_len=10, max_log_2_filter_len=16)
+    host = build_bloom_from_sequences(list(reads), free, FilterInfo())
+    dev = build_bloom_device(list(reads), free, FilterInfo())
+    assert host.bits.tobytes() == dev.bits.tobytes()
+    assert host.param == dev.param
+
+    # Forced aliasing: the counting path deviates; the device path stays
+    # on the exact ground truth.
+    tight = BuildOptions(kmer_len=15, min_kmer_count=2,
+                         min_log_2_count_len=7, max_log_2_count_len=7,
+                         min_log_2_filter_len=10, max_log_2_filter_len=16)
+    host_a = build_bloom_from_sequences(list(reads), tight, FilterInfo())
+    dev_a = build_bloom_device(list(reads), tight, FilterInfo())
+    assert dev_a.bits.tobytes() != host_a.bits.tobytes()
+    from kwage_tpu.core.params import optimal_bloom_param
+
+    assert dev_a.param == optimal_bloom_param(
+        15, exact_valid_count(15, 2), tight.false_positive_probability,
+        tight.hash_func, tight.min_log_2_filter_len,
+        tight.max_log_2_filter_len)

@@ -330,3 +330,33 @@ def test_native_wrappers_match_twins_on_non_ascii():
     got = search_all_native(slices, qs, 11, 3, 12, 40, 0.5)
     for q, seq in enumerate(qs):
         assert got[q] == search_database(R(), seq, 0.5, slices=slices), q
+
+
+def test_transpose_bits_native_matches_numpy_twin():
+    """kn_transpose_bits (64x64 delta-swap blocks) == the numpy
+    unpack/transpose/pack fallback across shapes incl. block edges and
+    padded output columns."""
+    import numpy as np
+
+    from kwage_tpu.native import transpose_bits_native
+
+    rng = np.random.default_rng(42)
+    for F, nb in [(1, 1), (7, 3), (8, 8), (63, 9), (64, 8), (65, 17),
+                  (129, 100), (400, 513), (2048, 64)]:
+        m = rng.integers(0, 256, size=(F, nb), dtype=np.uint8)
+        got = transpose_bits_native(m, F)
+        if got is None:  # toolchain absent
+            import pytest
+
+            pytest.skip("native library unavailable")
+        bits = np.unpackbits(m, axis=1, bitorder="little")
+        ref = np.packbits(bits.T, axis=1, bitorder="little")
+        want = (F + 7) // 8
+        if ref.shape[1] < want:
+            ref = np.pad(ref, ((0, 0), (0, want - ref.shape[1])))
+        assert got.shape == ref.shape and np.array_equal(got, ref), (F, nb)
+        # num_filter > F pads zero columns on the right.
+        wide = transpose_bits_native(m, F + 16)
+        assert wide.shape[1] == (F + 16 + 7) // 8
+        assert np.array_equal(wide[:, :ref.shape[1]], ref)
+        assert not wide[:, ref.shape[1]:].any()

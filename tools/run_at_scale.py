@@ -151,6 +151,53 @@ def main() -> int:
             filters_per_sec=round((n_b - n_a) / dt_b, 1),
             db_files=db_files))
 
+        # -- device probe (shared by device build + device search) ------
+        want_device = os.environ.get("SCALE_DEVICE")
+        use_device = want_device == "1"
+        if want_device is None:
+            # Probe in a SUBPROCESS with a deadline: on this box a dead
+            # accelerator tunnel makes backend init / the first readback
+            # hang rather than raise, which would wedge the whole proof.
+            try:
+                probe = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax, numpy\n"
+                     "x = jax.numpy.ones((64, 64))\n"
+                     "numpy.asarray(x @ x)\n"
+                     "print(jax.devices()[0].platform)"],
+                    capture_output=True, text=True,
+                    timeout=int(os.environ.get("SCALE_PROBE_TIMEOUT", 240)))
+                use_device = (probe.returncode == 0
+                              and "cpu" not in probe.stdout)
+            except (subprocess.TimeoutExpired, OSError):
+                use_device = False
+
+        # -- device-build at scale (same corpus prefix, fresh scratch) --
+        if use_device:
+            n_dev = min(int(os.environ.get("SCALE_DEVICE_N", "1024")), N_ACC)
+            dopt = MaestroOptions(
+                metadata_file=inv,
+                scratch_bloom_dir=os.path.join(work, "dbloom"),
+                scratch_database_dir=os.path.join(work, "ddb"),
+                status_file=os.path.join(work, "dstatus.bin"),
+                min_kmer_count=2,
+                kmer_len=K,
+                num_workers=2,
+                lazy_inventory=True,
+                limit_num_download=n_dev,
+                device_build=True,
+            )
+            t0 = time.perf_counter()
+            dm = Maestro(dopt, LocalFastaResolver(src))
+            dm.restore()
+            dm.run()
+            dt_d = time.perf_counter() - t0
+            n_d = int((dm.status == STATUS_DATABASE_SUCCESS).sum())
+            results.append(log(
+                "maestro_device_build", committed=n_d,
+                dt_sec=round(dt_d, 1),
+                filters_per_sec=round(n_d / dt_d, 1)))
+
         # Shape proof: >= 2 full 2048-filter files + >= 2 partials.
         from kwage_tpu.io.dbz_file import open_database
 
@@ -239,25 +286,6 @@ def main() -> int:
             oracle_dt_sec=round(dt_oracle, 2) if dt_oracle else None,
             byte_identical_to_oracle=oracle_same))
 
-        want_device = os.environ.get("SCALE_DEVICE")
-        use_device = want_device == "1"
-        if want_device is None:
-            # Probe in a SUBPROCESS with a deadline: on this box a dead
-            # accelerator tunnel makes backend init / the first readback
-            # hang rather than raise, which would wedge the whole proof.
-            try:
-                probe = subprocess.run(
-                    [sys.executable, "-c",
-                     "import jax, numpy\n"
-                     "x = jax.numpy.ones((64, 64))\n"
-                     "numpy.asarray(x @ x)\n"
-                     "print(jax.devices()[0].platform)"],
-                    capture_output=True, text=True,
-                    timeout=int(os.environ.get("SCALE_PROBE_TIMEOUT", 240)))
-                use_device = (probe.returncode == 0
-                              and "cpu" not in probe.stdout)
-            except (subprocess.TimeoutExpired, OSError):
-                use_device = False
         if use_device:
             t0 = time.perf_counter()
             dev_out = run_kwage([sys.executable, "-m", "kwage_tpu.cli.kwage",
@@ -294,7 +322,8 @@ def main() -> int:
 
         ok = (oracle_same is not False) and (oracle_ok is not False)
         results.append(log("done", ok=ok))
-        with open("ATSCALE_r03.json", "w") as f:
+        rnd = os.environ.get("KWAGE_ROUND", "04")
+        with open(f"ATSCALE_r{rnd}.json", "w") as f:
             json.dump(results, f, indent=1)
         return 0 if ok else 1
     finally:
