@@ -415,7 +415,14 @@ class RemoteWorker:
 
         os.makedirs(self.opt.scratch_bloom_dir, exist_ok=True)
         os.makedirs(self.opt.scratch_database_dir, exist_ok=True)
-        pull_n = self.opt.device_batch if self.opt.device_build else 1
+        # Batched pulls amortize the per-task round trips (pull + event
+        # flush) that dominated small-accession corpora: device workers
+        # pull a fused dispatch's worth; host workers pull
+        # KWAGE_WORKER_PULL tasks (default 16) and report each batch's
+        # events in one flush. The coordinator re-queues pre-marked
+        # tasks on worker loss either way (--task-timeout).
+        pull_n = (self.opt.device_batch if self.opt.device_build
+                  else max(1, int(os.environ.get("KWAGE_WORKER_PULL", "16"))))
         n_tasks = 0
         while True:
             try:
@@ -439,25 +446,41 @@ class RemoteWorker:
                 continue
             n_tasks += 1
             if op == "bloom_batch":
-                from .maestro import execute_bloom_batch
-
                 items = task["items"]
                 acc_of = {it["idx"]: it["accession"] for it in items}
                 def _on_downloaded_batch(key: int) -> None:
                     self._queue_event({"op": "downloaded", "idx": key})
                     self._try_flush_once()
 
-                results = execute_bloom_batch(
-                    [
-                        (it["idx"], it["accession"],
-                         self._load_info(it["accession"]), it["phase"])
-                        for it in items
-                    ],
-                    self.resolver,
-                    self.opt,
-                    lambda key: self._bloom_path(acc_of[key]),
-                    on_downloaded=_on_downloaded_batch,
-                )
+                if self.opt.device_build:
+                    from .maestro import execute_bloom_batch
+
+                    results = execute_bloom_batch(
+                        [
+                            (it["idx"], it["accession"],
+                             self._load_info(it["accession"]), it["phase"])
+                            for it in items
+                        ],
+                        self.resolver,
+                        self.opt,
+                        lambda key: self._bloom_path(acc_of[key]),
+                        on_downloaded=_on_downloaded_batch,
+                    )
+                else:
+                    # Host path: per-accession native builds back to
+                    # back; the batch exists to amortize the pull/flush
+                    # round trips, not to fuse compute.
+                    results = []
+                    for it in items:
+                        idx = int(it["idx"])
+                        t0 = time.time()
+                        status, param = execute_bloom_task(
+                            it["accession"], self._load_info(it["accession"]),
+                            it["phase"], self.resolver, self.opt,
+                            self._bloom_path(it["accession"]),
+                            on_downloaded=lambda i=idx: _on_downloaded_batch(i),
+                        )
+                        results.append((idx, status, param, time.time() - t0))
                 for key, status, param, dt in results:
                     self._queue_event({
                         "op": "bloom_done", "idx": key, "status": status,

@@ -173,30 +173,35 @@ def main() -> int:
                 use_device = False
 
         # -- device-build at scale (same corpus prefix, fresh scratch) --
+        # Two passes: the cold one pays the per-process XLA compile tax
+        # (the axon tunnel honors no persistent cache); the warm one,
+        # same shapes in the same process, is the steady-state number —
+        # the operating point of a long-running build service.
         if use_device:
             n_dev = min(int(os.environ.get("SCALE_DEVICE_N", "1024")), N_ACC)
-            dopt = MaestroOptions(
-                metadata_file=inv,
-                scratch_bloom_dir=os.path.join(work, "dbloom"),
-                scratch_database_dir=os.path.join(work, "ddb"),
-                status_file=os.path.join(work, "dstatus.bin"),
-                min_kmer_count=2,
-                kmer_len=K,
-                num_workers=2,
-                lazy_inventory=True,
-                limit_num_download=n_dev,
-                device_build=True,
-            )
-            t0 = time.perf_counter()
-            dm = Maestro(dopt, LocalFastaResolver(src))
-            dm.restore()
-            dm.run()
-            dt_d = time.perf_counter() - t0
-            n_d = int((dm.status == STATUS_DATABASE_SUCCESS).sum())
-            results.append(log(
-                "maestro_device_build", committed=n_d,
-                dt_sec=round(dt_d, 1),
-                filters_per_sec=round(n_d / dt_d, 1)))
+            for label in ("cold", "warm"):
+                dopt = MaestroOptions(
+                    metadata_file=inv,
+                    scratch_bloom_dir=os.path.join(work, f"dbloom_{label}"),
+                    scratch_database_dir=os.path.join(work, f"ddb_{label}"),
+                    status_file=os.path.join(work, f"dstatus_{label}.bin"),
+                    min_kmer_count=2,
+                    kmer_len=K,
+                    num_workers=2,
+                    lazy_inventory=True,
+                    limit_num_download=n_dev,
+                    device_build=True,
+                )
+                t0 = time.perf_counter()
+                dm = Maestro(dopt, LocalFastaResolver(src))
+                dm.restore()
+                dm.run()
+                dt_d = time.perf_counter() - t0
+                n_d = int((dm.status == STATUS_DATABASE_SUCCESS).sum())
+                results.append(log(
+                    f"maestro_device_build_{label}", committed=n_d,
+                    dt_sec=round(dt_d, 1),
+                    filters_per_sec=round(n_d / dt_d, 1)))
 
         # Shape proof: >= 2 full 2048-filter files + >= 2 partials.
         from kwage_tpu.io.dbz_file import open_database

@@ -34,9 +34,13 @@ os.environ["PYTHONPATH"] = _REPO_ROOT + (
 )
 
 
+_RESULTS: list = []
+
+
 def log(phase, **kw):
     rec = {"phase": phase, **kw}
     print(json.dumps(rec), flush=True)
+    _RESULTS.append(rec)
     return rec
 
 
@@ -80,6 +84,18 @@ def main() -> int:
                 "--min-kmer-count", "1", "--len.min", "16",
                 "--len.max", "20"] + extra
 
+    def wait_port(port, deadline=60.0):
+        import socket
+
+        t0 = time.time()
+        while time.time() - t0 < deadline:
+            try:
+                socket.create_connection(("127.0.0.1", port), 0.5).close()
+                return
+            except OSError:
+                time.sleep(0.1)
+        raise TimeoutError(f"coordinator port {port} never opened")
+
     # Distributed run: coordinator + N subprocess workers over TCP.
     dscratch = os.path.join(work, "dist")
     port = 7941
@@ -87,7 +103,7 @@ def main() -> int:
     coord = subprocess.Popen(
         maestro_args(dscratch, ["--coordinator", f"127.0.0.1:{port}"]),
         stdout=subprocess.DEVNULL, stderr=subprocess.STDOUT)
-    time.sleep(3.0)
+    wait_port(port)
     workers = [
         subprocess.Popen(
             maestro_args(dscratch, ["--worker", f"127.0.0.1:{port}"]),
@@ -112,6 +128,105 @@ def main() -> int:
     dt_single = time.time() - t0
     log("single_run", rc=rc, dt_sec=round(dt_single, 1),
         filters_per_sec=round(n_acc / dt_single, 1))
+
+    # -- latency-bound (download-dominated) regime -----------------------
+    # The reference's deployment profile: workers spend most wall time
+    # waiting on NCBI, not computing (worker_main.cpp's whole reason to
+    # exist). A fake fasterq-dump sleeps SCALE_SIM_DELAY then streams the
+    # local reads, so per-accession latency dominates. The single process
+    # can overlap at most --workers (4) downloads; the queue fields as
+    # many workers as there are hosts -- dynamic balance wins as soon as
+    # worker count exceeds the single process's thread pool.
+    lat_ratio = None
+    if os.environ.get("SCALE_SKIP_LATENCY") != "1":
+        lat_n = int(os.environ.get("SCALE_LAT_N", 400))
+        lat_delay = float(os.environ.get("SCALE_SIM_DELAY", 0.25))
+        lat_workers = int(os.environ.get("SCALE_LAT_WORKERS", 8))
+        lat_inv = os.path.join(work, "inventory_lat.bin")
+        write_inventory(lat_inv, infos[:lat_n])
+        bindir = os.path.join(work, "bin")
+        os.makedirs(bindir, exist_ok=True)
+        tool = os.path.join(bindir, "fasterq-dump")
+        with open(tool, "w") as f:
+            f.write(
+                "#!/bin/sh\n"
+                f"sleep {lat_delay}\n"
+                'for last; do :; done\n'
+                f'cat "{src}/$last.fasta"\n')
+        os.chmod(tool, 0o755)
+        env = dict(os.environ)
+        env["PATH"] = bindir + os.pathsep + env["PATH"]
+        env["KWAGE_NO_VDB"] = "1"
+        env["KWAGE_WORKER_PULL"] = "4"  # keep tail balance at high latency
+
+        def lat_args(scratch, extra):
+            return [sys.executable, "-m", "kwage_tpu.cli.maestro",
+                    "--meta", lat_inv, "--scratch", scratch,
+                    "--status", os.path.join(scratch, "status.bin"),
+                    "--stream", "--s3.no-write",
+                    "--min-kmer-count", "1", "--len.min", "16",
+                    "--len.max", "20"] + extra
+
+        # Pre-start every process (python + jax imports are ~2.4 s EACH
+        # on this one-core box -- serialized spawn cost that real
+        # deployments pay in parallel on their own hosts), hold at a
+        # READY barrier, then start the clock: the measurement is queue
+        # mechanics + task latency, identically bounded for both sides.
+        wrapper = (
+            "import sys\n"
+            "import kwage_tpu.cli.maestro as mm\n"
+            "print('READY', flush=True)\n"
+            "sys.stdin.readline()\n"
+            "sys.exit(mm.main(sys.argv[1:]))\n")
+
+        def start_held(args):
+            p = subprocess.Popen(
+                [sys.executable, "-c", wrapper] + args[3:],
+                stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL, env=env, text=True)
+            assert p.stdout.readline().strip() == "READY"
+            return p
+
+        def release(p):
+            p.stdin.write("\n")
+            p.stdin.flush()
+            p.stdin.close()
+
+        ls = start_held(lat_args(os.path.join(work, "lat_single"), []))
+        t0 = time.time()
+        release(ls)
+        rc_ls = ls.wait(timeout=3600)
+        dt_ls = time.time() - t0
+        log("latency_single_run", rc=rc_ls, dt_sec=round(dt_ls, 1),
+            sim_delay=lat_delay, accessions=lat_n,
+            filters_per_sec=round(lat_n / dt_ls, 1))
+
+        lscratch = os.path.join(work, "lat_dist")
+        # --workers 1 pins the coordinator to (almost) pure scheduling,
+        # like the reference's rank-0 master: the win below is the
+        # REMOTE workers', not the coordinator's own thread pool's.
+        lcoord = subprocess.Popen(
+            lat_args(lscratch, ["--coordinator", f"127.0.0.1:{port + 1}",
+                                "--workers", "1"]),
+            stdout=subprocess.DEVNULL, stderr=subprocess.STDOUT, env=env)
+        wait_port(port + 1)
+        lws = [start_held(lat_args(lscratch,
+                                   ["--worker", f"127.0.0.1:{port + 1}"]))
+               for _ in range(lat_workers)]
+        t0 = time.time()
+        for w in lws:
+            release(w)
+        rc_lc = lcoord.wait(timeout=3600)
+        rcs_lw = [w.wait(timeout=600) for w in lws]
+        dt_ld = time.time() - t0
+        lat_ratio = round(dt_ls / dt_ld, 2)
+        log("latency_distributed_run", workers=lat_workers,
+            coordinator_rc=rc_lc, worker_rcs=rcs_lw, dt_sec=round(dt_ld, 1),
+            filters_per_sec=round(lat_n / dt_ld, 1),
+            speedup_vs_single=lat_ratio)
+        if rc_lc != 0 or any(r != 0 for r in rcs_lw):
+            log("done", ok=False)
+            return 1
 
     # Search both corpora with the same queries: byte-identical outputs.
     qf = os.path.join(work, "q.fasta")
@@ -168,7 +283,12 @@ def main() -> int:
     log("search_parity", distributed_equals_single=identical,
         any_hits=has_hits, byte_identical_to_oracle=oracle_same)
     ok = identical and has_hits and oracle_same is not False
-    log("done", ok=ok)
+    if lat_ratio is not None:
+        ok = ok and lat_ratio >= 1.3
+    log("done", ok=ok, latency_speedup=lat_ratio)
+    rnd = os.environ.get("KWAGE_ROUND", "04")
+    with open(f"DSCALE_r{rnd}.json", "w") as f:
+        json.dump(_RESULTS, f, indent=1)
     if sys.argv[1:] == []:
         shutil.rmtree(work, ignore_errors=True)
     return 0 if ok else 1
