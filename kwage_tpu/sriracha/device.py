@@ -381,6 +381,8 @@ def search_reads_device(
         counts = np.zeros((len(reads), ns), dtype=np.int64)
         nk = np.zeros(len(reads), dtype=np.int64)
         nu = np.zeros(len(reads), dtype=np.int64)
+        pend_chunks: list[list[int]] = []
+        pend_c, pend_k, pend_u = [], [], []
         for L, idxs in sorted(buckets.items()):
             for start in range(0, len(idxs), batch_size):
                 chunk = idxs[start : start + batch_size]
@@ -397,9 +399,26 @@ def search_reads_device(
                     )
                     lengths[r] = len(seq)
                 c, k_, u_ = run_batch(*put_batch(block, lengths))
-                counts[chunk] = np.asarray(c)[: len(chunk)]
-                nk[chunk] = np.asarray(k_)[: len(chunk)]
-                nu[chunk] = np.asarray(u_)[: len(chunk)]
+                pend_chunks.append(chunk)
+                pend_c.append(c)
+                pend_k.append(k_)
+                pend_u.append(u_)
+        # ONE sync point per span, THREE transfers total: every batch
+        # above was dispatched asynchronously and the per-batch results
+        # concatenate ON DEVICE. A per-batch np.asarray serializes a
+        # full host<->device round trip per 512 reads (0.6 Mbp/s
+        # measured through a ~70 ms-RTT tunneled backend); even a
+        # deferred per-batch device_get still pays one RTT per batch
+        # (0.9 Mbp/s). Batch b's rows live at offset b*batch_size.
+        if pend_chunks:
+            cc = np.asarray(jnp.concatenate(pend_c, axis=0))
+            kk = np.asarray(jnp.concatenate(pend_k, axis=0))
+            uu = np.asarray(jnp.concatenate(pend_u, axis=0))
+            for b, chunk in enumerate(pend_chunks):
+                off = b * batch_size
+                counts[chunk] = cc[off : off + len(chunk)]
+                nk[chunk] = kk[off : off + len(chunk)]
+                nu[chunk] = uu[off : off + len(chunk)]
 
         # Sequential gates + accumulation (preserves the engine's exact
         # perfect-match early-skip and intermediate-cull semantics;
