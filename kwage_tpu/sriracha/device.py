@@ -365,12 +365,9 @@ def search_reads_device(
             p *= 2
         return p
 
-    read_iter = iter(read_iter)
-    while True:
-        reads = list(islice(read_iter, span_reads))
-        if not reads:
-            break
-
+    def dispatch_span(reads):
+        """Pack + asynchronously dispatch every batch of a span; returns
+        the pending device results (no host sync happens here)."""
         buckets: dict[int, list[int]] = {}
         for i, (seq, _, _) in enumerate(reads):
             if stats is not None:
@@ -378,9 +375,6 @@ def search_reads_device(
                 stats.num_bases += len(seq)
             buckets.setdefault(pad_len(max(len(seq), opt.kmer_len)), []).append(i)
 
-        counts = np.zeros((len(reads), ns), dtype=np.int64)
-        nk = np.zeros(len(reads), dtype=np.int64)
-        nu = np.zeros(len(reads), dtype=np.int64)
         pend_chunks: list[list[int]] = []
         pend_c, pend_k, pend_u = [], [], []
         for L, idxs in sorted(buckets.items()):
@@ -403,13 +397,20 @@ def search_reads_device(
                 pend_c.append(c)
                 pend_k.append(k_)
                 pend_u.append(u_)
-        # ONE sync point per span, THREE transfers total: every batch
-        # above was dispatched asynchronously and the per-batch results
-        # concatenate ON DEVICE. A per-batch np.asarray serializes a
-        # full host<->device round trip per 512 reads (0.6 Mbp/s
-        # measured through a ~70 ms-RTT tunneled backend); even a
-        # deferred per-batch device_get still pays one RTT per batch
-        # (0.9 Mbp/s). Batch b's rows live at offset b*batch_size.
+        return pend_chunks, pend_c, pend_k, pend_u
+
+    def readback_span(reads, pending):
+        """ONE sync point per span, THREE transfers total: every batch
+        was dispatched asynchronously and the per-batch results
+        concatenate ON DEVICE. A per-batch np.asarray serializes a
+        full host<->device round trip per 512 reads (0.6 Mbp/s
+        measured through a ~70 ms-RTT tunneled backend); even a
+        deferred per-batch device_get still pays one RTT per batch
+        (0.9 Mbp/s). Batch b's rows live at offset b*batch_size."""
+        pend_chunks, pend_c, pend_k, pend_u = pending
+        counts = np.zeros((len(reads), ns), dtype=np.int64)
+        nk = np.zeros(len(reads), dtype=np.int64)
+        nu = np.zeros(len(reads), dtype=np.int64)
         if pend_chunks:
             cc = np.asarray(jnp.concatenate(pend_c, axis=0))
             kk = np.asarray(jnp.concatenate(pend_k, axis=0))
@@ -419,27 +420,66 @@ def search_reads_device(
                 counts[chunk] = cc[off : off + len(chunk)]
                 nk[chunk] = kk[off : off + len(chunk)]
                 nu[chunk] = uu[off : off + len(chunk)]
+        return counts, nk, nu
 
-        # Sequential gates + accumulation (preserves the engine's exact
-        # perfect-match early-skip and intermediate-cull semantics;
-        # num_perfect and the cull state carry across spans).
-        for i, (seq, ridx, sidx) in enumerate(reads):
-            if len(seq) < opt.min_read_length or nk[i] < opt.min_valid_kmer:
+    read_iter = iter(read_iter)
+    prev: tuple | None = None  # (reads, pending) -- 1-deep span pipeline
+    while True:
+        reads = list(islice(read_iter, span_reads))
+        # Pack + dispatch span i+1 BEFORE syncing span i's readback:
+        # host packing overlaps device compute (and, on high-latency
+        # links, the next span's uploads ride ahead of the sync).
+        cur = (reads, dispatch_span(reads)) if reads else None
+        if prev is None:
+            if cur is None:
+                break
+            prev = cur
+            continue
+        reads, pending = prev
+        counts, nk, nu = readback_span(reads, pending)
+        prev = cur
+
+        # Vectorized gates + accumulation. Semantics are EXACTLY the
+        # engine's sequential loop (float32 divisions, nan-passes-gate
+        # complexity quirk, perfect-match early-skip in read order);
+        # a per-(read, subject) Python loop here would cap end-to-end
+        # throughput at ~10 Mbp/s regardless of the kernel rate.
+        # Equivalences relied on:
+        #   - the perfect-match cap: a subject stops accepting matches
+        #     the moment its appended-perfect count reaches
+        #     max_num_match, so keep = (perfects before this read
+        #     < max); num_perfect advances only by KEPT perfects.
+        #     max_num_match <= 0 keeps nothing (0 >= 0 skips), same as
+        #     the scalar gate.
+        #   - the 10x intermediate cull: sort_key is a total order
+        #     (-score, read_index, read_subindex), so prefix culls never
+        #     change the final top-max set; culling once per span
+        #     preserves both bytes and the memory bound.
+        lens = np.fromiter((len(r[0]) for r in reads), np.int64, len(reads))
+        nu_f = nu.astype(np.float32)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            complexity = nu_f / nk.astype(np.float32)
+            scores = counts.astype(np.float32) / nu_f[:, None]  # [n, ns]
+        ok = (lens >= opt.min_read_length) & (nk >= opt.min_valid_kmer)
+        # nan complexity (nk == 0) passes the gate in the scalar loop
+        # (nan < x is False), hence the negated comparison.
+        ok &= ~(complexity < np.float32(opt.min_read_complexity))
+        cand = ok[:, None] & (scores >= np.float32(opt.kmer_match_threshold))
+        for s in range(ns):
+            idxs = np.nonzero(cand[:, s])[0]
+            if idxs.size == 0:
                 continue
-            if np.float32(nu[i]) / np.float32(nk[i]) < np.float32(opt.min_read_complexity):
-                continue
-            for s in range(ns):
-                if num_perfect[s] >= opt.max_num_match:
-                    continue
-                score = np.float32(counts[i, s]) / np.float32(nu[i])
-                if score >= np.float32(opt.kmer_match_threshold):
-                    bucket = results[s]
-                    bucket.append(SearchMatch(ridx, sidx, float(score), seq))
-                    if score == 1.0:
-                        num_perfect[s] += 1
-                    if opt.max_num_match > 0 and len(bucket) > 10 * opt.max_num_match:
-                        bucket.sort(key=SearchMatch.sort_key)
-                        del bucket[opt.max_num_match :]
+            perf = scores[idxs, s] == np.float32(1.0)
+            before = num_perfect[s] + np.cumsum(perf) - perf
+            keep = before < opt.max_num_match
+            bucket = results[s]
+            for i in idxs[keep]:
+                seq, ridx, sidx = reads[i]
+                bucket.append(SearchMatch(ridx, sidx, float(scores[i, s]), seq))
+            num_perfect[s] += int(perf[keep].sum())
+            if opt.max_num_match > 0 and len(bucket) > 10 * opt.max_num_match:
+                bucket.sort(key=SearchMatch.sort_key)
+                del bucket[opt.max_num_match :]
 
     for bucket in results:
         bucket.sort(key=SearchMatch.sort_key)

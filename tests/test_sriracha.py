@@ -342,6 +342,58 @@ def test_native_read_search_loop_differential():
             assert la == lb
 
 
+def test_device_gate_semantics_differential():
+    """Device path == host engine on workloads that stress the vectorized
+    gate/accumulation rewrite: perfect-match caps crossing span
+    boundaries (tiny span_reads forces the 1-deep span pipeline and
+    cross-span num_perfect carry), max_num_match in {1,3,50}, threshold
+    1.0, low-complexity / short / empty reads."""
+    import random
+
+    import numpy as np
+
+    from kwage_tpu.core.words import canonical_kmers
+    from kwage_tpu.sriracha.device import search_reads_device
+    from kwage_tpu.sriracha.engine import SrirachaOptions, search_reads
+
+    random.seed(23)
+
+    def rseq(n, alpha="ACGT"):
+        return "".join(random.choice(alpha) for _ in range(n))
+
+    for trial in range(4):
+        k = random.choice([9, 15, 21])
+        targets = [rseq(random.randint(200, 1200))
+                   for _ in range(random.randint(1, 3))]
+        subj = [(f"s{i}", np.unique(canonical_kmers(s, k)))
+                for i, s in enumerate(targets)]
+        reads = []
+        for ridx in range(1, 300):
+            r = random.random()
+            if r < 0.35:  # exact substring: a perfect (score 1.0) match
+                t = random.choice(targets)
+                a = random.randint(0, max(0, len(t) - 120))
+                reads.append((t[a:a + 120], ridx, 1))
+            elif r < 0.45:
+                reads.append(("AC" * 60, ridx, 1))
+            elif r < 0.5:
+                reads.append((rseq(random.randint(0, 30)), ridx, 1))
+            else:
+                reads.append((rseq(120), ridx, 1))
+        opt = SrirachaOptions(
+            kmer_len=k,
+            kmer_match_threshold=random.choice([0.2, 1.0]),
+            max_num_match=random.choice([1, 3, 50]),
+        )
+        r_host = search_reads(iter(reads), subj, opt)
+        r_dev = search_reads_device(iter(reads), subj, opt,
+                                    batch_size=32, span_reads=64)
+        for a, b in zip(r_host, r_dev):
+            la = [(m.read_index, m.read_subindex, m.score, m.read_seq) for m in a]
+            lb = [(m.read_index, m.read_subindex, m.score, m.read_seq) for m in b]
+            assert la == lb
+
+
 def test_native_file_scan_stops_at_range_end(tmp_path):
     """A sliced native scan must stop parsing at its range end (the
     Python twin breaks at `i >= hi`): a FASTQ whose TAIL is truncated
