@@ -118,21 +118,23 @@ def main() -> int:
                 for c in report["total_hits"]["collectives"])
     )
 
-    # 2-process x 4-virtual-device jax.distributed weak-scaling point:
-    # the DCN (gloo) boundary sits inside the measured program.
-    weak = None
-    if os.environ.get("SKIP_DISTRIBUTED") != "1":
+    # jax.distributed weak-scaling points: the DCN (gloo) boundary sits
+    # inside the measured program. Two process/device splits of the same
+    # 8-device global mesh bracket the boundary -- 2x4 (one gloo hop)
+    # and 4x2 (three process boundaries inside every cross-process
+    # collective).
+    def weak_point(nproc: int, ndev: int, port: int):
         env_common = dict(os.environ)
         env_common.update(
             JAX_PLATFORMS="cpu",
-            XLA_FLAGS="--xla_force_host_platform_device_count=4",
-            JAX_COORDINATOR_ADDRESS="127.0.0.1:8476",
-            JAX_NUM_PROCESSES="2",
+            XLA_FLAGS=f"--xla_force_host_platform_device_count={ndev}",
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES=str(nproc),
             SCALING_LOG2_L="16", SCALING_W_PER_DEV="64",
             SCALING_NQ="4", SCALING_NK="128",
         )
         procs = []
-        for pid in range(2):
+        for pid in range(nproc):
             env = dict(env_common)
             env["JAX_PROCESS_ID"] = str(pid)
             procs.append(subprocess.Popen(
@@ -143,12 +145,16 @@ def main() -> int:
         rcs = [p.returncode for p in procs]
         line = next((l for o in outs for l in o.splitlines()
                      if l.startswith("{")), None)
-        weak = {"process_rcs": rcs,
+        return {"process_rcs": rcs,
                 "point": json.loads(line) if line else None,
-                "note": ("2 gloo processes x 4 virtual CPU devices on ONE "
-                         "core: validates the cross-process collective "
-                         "path, not absolute throughput")}
-    report["weak_scaling_2proc_x4dev"] = weak
+                "note": (f"{nproc} gloo processes x {ndev} virtual CPU "
+                         "devices on ONE core: validates the cross-process "
+                         "collective path, not absolute throughput")}
+
+    if os.environ.get("SKIP_DISTRIBUTED") != "1":
+        report["weak_scaling_2proc_x4dev"] = weak_point(2, 4, 8476)
+        report["weak_scaling_4proc_x2dev"] = weak_point(4, 2, 8477)
+    weak = report.get("weak_scaling_2proc_x4dev")
 
     rnd = os.environ.get("KWAGE_ROUND", "04")
     out_path = os.path.join(_REPO_ROOT, f"SCALING_r{rnd}.json")
