@@ -104,9 +104,10 @@ def _ours(subj_path, reads_path, k, thr, comp, min_len, min_valid,
     opt = SrirachaOptions(
         kmer_len=k, kmer_match_threshold=thr, min_read_complexity=comp,
         min_read_length=min_len, min_valid_kmer=min_valid,
-        max_num_match=max_match)
+        max_num_match=max_match,
+        use_device=(pure_python == "device"))
     subjects = load_subject_kmers([subj_path], k)
-    if pure_python:
+    if pure_python is True:
         orig = (eng.native_available, eng.read_profile_native,
                 eng.sorted_intersect_count_native)
         eng.native_available = lambda: False
@@ -174,7 +175,11 @@ def test_kernel_matches_reference_fuzz(oracle, tmp_path):
 
         want = _run_oracle(oracle, k, thr, comp, min_len, min_valid,
                            max_match, str(subj), str(reads_path))
-        for pure in (False, True):
+        # Three engine legs vs the live reference kernel: native host,
+        # pure-python twin, and the batched device path (vectorized
+        # gates + span pipeline) on the test mesh.
+        legs = [False, True] + (["device"] if trial < 4 else [])
+        for pure in legs:
             got = _ours(str(subj), str(reads_path), k, thr, comp, min_len,
                         min_valid, max_match, pure)
             case = (trial, k, thr, comp, min_len, min_valid, max_match, pure)
