@@ -293,8 +293,25 @@ def search_reads_device(
     if span_reads is None:
         span_reads = 16 * batch_size
 
-    # Dense-LUT fast path: one membership table per group of <= 32 subjects.
-    use_table = opt.kmer_len <= _table_k_limit()
+    # Formulation choice, measured on v5e (SRIRACHA_DEVICE_r04.json):
+    # the bucketed hash table runs 2.3x the dense LUT while its ~100
+    # B/k-mer tables stay cache/VMEM-resident (189 vs 83 Mbp/s at k=11,
+    # 8k subject k-mers) but falls to ~27 once the gathers go
+    # HBM-latency-bound; the dense LUT's one-gather cost is
+    # subject-size-independent (4^k table). Crossover measured at ~64k
+    # k-mers per 32-subject group -- prefer the hash table below it,
+    # the LUT above it (k > _table_k_limit() has no LUT and always
+    # hashes). KWAGE_SRIRACHA_HASH_MAX=0 forces the LUT everywhere.
+    import os as _os
+
+    hash_max = int(_os.environ.get("KWAGE_SRIRACHA_HASH_MAX", "65536"))
+    max_group_kmers = max(
+        (sum(s.size for _, s in subject_kmers[g : g + 32])
+         for g in range(0, ns, 32)),
+        default=0,
+    )
+    use_table = (opt.kmer_len <= _table_k_limit()
+                 and max_group_kmers > hash_max)
     if use_table:
         smax = max((s.size for _, s in subject_kmers), default=1)
         subjects = np.full((ns, smax), 0xFFFFFFFF, dtype=np.uint32)

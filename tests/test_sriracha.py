@@ -220,14 +220,17 @@ def test_device_search_spans_stream_bounded(data_dir, monkeypatch):
             yield t
         state["exhausted"] = True
 
-    real_kernel = dev_mod._read_batch_kernel_tables
+    # Spy on BOTH kernel formulations: the size-based router picks the
+    # bucketed hash table for this small subject set.
+    for kname in ("_read_batch_kernel_tables", "_read_batch_kernel_hash"):
+        real_kernel = getattr(dev_mod, kname)
 
-    def spy_kernel(*a, **kw):
-        if state["exhausted_at_first_kernel"] is None:
-            state["exhausted_at_first_kernel"] = state["exhausted"]
-        return real_kernel(*a, **kw)
+        def spy_kernel(*a, _real=real_kernel, **kw):
+            if state["exhausted_at_first_kernel"] is None:
+                state["exhausted_at_first_kernel"] = state["exhausted"]
+            return _real(*a, **kw)
 
-    monkeypatch.setattr(dev_mod, "_read_batch_kernel_tables", spy_kernel)
+        monkeypatch.setattr(dev_mod, kname, spy_kernel)
     got = search_reads_device(gen(), subjects, opt, batch_size=4, span_reads=8)
     want = search_reads(iter(tuples), subjects, opt)
     assert [[(m.read_index, m.read_subindex, m.score, m.read_seq) for m in b]
@@ -389,6 +392,51 @@ def test_device_gate_semantics_differential():
         r_dev = search_reads_device(iter(reads), subj, opt,
                                     batch_size=32, span_reads=64)
         for a, b in zip(r_host, r_dev):
+            la = [(m.read_index, m.read_subindex, m.score, m.read_seq) for m in a]
+            lb = [(m.read_index, m.read_subindex, m.score, m.read_seq) for m in b]
+            assert la == lb
+
+
+def test_device_lut_and_hash_routes_agree(monkeypatch):
+    """The size-based table router (hash below ~64k subject k-mers per
+    group, dense LUT above -- measured crossover, SRIRACHA_DEVICE_r04)
+    must be output-invariant: force each formulation over the same
+    corpus and compare with the host engine."""
+    import random
+
+    import numpy as np
+
+    from kwage_tpu.core.words import canonical_kmers
+    from kwage_tpu.sriracha.device import search_reads_device
+    from kwage_tpu.sriracha.engine import SrirachaOptions, search_reads
+
+    random.seed(31)
+    k = 11
+
+    def rseq(n):
+        return "".join(random.choice("ACGT") for _ in range(n))
+
+    targets = [rseq(900), rseq(500)]
+    subj = [(f"s{i}", np.unique(canonical_kmers(s, k)))
+            for i, s in enumerate(targets)]
+    reads = []
+    for ridx in range(1, 200):
+        if random.random() < 0.4:
+            t = random.choice(targets)
+            a = random.randint(0, len(t) - 120)
+            reads.append((t[a:a + 120], ridx, 1))
+        else:
+            reads.append((rseq(120), ridx, 1))
+    opt = SrirachaOptions(kmer_len=k, kmer_match_threshold=0.5)
+
+    host = search_reads(iter(reads), subj, opt)
+    outs = {}
+    for name, knob in (("hash", "1000000000"), ("lut", "0")):
+        monkeypatch.setenv("KWAGE_SRIRACHA_HASH_MAX", knob)
+        outs[name] = search_reads_device(iter(reads), subj, opt,
+                                         batch_size=32, span_reads=64)
+    for dev in outs.values():
+        for a, b in zip(host, dev):
             la = [(m.read_index, m.read_subindex, m.score, m.read_seq) for m in a]
             lb = [(m.read_index, m.read_subindex, m.score, m.read_seq) for m in b]
             assert la == lb

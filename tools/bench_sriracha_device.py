@@ -11,7 +11,10 @@ Honest-timing note (CLAUDE.md measurement discipline): the per-batch
 np.asarray() readbacks at device.py:400-402 force completion, so
 wall-clock over the span loop is real throughput, not dispatch rate.
 
-Usage: python tools/bench_sriracha_device.py [k] [read_len] [n_reads]
+Usage: python tools/bench_sriracha_device.py [k] [read_len] [n_reads] [path]
+``path``: auto (default) | lut | hash -- forces the kernel-only section's
+subject-table formulation (the end-to-end section always uses the
+production routing).
 """
 
 from __future__ import annotations
@@ -36,6 +39,8 @@ def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 21
     read_len = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     n_reads = int(sys.argv[3]) if len(sys.argv) > 3 else 65536
+    path = sys.argv[4] if len(sys.argv) > 4 else "auto"
+    subj_kmers = int(sys.argv[5]) if len(sys.argv) > 5 else 2048
 
     from kwage_tpu.sriracha.engine import SrirachaOptions, canonical_kmers
     from kwage_tpu.sriracha.device import search_reads_device
@@ -43,10 +48,10 @@ def main() -> None:
     rng = np.random.default_rng(7)
     bases = np.array(list("ACGT"))
 
-    # 4 subjects, ~2k k-mers each (typical gene-scale targets).
+    # 4 subjects, ~subj_kmers k-mers each (default 2048: gene-scale).
     subjects = []
     for i in range(4):
-        seq = "".join(bases[rng.integers(0, 4, size=2048 + k - 1)])
+        seq = "".join(bases[rng.integers(0, 4, size=subj_kmers + k - 1)])
         subjects.append((f"subject{i}", np.unique(canonical_kmers(seq, k))))
 
     opt = SrirachaOptions(kmer_len=k)
@@ -87,7 +92,13 @@ def main() -> None:
     block_d, lengths_d = jnp.asarray(block), jnp.asarray(lengths)
     ns_groups = (len(subjects),)
 
-    if k <= _table_k_limit():
+    if path == "auto":  # mirror search_reads_device's measured router
+        total_kmers = sum(s.size for _, s in subjects)
+        hash_max = int(os.environ.get("KWAGE_SRIRACHA_HASH_MAX", "65536"))
+        use_lut = k <= _table_k_limit() and total_kmers > hash_max
+    else:
+        use_lut = path == "lut"
+    if use_lut:
         smax = max(s.size for _, s in subjects)
         subj = np.full((len(subjects), smax), 0xFFFFFFFF, dtype=np.uint32)
         for i, (_, s) in enumerate(subjects):
