@@ -269,13 +269,16 @@ def search_reads_device(
     SriRachA/search_by_kmer.cpp:94-98).
 
     The read iterator is consumed in spans of ``span_reads`` (default
-    16 x batch_size): each span is bucketed/batched on device and its
-    scalar gates applied in read order before the next span
-    materializes, so host RAM is bounded by the span -- independent of
+    16 x batch_size), pipelined ONE span deep: span i+1 is listed,
+    packed and dispatched before span i's single readback sync, so host
+    packing overlaps device compute. Host RAM is bounded by TWO spans
+    (plus their in-flight device buffers) -- still independent of
     accession size (the reference streams read ranges the same way,
-    sra_stream.cpp:525-543). Gate state (perfect-match early-skip,
-    intermediate culls) carries across spans, so output is identical to
-    a fully materialized run.
+    sra_stream.cpp:525-543) -- and ``stats`` counters run up to one
+    span ahead of emitted matches. Gates apply in read order, span by
+    span; gate state (perfect-match early-skip, intermediate culls)
+    carries across spans, so output is identical to a fully
+    materialized run.
 
     ``mesh`` (optional, 1-axis jax.sharding.Mesh): shard each read batch
     across devices along the batch axis with the subject tables
@@ -311,7 +314,7 @@ def search_reads_device(
         default=0,
     )
     use_table = (opt.kmer_len <= _table_k_limit()
-                 and max_group_kmers > hash_max)
+                 and (hash_max <= 0 or max_group_kmers > hash_max))
     if use_table:
         smax = max((s.size for _, s in subject_kmers), default=1)
         subjects = np.full((ns, smax), 0xFFFFFFFF, dtype=np.uint32)
@@ -429,9 +432,17 @@ def search_reads_device(
         nk = np.zeros(len(reads), dtype=np.int64)
         nu = np.zeros(len(reads), dtype=np.int64)
         if pend_chunks:
-            cc = np.asarray(jnp.concatenate(pend_c, axis=0))
-            kk = np.asarray(jnp.concatenate(pend_k, axis=0))
-            uu = np.asarray(jnp.concatenate(pend_u, axis=0))
+            # Pow2-bucket the concat ARITY (shape-bucketing rule: every
+            # distinct operand count is a fresh XLA compile): pad the
+            # pending lists by repeating the first batch's arrays --
+            # no new device work, same sharding -- and ignore the rows.
+            arity = 1
+            while arity < len(pend_chunks):
+                arity *= 2
+            pad = arity - len(pend_chunks)
+            cc = np.asarray(jnp.concatenate(pend_c + [pend_c[0]] * pad, axis=0))
+            kk = np.asarray(jnp.concatenate(pend_k + [pend_k[0]] * pad, axis=0))
+            uu = np.asarray(jnp.concatenate(pend_u + [pend_u[0]] * pad, axis=0))
             for b, chunk in enumerate(pend_chunks):
                 off = b * batch_size
                 counts[chunk] = cc[off : off + len(chunk)]

@@ -7,9 +7,11 @@ per-batch np.asarray readbacks -- i.e. what a user of `sriracha --device`
 actually gets. One warm-up span pays the per-shape compile; the timed
 region covers the remaining spans.
 
-Honest-timing note (CLAUDE.md measurement discipline): the per-batch
-np.asarray() readbacks at device.py:400-402 force completion, so
-wall-clock over the span loop is real throughput, not dispatch rate.
+Honest-timing note (CLAUDE.md measurement discipline): the end-to-end
+number is real throughput, not dispatch rate, ONLY because
+search_reads_device drains its 1-deep span pipeline -- every span's
+results are np.asarray'd before the function returns. Do not time a
+sub-piece (e.g. dispatch_span alone) with this pattern.
 
 Usage: python tools/bench_sriracha_device.py [k] [read_len] [n_reads] [path]
 ``path``: auto (default) | lut | hash -- forces the kernel-only section's
@@ -95,7 +97,8 @@ def main() -> None:
     if path == "auto":  # mirror search_reads_device's measured router
         total_kmers = sum(s.size for _, s in subjects)
         hash_max = int(os.environ.get("KWAGE_SRIRACHA_HASH_MAX", "65536"))
-        use_lut = k <= _table_k_limit() and total_kmers > hash_max
+        use_lut = k <= _table_k_limit() and (
+            hash_max <= 0 or total_kmers > hash_max)
     else:
         use_lut = path == "lut"
     if use_lut:
