@@ -642,6 +642,11 @@ def transpose_bits_native(
         return None
     src = np.ascontiguousarray(filter_bytes, dtype=np.uint8)
     F, nbytes = src.shape
+    if num_filter < F:
+        # num_filter only ever PADS the output width (ceil(num_filter/8)
+        # columns); a narrower-than-source width would make the C kernel
+        # write past its row stride. Same contract as the numpy twin.
+        raise ValueError(f"num_filter ({num_filter}) < source rows ({F})")
     stride = max((num_filter + 7) // 8, 1)
     dst = np.empty((8 * nbytes, stride), dtype=np.uint8)
     u8p = ctypes.POINTER(ctypes.c_uint8)

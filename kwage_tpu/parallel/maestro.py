@@ -521,7 +521,8 @@ class BloomBatchWork:
     out: list                 # early (status) events: failures, routed jobs
     jobs: list                # fused-batch jobs [(source, FilterInfo)]
     job_meta: list            # (key, accession, cleanup path) per job
-    big_streams: list         # (key, acc, read iter, progress, FilterInfo)
+    big_streams: list         # (key, acc, reopen fn, read iter, progress,
+                              #  FilterInfo, cleanup path)
     prep: "object | None"     # make_bloom.DeviceBatchPrep for the fused jobs
     t0: float
 

@@ -40,6 +40,8 @@ def transpose_filters(filter_bytes: np.ndarray, num_filter: int | None = None) -
     F, nbytes = filter_bytes.shape
     if num_filter is None:
         num_filter = F
+    if num_filter < F:
+        raise ValueError(f"num_filter ({num_filter}) < source rows ({F})")
     from ..native import transpose_bits_native
 
     out = transpose_bits_native(filter_bytes, num_filter)

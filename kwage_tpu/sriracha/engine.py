@@ -580,6 +580,7 @@ def merge_slice_tsvs(
 
     rows: dict[str, dict[str, list]] = {}   # acc -> defline -> [row...]
     failures: dict[str, str] = {}           # acc -> failure line
+    seen_rows: set = set()                  # (acc, defline, ridx, rsub)
     all_terminated = bool(slice_texts)
     for text in slice_texts:
         lines = text.splitlines()
@@ -604,6 +605,16 @@ def merge_slice_tsvs(
                 ridx, rsub = (int(x) for x in idx.split(".", 1))
             else:
                 ridx, rsub = int(idx), 0
+            key = (acc, defline, ridx, rsub)
+            if key in seen_rows:
+                # Disjoint --slice/--of shards never share a (read,
+                # query) pair; a repeat means the same slice file (or
+                # slices from inconsistent --of values) was fed twice.
+                raise ValueError(
+                    f"duplicate slice TSV row for {acc} read {idx} "
+                    f"{defline!r}: overlapping or repeated slice inputs"
+                )
+            seen_rows.add(key)
             rows.setdefault(acc, {}).setdefault(defline, []).append(
                 (float(np.float32(score_text)), ridx, rsub, line)
             )

@@ -24,6 +24,7 @@ Error classification mirrors sra_stream.cpp:
 
 from __future__ import annotations
 
+import array
 import ctypes
 import ctypes.util
 import os
@@ -393,8 +394,11 @@ def _stream_primary_alignments(lib, tbl, progress: BloomStreamProgress):
     cur, (read_col,), first, count = _make_cursor(lib, tbl, [b"READ"])
     try:
         for row in range(first, first + count):
-            _, base, _, seq_len = _cell(
+            elem_bits, base, boff, seq_len = _cell(
                 lib, cur, row, read_col, SRA_DOWNLOAD_CELL_DATA_ERROR)
+            if elem_bits != 8 or boff != 0:
+                raise DownloadError(SRA_DOWNLOAD_READ_FORMAT_ERROR,
+                                    f"READ cell format row {row}")
             seq = ctypes.string_at(base, seq_len).decode("ascii", "replace")
             progress.curr_primary_align += 1
             progress.num_bp += len(seq)
@@ -417,7 +421,9 @@ def _stream_unaligned_reads(lib, tbl, progress: BloomStreamProgress):
     cur, (read_col, len_col, pal_col), first, count = _make_cursor(
         lib, tbl, [b"READ", b"READ_LEN", b"PRIMARY_ALIGNMENT_ID"])
     try:
-        unaligned_rows = []
+        # array('q'), not a Python list: 8 B/row id, so the up-front
+        # unaligned-spot index stays bounded even for 10^8-spot runs.
+        unaligned_rows = array.array("q")
         for row in range(first, first + count):
             elem_bits, base, boff, n_ids = _cell(
                 lib, cur, row, pal_col, SRA_DOWNLOAD_CELL_DATA_ERROR)

@@ -360,3 +360,20 @@ def test_transpose_bits_native_matches_numpy_twin():
         assert wide.shape[1] == (F + 16 + 7) // 8
         assert np.array_equal(wide[:, :ref.shape[1]], ref)
         assert not wide[:, ref.shape[1]:].any()
+
+
+def test_transpose_bits_rejects_truncating_num_filter():
+    """num_filter only ever PADS the output width; narrower than the
+    source row count would overrun the C kernel's dst rows -- both the
+    native wrapper and the transpose_filters twin raise instead."""
+    import numpy as np
+    import pytest
+
+    from kwage_tpu.native import transpose_bits_native
+    from kwage_tpu.pipeline.build_db import transpose_filters
+
+    m = np.zeros((10, 4), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        transpose_bits_native(m, 2)
+    with pytest.raises(ValueError):
+        transpose_filters(m, 2)

@@ -554,3 +554,20 @@ def test_merge_slices_rejects_unknown_rows(data_dir, tmp_path):
                "--merge-slices", str(p), "-o", str(tmp_path / "m.tsv"),
                str(data_dir / "sriracha_reads.fasta")])
     assert rc == 1
+
+
+def test_merge_slices_rejects_duplicate_slice_inputs(data_dir, tmp_path):
+    """Feeding the same slice TSV twice (or slices from inconsistent
+    --of values) is a hard error, not silent double-counted matches:
+    disjoint shards never share a (read, query) pair."""
+    from kwage_tpu.cli.sriracha import main
+
+    args = ["-k", "11", "-t", "0.4",
+            "-i", str(data_dir / "sriracha_queries.fasta")]
+    accs = [str(data_dir / "sriracha_reads.fasta")]
+    p = tmp_path / "s0.tsv"
+    assert main(args + ["-o", str(p), "--slice", "0", "--of", "1"]
+                + accs) == 0
+    rc = main(args + ["--merge-slices", str(p), "--merge-slices", str(p),
+                      "-o", str(tmp_path / "m.tsv")] + accs)
+    assert rc == 1
