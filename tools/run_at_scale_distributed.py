@@ -96,35 +96,71 @@ def main() -> int:
                 time.sleep(0.1)
         raise TimeoutError(f"coordinator port {port} never opened")
 
+    # Pre-start every measured process (python + jax imports are ~2.4 s
+    # EACH on this one-core box -- serialized spawn cost that real
+    # deployments pay in parallel on their own hosts), hold at a READY
+    # barrier, then start the clock: both sides are measured from
+    # imports-done, so the numbers compare queue mechanics + work, not
+    # interpreter startup.
+    wrapper = (
+        "import sys\n"
+        "import kwage_tpu.cli.maestro as mm\n"
+        "print('READY', flush=True)\n"
+        "sys.stdin.readline()\n"
+        "sys.exit(mm.main(sys.argv[1:]))\n")
+
+    def start_held(args, env=None):
+        p = subprocess.Popen(
+            [sys.executable, "-c", wrapper] + args[3:],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, env=env, text=True)
+        assert p.stdout.readline().strip() == "READY"
+        return p
+
+    def release(p):
+        p.stdin.write("\n")
+        p.stdin.flush()
+        p.stdin.close()
+
     # Distributed run: coordinator + N subprocess workers over TCP.
+    # EVERY process (coordinator included -- it also runs the default
+    # local worker pool and would otherwise drain the queue while the
+    # held workers import) waits at the READY barrier; the clock starts
+    # before the coordinator's release.
     dscratch = os.path.join(work, "dist")
     port = 7941
+    coord = start_held(maestro_args(
+        dscratch, ["--coordinator", f"127.0.0.1:{port}"]))
+    workers = [start_held(maestro_args(dscratch,
+                                       ["--worker", f"127.0.0.1:{port}"]))
+               for _ in range(n_workers)]
     t0 = time.time()
-    coord = subprocess.Popen(
-        maestro_args(dscratch, ["--coordinator", f"127.0.0.1:{port}"]),
-        stdout=subprocess.DEVNULL, stderr=subprocess.STDOUT)
+    release(coord)
     wait_port(port)
-    workers = [
-        subprocess.Popen(
-            maestro_args(dscratch, ["--worker", f"127.0.0.1:{port}"]),
-            stdout=subprocess.DEVNULL, stderr=subprocess.STDOUT)
-        for _ in range(n_workers)
-    ]
+    for w in workers:
+        release(w)
     rc_coord = coord.wait(timeout=3600)
     rcs = [w.wait(timeout=600) for w in workers]
     dt_dist = time.time() - t0
+    # host_cores matters for reading this number: on a 1-core box the
+    # coordinator + N workers time-slice one CPU, so the compute-bound
+    # zero-latency regime can only LOSE to a single process here; the
+    # latency-bound regime below is where dynamic balance pays (and is
+    # the reference's actual deployment profile).
     log("distributed_run", workers=n_workers, coordinator_rc=rc_coord,
         worker_rcs=rcs, dt_sec=round(dt_dist, 1),
-        filters_per_sec=round(n_acc / dt_dist, 1))
+        filters_per_sec=round(n_acc / dt_dist, 1),
+        host_cores=os.cpu_count())
     if rc_coord != 0 or any(r != 0 for r in rcs):
         log("done", ok=False)
         return 1
 
     # Single-process run over the SAME inputs for the parity baseline.
     sscratch = os.path.join(work, "single")
+    sp_run = start_held(maestro_args(sscratch, []))
     t0 = time.time()
-    rc = subprocess.run(maestro_args(sscratch, []),
-                        capture_output=True).returncode
+    release(sp_run)
+    rc = sp_run.wait(timeout=3600)
     dt_single = time.time() - t0
     log("single_run", rc=rc, dt_sec=round(dt_single, 1),
         filters_per_sec=round(n_acc / dt_single, 1))
@@ -167,32 +203,8 @@ def main() -> int:
                     "--min-kmer-count", "1", "--len.min", "16",
                     "--len.max", "20"] + extra
 
-        # Pre-start every process (python + jax imports are ~2.4 s EACH
-        # on this one-core box -- serialized spawn cost that real
-        # deployments pay in parallel on their own hosts), hold at a
-        # READY barrier, then start the clock: the measurement is queue
-        # mechanics + task latency, identically bounded for both sides.
-        wrapper = (
-            "import sys\n"
-            "import kwage_tpu.cli.maestro as mm\n"
-            "print('READY', flush=True)\n"
-            "sys.stdin.readline()\n"
-            "sys.exit(mm.main(sys.argv[1:]))\n")
-
-        def start_held(args):
-            p = subprocess.Popen(
-                [sys.executable, "-c", wrapper] + args[3:],
-                stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-                stderr=subprocess.DEVNULL, env=env, text=True)
-            assert p.stdout.readline().strip() == "READY"
-            return p
-
-        def release(p):
-            p.stdin.write("\n")
-            p.stdin.flush()
-            p.stdin.close()
-
-        ls = start_held(lat_args(os.path.join(work, "lat_single"), []))
+        ls = start_held(lat_args(os.path.join(work, "lat_single"), []),
+                        env=env)
         t0 = time.time()
         release(ls)
         rc_ls = ls.wait(timeout=3600)
@@ -205,15 +217,18 @@ def main() -> int:
         # --workers 1 pins the coordinator to (almost) pure scheduling,
         # like the reference's rank-0 master: the win below is the
         # REMOTE workers', not the coordinator's own thread pool's.
-        lcoord = subprocess.Popen(
+        # Held like everything else so its lone local thread cannot
+        # pre-drain sleep-bound tasks while the workers import.
+        lcoord = start_held(
             lat_args(lscratch, ["--coordinator", f"127.0.0.1:{port + 1}",
-                                "--workers", "1"]),
-            stdout=subprocess.DEVNULL, stderr=subprocess.STDOUT, env=env)
-        wait_port(port + 1)
+                                "--workers", "1"]), env=env)
         lws = [start_held(lat_args(lscratch,
-                                   ["--worker", f"127.0.0.1:{port + 1}"]))
+                                   ["--worker", f"127.0.0.1:{port + 1}"]),
+                          env=env)
                for _ in range(lat_workers)]
         t0 = time.time()
+        release(lcoord)
+        wait_port(port + 1)
         for w in lws:
             release(w)
         rc_lc = lcoord.wait(timeout=3600)
