@@ -580,9 +580,9 @@ def merge_slice_tsvs(
 
     rows: dict[str, dict[str, list]] = {}   # acc -> defline -> [row...]
     failures: dict[str, str] = {}           # acc -> failure line
-    seen_rows: set = set()                  # (acc, defline, ridx, rsub)
+    seen_rows: dict = {}    # (acc, defline, ridx, rsub) -> (slice#, line)
     all_terminated = bool(slice_texts)
-    for text in slice_texts:
+    for slice_no, text in enumerate(slice_texts):
         lines = text.splitlines()
         if lines and lines[-1] == "//":
             lines.pop()
@@ -608,13 +608,22 @@ def merge_slice_tsvs(
             key = (acc, defline, ridx, rsub)
             if key in seen_rows:
                 # Disjoint --slice/--of shards never share a (read,
-                # query) pair; a repeat means the same slice file (or
-                # slices from inconsistent --of values) was fed twice.
+                # query) pair ACROSS slice files: a cross-file repeat
+                # means the same slice TSV (or slices from inconsistent
+                # --of values) was fed twice. A byte-identical repeat
+                # WITHIN one slice TSV is legitimate -- the sliced run's
+                # accession argument list may repeat an accession,
+                # duplicating its rows inside that slice's output (the
+                # output loop below dedupes accession args the same
+                # way) -- and is idempotent: keep one.
+                prev_slice, prev_line = seen_rows[key]
+                if prev_slice == slice_no and prev_line == line:
+                    continue
                 raise ValueError(
                     f"duplicate slice TSV row for {acc} read {idx} "
                     f"{defline!r}: overlapping or repeated slice inputs"
                 )
-            seen_rows.add(key)
+            seen_rows[key] = (slice_no, line)
             rows.setdefault(acc, {}).setdefault(defline, []).append(
                 (float(np.float32(score_text)), ridx, rsub, line)
             )

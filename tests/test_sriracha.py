@@ -571,3 +571,43 @@ def test_merge_slices_rejects_duplicate_slice_inputs(data_dir, tmp_path):
     rc = main(args + ["--merge-slices", str(p), "--merge-slices", str(p),
                       "-o", str(tmp_path / "m.tsv")] + accs)
     assert rc == 1
+
+
+def test_merge_slices_accepts_repeated_accession_arg(data_dir, tmp_path):
+    """A sliced run given the same accession argument twice writes each
+    (read, query) row twice into its own slice TSV; the merge treats those
+    byte-identical within-slice repeats as idempotent (its output loop
+    dedupes accession args the same way) rather than erroring. Cross-file
+    repeats (same slice fed twice) must still be rejected -- covered by
+    test_merge_slices_rejects_duplicate_slice_inputs."""
+    from kwage_tpu.cli.sriracha import main
+
+    args = ["-k", "11", "-t", "0.4",
+            "-i", str(data_dir / "sriracha_queries.fasta")]
+    acc = str(data_dir / "sriracha_reads.fasta")
+
+    for sl in range(2):
+        p = tmp_path / f"dup{sl}.tsv"
+        assert main(args + ["-o", str(p), "--slice", str(sl), "--of", "2",
+                            acc, acc]) == 0
+    # The slice TSVs really do carry duplicated rows.
+    dup_rows = [l for sl in range(2)
+                for l in (tmp_path / f"dup{sl}.tsv").read_text().splitlines()
+                if "\t" in l]
+    assert len(dup_rows) == 2 * len(set(dup_rows)) and dup_rows
+
+    merged = tmp_path / "m.tsv"
+    assert main(args + ["--merge-slices", str(tmp_path / "dup0.tsv"),
+                        "--merge-slices", str(tmp_path / "dup1.tsv"),
+                        "-o", str(merged), acc, acc]) == 0
+
+    # Byte-identical to the merge of non-duplicated sliced runs.
+    for sl in range(2):
+        p = tmp_path / f"one{sl}.tsv"
+        assert main(args + ["-o", str(p), "--slice", str(sl), "--of", "2",
+                            acc]) == 0
+    ref = tmp_path / "mref.tsv"
+    assert main(args + ["--merge-slices", str(tmp_path / "one0.tsv"),
+                        "--merge-slices", str(tmp_path / "one1.tsv"),
+                        "-o", str(ref), acc]) == 0
+    assert merged.read_bytes() == ref.read_bytes()

@@ -22,6 +22,7 @@ import shutil
 import subprocess
 import sys
 import tempfile
+import threading
 import time
 
 # Runnable straight from a checkout, with or without `pip install -e .`.
@@ -113,8 +114,21 @@ def main() -> int:
         p = subprocess.Popen(
             [sys.executable, "-c", wrapper] + args[3:],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL, env=env, text=True)
-        assert p.stdout.readline().strip() == "READY"
+            stderr=subprocess.PIPE, env=env, text=True)
+        line = p.stdout.readline().strip()
+        if line != "READY":
+            rc = p.poll()
+            err = p.stderr.read() if p.stderr else ""
+            raise RuntimeError(
+                f"held child failed before READY (rc={rc}, "
+                f"first line={line!r}): {err[-4000:]}")
+        # A held child that logs >~64 KiB would block on the full pipe
+        # until the wait() timeout; drain both pipes in daemon threads
+        # for the rest of its life.
+        for stream in (p.stdout, p.stderr):
+            threading.Thread(
+                target=lambda s=stream: [None for _ in s],
+                daemon=True).start()
         return p
 
     def release(p):
