@@ -2,6 +2,7 @@
 manual_db status patching and the bff factory rig."""
 
 import io
+import json
 import os
 import tarfile
 
@@ -557,3 +558,42 @@ def test_search_all_native_rejects_bad_num_hash():
                              21, 6, 4, 10, 0.5) is None
     assert search_all_native(slices, ["ACGTACGTACGTACGTACGTA"],
                              21, 0, 4, 10, 0.5) is None
+
+
+def test_archive_scale_inventory_bounded_rss(tmp_path):
+    """Archive-scale miniature of tools/bench_inventory_archive.py: 120k
+    run records (>100k XML records, so the native builder's overflow
+    merge -- kwage_native.cpp kMaxNumXml, mirroring the reference
+    MAX_NUM_XML, sra_inventory.cpp:736-775 -- actually fires) build
+    correctly with bounded memory. RSS is asserted as a DELTA over an
+    import-only probe child because sitecustomize's jax import dominates
+    absolute RSS on this box. The bound is generous (records must be
+    held for the global sort, ~1 KB each) but catches an unbounded
+    annotation map, which would hold every XML string at once."""
+    import subprocess
+    import sys
+
+    from kwage_tpu.native import available
+
+    if not available():
+        pytest.skip("native library unavailable")
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools", "bench_inventory_archive.py")
+    env = dict(os.environ)
+    env.update(INV_N_RECORDS="120000", INV_SUB_SIZE="1000",
+               INV_SKIP_ORACLE="1")
+    proc = subprocess.run(
+        [sys.executable, script, str(tmp_path / "work")], env=env,
+        capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stdout + proc.stderr[-2000:]
+    phases = {json.loads(l)["phase"]: json.loads(l)
+              for l in proc.stdout.splitlines() if l.startswith("{")}
+    nb = phases["native_build"]
+    # every i % 11 == 0 row (i=0 included) is "suppressed" and dropped
+    assert nb["n_written"] == 120000 - (120000 // 11 + 1)
+    # 120k records at ~1 KB apiece for the sort plus the <=100k-entry
+    # annotation window: anything past 600 MB means the overflow merge
+    # is not bounding the map.
+    assert nb["delta_rss_mb"] < 600, nb
+    assert phases["done"]["ok"] is True
