@@ -30,4 +30,12 @@ def test_dscale_mini(tmp_path):
               for l in proc.stdout.splitlines() if l.startswith("{")}
     assert phases["distributed_run"]["worker_rcs"] == [0, 0]
     assert phases["search_parity"]["distributed_equals_single"] is True
+    # Per-task queue overhead measured on the real wire protocol: sane,
+    # sub-10ms medians on loopback, and the batch-16 amortization holds.
+    oh = phases["queue_overhead"]
+    assert 0 < oh["o_task_ms_batch16"] <= oh["o_task_ms_batch1"] < 10
+    # One of two workers SIGKILLed mid-run with --task-timeout: the
+    # coordinator re-queues its pre-marked in-flight tasks and the corpus
+    # completes with the single-process result set.
+    assert phases["crash_recovery"]["result_set_equals_single"] is True
     assert phases["done"]["ok"] is True

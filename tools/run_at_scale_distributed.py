@@ -45,6 +45,109 @@ def log(phase, **kw):
     return rec
 
 
+def measure_queue_overhead(work, infos, k=300):
+    """Per-message queue overhead, measured on the REAL wire protocol: an
+    in-process CoordinatorServer over k accessions, driven by a synthetic
+    client that answers every task instantly (zero work), timing each
+    message round trip (connect + one-line JSON request + locked handler
+    + one-line reply). This is the 'o' in the crossover formula
+    (README): W workers beat one local worker when task_time t >
+    o_task/(W-1); the coordinator serializes at 1/o_coord tasks/s.
+    Reference analog: the MPI_Iprobe master loop + MPI_Send task
+    messages (maestro_main.cpp:1201-1862) whose per-task cost this
+    replaces."""
+    import statistics
+
+    from kwage_tpu.io.inventory import write_inventory
+    from kwage_tpu.parallel.maestro import (
+        Maestro,
+        MaestroOptions,
+        SourceResolver,
+        STATUS_BLOOM_SUCCESS,
+        STATUS_DATABASE_SUCCESS,
+    )
+    from kwage_tpu.parallel.remote import (
+        CoordinatorServer,
+        _param_to_dict,
+        _send_msg,
+    )
+    from kwage_tpu.core.params import BloomParam
+
+    qdir = os.path.join(work, "qoverhead")
+    os.makedirs(qdir, exist_ok=True)
+    inv = os.path.join(qdir, "inv.bin")
+    write_inventory(inv, infos[:k])
+    opt = MaestroOptions(
+        metadata_file=inv,
+        scratch_bloom_dir=os.path.join(qdir, "bloom"),
+        scratch_database_dir=os.path.join(qdir, "db"),
+        status_file=os.path.join(qdir, "status.bin"),
+        s3_no_write=True,
+    )
+    m = Maestro(opt, SourceResolver())
+    coord = CoordinatorServer(m)
+    coord.start()
+    addr = coord.address
+    param = _param_to_dict(BloomParam(
+        kmer_len=32, log_2_filter_len=18, num_hash=5, hash_func=0))
+    t_next, t_down, t_done, t_db = [], [], [], []
+    eid = 0
+
+    def timed(bucket, msg):
+        nonlocal eid
+        if "op" in msg and msg["op"] != "next":
+            msg = dict(msg, eid=f"probe:{eid}")
+            eid += 1
+        t0 = time.perf_counter()
+        r = _send_msg(addr, msg)
+        bucket.append(time.perf_counter() - t0)
+        return r
+
+    try:
+        while True:
+            r = timed(t_next, {"op": "next", "worker": "probe", "n": 1})
+            op = r.get("op")
+            if op == "quit":
+                break
+            if op == "wait":
+                time.sleep(0.02)
+                continue
+            if op == "bloom":
+                idx = r["idx"]
+                timed(t_down, {"op": "downloaded", "idx": idx})
+                timed(t_done, {"op": "bloom_done", "idx": idx,
+                               "status": STATUS_BLOOM_SUCCESS,
+                               "param": param, "dt": 0.0, "mem": 0.0,
+                               "worker": "probe"})
+            elif op == "db":
+                timed(t_db, {"op": "db_done", "db_index": r["db_index"],
+                             "members": r["members"],
+                             "status": STATUS_DATABASE_SUCCESS,
+                             "dt": 0.0, "mem": 0.0, "worker": "probe"})
+    finally:
+        coord.shutdown()
+
+    def ms(xs):
+        return round(statistics.median(xs) * 1e3, 3) if xs else None
+
+    o_next, o_down, o_done = ms(t_next), ms(t_down), ms(t_done)
+    # Per-task overhead at pull batch B: one "next" per B tasks, one
+    # "downloaded" + one "bloom_done" per task, plus the db_done share
+    # (members are packed per quota; amortized per member).
+    db_share = (sum(t_db) / k * 1e3) if t_db else 0.0
+    o_task_1 = o_next + o_down + o_done + db_share
+    o_task_16 = o_next / 16 + o_down + o_done + db_share
+    return {
+        "tasks_measured": k,
+        "next_ms": o_next, "downloaded_ms": o_down,
+        "bloom_done_ms": o_done, "db_done_ms": ms(t_db),
+        "db_done_amortized_ms": round(db_share, 3),
+        "o_task_ms_batch1": round(o_task_1, 3),
+        "o_task_ms_batch16": round(o_task_16, 3),
+        "coord_ceiling_tasks_per_s": round(1e3 / o_task_16, 1),
+    }
+
+
 def main() -> int:
     from kwage_tpu.core import FilterInfo, str_to_accession
     from kwage_tpu.io.inventory import write_inventory
@@ -179,6 +282,93 @@ def main() -> int:
     log("single_run", rc=rc, dt_sec=round(dt_single, 1),
         filters_per_sec=round(n_acc / dt_single, 1))
 
+    # Query set + search helpers (used by the parity phases below AND the
+    # crash-recovery phase).
+    qf = os.path.join(work, "q.fasta")
+    with open(qf, "w") as f:
+        for i in range(4):
+            acc = f"SRR{9000000 + rng.randrange(n_acc)}"
+            with open(os.path.join(src, acc + ".fasta")) as g:
+                g.readline()
+                seq = g.readline().strip()
+            f.write(f">q{i}\n{seq[:200]}\n")
+
+    def search(dbdir):
+        out = subprocess.run(
+            [sys.executable, "-m", "kwage_tpu.cli.kwage", "-d",
+             os.path.join(dbdir, "database"), "-t", "0.8", "-i", qf,
+             "--o.json"],
+            capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr
+        return out.stdout
+
+    def result_set(text):
+        out = set()
+        query = None
+        for line in text.splitlines():
+            ls = line.strip().strip(",")
+            if ls.startswith('"query"'):
+                query = ls
+            elif ls.startswith('"run_accession"') or ls.startswith(
+                    '"num_kmers_found"'):
+                out.add((query, ls))
+        return out
+
+    # -- per-task queue overhead + crossover check ------------------------
+    oh = measure_queue_overhead(work, infos)
+    log("queue_overhead", **oh)
+    # Crossover formula (README): W workers beat ONE local worker when
+    # t > o/(W-1); vs the single process's P-thread pool, W workers win
+    # when W/(t+o) > P/t. On this 1-core box wall-parallelism is absent,
+    # so the checkable prediction for the CPU-bound regime is the
+    # SLOWDOWN (t+o)/t: every queue millisecond serializes with work.
+    t_task_ms = dt_single / n_acc * 1e3
+    o_ms = oh["o_task_ms_batch16"]  # workers pull KWAGE_WORKER_PULL=16
+    pred_slowdown = (t_task_ms + o_ms) / t_task_ms
+    obs_slowdown = dt_dist / dt_single
+    log("crossover_check", regime="cpu_bound_1core",
+        t_task_ms=round(t_task_ms, 2), o_task_ms=o_ms,
+        predicted_slowdown=round(pred_slowdown, 2),
+        observed_slowdown=round(obs_slowdown, 2),
+        crossover_task_ms_for_2_workers=round(o_ms / (2 - 1), 2),
+        crossover_task_ms_for_8_workers=round(o_ms / (8 - 1), 2))
+
+    # -- worker-crash recovery at scale ------------------------------------
+    # Kill one of 2 workers (exact PID) mid-run with --task-timeout set:
+    # its pre-marked in-flight tasks must be re-queued by the coordinator
+    # (maestro_main.cpp:1404-1408 pre-mark semantics) and the corpus must
+    # still complete with every accession terminal.
+    if os.environ.get("SCALE_SKIP_CRASH") != "1":
+        cscratch = os.path.join(work, "crash")
+        cport = port + 2
+        ccoord = start_held(maestro_args(
+            cscratch, ["--coordinator", f"127.0.0.1:{cport}",
+                       "--task-timeout", "5"]))
+        cworkers = [start_held(maestro_args(
+            cscratch, ["--worker", f"127.0.0.1:{cport}"]))
+            for _ in range(2)]
+        t0 = time.time()
+        release(ccoord)
+        wait_port(cport)
+        for w in cworkers:
+            release(w)
+        # Let the victim get real in-flight work, then SIGKILL it.
+        time.sleep(max(0.5, dt_dist / 4))
+        cworkers[0].kill()
+        rc_cc = ccoord.wait(timeout=3600)
+        rc_survivor = cworkers[1].wait(timeout=600)
+        cworkers[0].wait(timeout=30)
+        dt_crash = time.time() - t0
+        a_crash = search(cscratch) if rc_cc == 0 else ""
+        crash_equal = rc_cc == 0 and result_set(a_crash) == result_set(
+            search(sscratch))
+        log("crash_recovery", coordinator_rc=rc_cc,
+            survivor_rc=rc_survivor, dt_sec=round(dt_crash, 1),
+            result_set_equals_single=crash_equal)
+        if not crash_equal:
+            log("done", ok=False)
+            return 1
+
     # -- latency-bound (download-dominated) regime -----------------------
     # The reference's deployment profile: workers spend most wall time
     # waiting on NCBI, not computing (worker_main.cpp's whole reason to
@@ -257,43 +447,13 @@ def main() -> int:
             log("done", ok=False)
             return 1
 
-    # Search both corpora with the same queries: byte-identical outputs.
-    qf = os.path.join(work, "q.fasta")
-    with open(qf, "w") as f:
-        for i in range(4):
-            acc = f"SRR{9000000 + rng.randrange(n_acc)}"
-            with open(os.path.join(src, acc + ".fasta")) as g:
-                g.readline()
-                seq = g.readline().strip()
-            f.write(f">q{i}\n{seq[:200]}\n")
-
-    def search(dbdir):
-        out = subprocess.run(
-            [sys.executable, "-m", "kwage_tpu.cli.kwage", "-d",
-             os.path.join(dbdir, "database"), "-t", "0.8", "-i", qf,
-             "--o.json"],
-            capture_output=True, text=True)
-        assert out.returncode == 0, out.stderr
-        return out.stdout
-
+    # Search both corpora with the same queries. Dynamic pulling packs
+    # accessions into .db files in COMPLETION order, so file partitioning
+    # (and the file-order tiebreak) differs from the sequential run --
+    # exactly as with the reference's dynamic MPI scheduling. The RESULT
+    # SET must match; byte order may not.
     a = search(dscratch)
     b = search(sscratch)
-    # Dynamic pulling packs accessions into .db files in COMPLETION order,
-    # so file partitioning (and the file-order tiebreak) differs from the
-    # sequential run -- exactly as with the reference's dynamic MPI
-    # scheduling. The RESULT SET must match; byte order may not.
-    def result_set(text):
-        out = set()
-        query = None
-        for line in text.splitlines():
-            ls = line.strip().strip(",")
-            if ls.startswith('"query"'):
-                query = ls
-            elif ls.startswith('"run_accession"') or ls.startswith(
-                    '"num_kmers_found"'):
-                out.add((query, ls))
-        return out
-
     identical = result_set(a) == result_set(b)
     has_hits = "num_kmers_found" in a
     oracle_same = None
