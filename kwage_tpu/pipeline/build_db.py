@@ -26,7 +26,14 @@ from ..io.db_file import DBFileHeader, write_db_file_streaming
 
 # 1 GiB destination buffer in the reference (build_db.cpp:243); the numpy
 # path is not seek-bound so a smaller default keeps memory modest.
-DEFAULT_CHUNK_BITS = 1 << 22
+# 2^21 bits (256 KB per filter per chunk), not 2^22: past ~256 KB row
+# stride the native transpose's per-j-sweep source working set outgrows
+# the (huge-page) TLB and throughput drops 2.6x (measured warm on this
+# box: 609/517/514/198 MB/s at 2^18/20/21/22) -- and the block buffer at
+# quota width (2048 filters) stays 512 MB instead of 1 GiB. Production-L
+# filters (L >= 22) stream in multiple chunks; L <= 21 is one chunk
+# either way.
+DEFAULT_CHUNK_BITS = 1 << 21
 
 
 def transpose_filters(filter_bytes: np.ndarray, num_filter: int | None = None) -> np.ndarray:

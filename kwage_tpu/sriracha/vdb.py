@@ -78,7 +78,11 @@ def _load():
                 lib = ctypes.CDLL(path)
                 _bind(lib)
                 _LIB = lib
-            except OSError:
+            except (OSError, AttributeError):
+                # OSError: unloadable object; AttributeError: a loadable
+                # library missing part of the REQUIRED cursor surface
+                # (symbol-subset builds) -- both mean "not available",
+                # detected at bind time rather than crashing at first use.
                 _LIB = False
     return _LIB or None
 

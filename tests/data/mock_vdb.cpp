@@ -20,6 +20,24 @@
 //                       (reading the unaligned category fails; reading
 //                       ALL reads via a plain cursor works)
 //
+//   <acc>.read2na    -> READ cells report elem_bits=2 (the 2na-packed
+//                       column encoding some schema/ABI combinations
+//                       serve); the binding must classify it as a clean
+//                       READ_FORMAT_ERROR, never decode garbage
+//
+// ABI-variant builds (tests/test_vdb.py exercises every documented
+// pin/fallback against them):
+//   -DMOCK_KPT_DATABASE=2 -DMOCK_KPT_TABLE=3
+//       older KPathType numbering (the kfs/defs.h values drifted across
+//       ncbi-vdb releases; $KWAGE_VDB_KPT_* pins exist for this)
+//   -DMOCK_NO_KMETADATA
+//       a release predating the KMetadata surface: the cursor streaming
+//       API must stay fully usable, meta_available() must be False
+//   -DMOCK_NO_NAMELIST
+//       a symbol-subset library missing part of the REQUIRED cursor
+//       surface: available() must be False (bind-time detection), not
+//       a crash at first use
+//
 // The exported surface matches the subset of the VDB C API the binding
 // (and the reference's sra_stream.cpp) uses; rc_t 0 = OK.
 
@@ -130,8 +148,14 @@ struct Handle {            // manager / db / table all carry the accession
 
 std::map<std::string, int> path_type_calls;
 
-const int kMockDatabase = 12;
-const int kMockTable = 13;
+#ifndef MOCK_KPT_DATABASE
+#define MOCK_KPT_DATABASE 12
+#endif
+#ifndef MOCK_KPT_TABLE
+#define MOCK_KPT_TABLE 13
+#endif
+const int kMockDatabase = MOCK_KPT_DATABASE;
+const int kMockTable = MOCK_KPT_TABLE;
 
 const char* va_path(const char* fmt, va_list ap) {
   // The API is printf-style; both the reference and the binding pass
@@ -218,6 +242,7 @@ uint32_t VTableRelease(void* tbl) {
 }
 
 // Namelist: {"SEQUENCE"} plus PRIMARY_ALIGNMENT when <acc>.pal exists.
+#ifndef MOCK_NO_NAMELIST
 uint32_t VDatabaseListTbl(void* db, void** kl) {
   auto* h = new Handle();
   h->acc = static_cast<Handle*>(db)->acc;
@@ -240,6 +265,7 @@ uint32_t KNamelistRelease(void* kl) {
   delete static_cast<Handle*>(kl);
   return 0;
 }
+#endif  // MOCK_NO_NAMELIST
 
 uint32_t VTableCreateCachedCursorRead(void* tbl, void** cur, size_t) {
   auto* h = static_cast<Handle*>(tbl);
@@ -296,7 +322,9 @@ uint32_t VCursorCellDataDirect(void* cur, int64_t row, uint32_t col,
   }
   const size_t i = static_cast<size_t>(row - 1);
   if (col == 1) {
-    *elem_bits = 8;
+    // .read2na: a schema/ABI combination serving the packed 2na READ
+    // encoding instead of 8-bit ASCII -- the binding must reject it.
+    *elem_bits = marker(c->acc.name, ".read2na") ? 2 : 8;
     *base = const_cast<char*>(c->acc.spot_seq[i].data());
     *boff = 0;
     *row_len = static_cast<uint32_t>(c->acc.spot_seq[i].size());
@@ -325,6 +353,7 @@ uint32_t VCursorCellDataDirect(void* cur, int64_t row, uint32_t col,
 // Absent file or key -> rc 1 at the corresponding open.
 // ---------------------------------------------------------------------
 
+#ifndef MOCK_NO_KMETADATA
 uint32_t VDBManagerMakeSRASchema(void*, void** schema) {
   *schema = new Handle();
   return 0;
@@ -410,5 +439,6 @@ uint32_t KMDataNodeRelease(void* sub) {
   delete static_cast<MetaNode*>(sub);
   return 0;
 }
+#endif  // MOCK_NO_KMETADATA
 
 }  // extern "C"

@@ -3,6 +3,7 @@ mock libncbi-vdb compiled from tests/data/mock_vdb.cpp. The ctypes call
 sequence, per-fragment numbering, retry loops and status classification
 are all real; only the library under them is canned."""
 
+import json
 import os
 import subprocess
 import sys
@@ -579,3 +580,194 @@ def test_sra_meta_prefers_library(vdb_env, monkeypatch):
     monkeypatch.setenv("KWAGE_NO_VDB", "1")
     with pytest.raises(RuntimeError):
         sm.sra_number_of_bases("SRRM000004")
+
+
+# ---------------------------------------------------------------------------
+# ABI-variant libraries (VERDICT r04 task 5): every documented pin and
+# fallback exercised against a second mock flavor, not just the
+# present/absent binary.
+# ---------------------------------------------------------------------------
+
+
+def _build_variant(tmp_path_factory, name, defines):
+    d = tmp_path_factory.mktemp(name)
+    so = d / f"lib{name}.so"
+    proc = subprocess.run(
+        ["g++", "-O1", "-shared", "-fPIC", "-o", str(so), MOCK_SRC]
+        + [f"-D{df}" for df in defines],
+        capture_output=True, text=True,
+    )
+    if proc.returncode != 0:
+        pytest.skip(f"variant mock build failed: {proc.stderr[:200]}")
+    return so
+
+
+@pytest.fixture(scope="module")
+def old_abi_lib(tmp_path_factory):
+    """An older-release flavor: pre-KDB KPathType numbering (database=2,
+    table=3) and no KMetadata surface."""
+    return _build_variant(tmp_path_factory, "mock_vdb_old",
+                          ["MOCK_KPT_DATABASE=2", "MOCK_KPT_TABLE=3",
+                           "MOCK_NO_KMETADATA"])
+
+
+@pytest.fixture(scope="module")
+def subset_lib(tmp_path_factory):
+    """A symbol-subset flavor missing the KNamelist functions the cursor
+    surface REQUIRES."""
+    return _build_variant(tmp_path_factory, "mock_vdb_subset",
+                          ["MOCK_NO_NAMELIST"])
+
+
+def _reload_vdb(monkeypatch, lib_path, data_dir, **env):
+    """Reload sriracha.vdb with the given library + env so module-level
+    KPT pins are re-evaluated exactly as a real process start would."""
+    import importlib
+
+    import kwage_tpu.sriracha.vdb as vdb_mod
+
+    monkeypatch.setenv("KWAGE_VDB_LIB", str(lib_path))
+    monkeypatch.setenv("FAKE_VDB_DIR", str(data_dir))
+    monkeypatch.setenv("KWAGE_VDB_RETRY_SLEEP", "0.01")
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    importlib.reload(vdb_mod)
+    return vdb_mod
+
+
+@pytest.fixture
+def _restore_vdb_module():
+    """Whatever a variant test did, leave sriracha.vdb re-imported fresh
+    (env vars are already unwound by monkeypatch at this point)."""
+    yield
+    import importlib
+
+    import kwage_tpu.sriracha.vdb as vdb_mod
+
+    importlib.reload(vdb_mod)
+
+
+def test_old_abi_unpinned_misclassifies(old_abi_lib, tmp_path, monkeypatch,
+                                        _restore_vdb_module):
+    """Against the old-numbering library WITHOUT the KWAGE_VDB_KPT_* pins
+    the database path type (2) is unknown -> the controlled-access
+    classification, exactly the failure the pins exist to fix."""
+    from kwage_tpu.sriracha.sra_source import (
+        DownloadError,
+        SRA_DOWNLOAD_CONTROLLED_ACCESS,
+    )
+
+    vdb_mod = _reload_vdb(monkeypatch, old_abi_lib, tmp_path)
+    assert vdb_mod.available()
+    _write_spots(tmp_path, "SRRO000001", [["ACGTACGT"]])
+    with pytest.raises(DownloadError) as ei:
+        list(vdb_mod.stream_accession_vdb("SRRO000001"))
+    assert ei.value.status == SRA_DOWNLOAD_CONTROLLED_ACCESS
+
+
+def test_old_abi_kpt_pins_stream(old_abi_lib, tmp_path, monkeypatch,
+                                 _restore_vdb_module):
+    """KWAGE_VDB_KPT_DATABASE/_TABLE pins make the old-numbering library
+    fully usable: database AND flat-table streaming, sliced ranges
+    included."""
+    vdb_mod = _reload_vdb(monkeypatch, old_abi_lib, tmp_path,
+                          KWAGE_VDB_KPT_DATABASE="2",
+                          KWAGE_VDB_KPT_TABLE="3")
+    assert vdb_mod.KPT_DATABASE == 2 and vdb_mod.KPT_TABLE == 3
+    spots = [["ACGTACGT", "TTGG"], ["GGGGCCCC"], ["AAAA"]]
+    _write_spots(tmp_path, "SRRO000002", spots)
+    got = list(vdb_mod.stream_accession_vdb("SRRO000002"))
+    want = [(i + 1, j + 1, s)
+            for i, frags in enumerate(spots) for j, s in enumerate(frags)]
+    assert got == want
+    _write_spots(tmp_path, "SRRO000003", [["ACAC"], ["GTGT"]], flat=True)
+    assert list(vdb_mod.stream_accession_vdb("SRRO000003")) == [
+        (1, 0, "ACAC"), (2, 0, "GTGT")]
+    # Sliced: each rank streams its VCursorIdRange share.
+    both = [r for rank in (0, 1)
+            for r in vdb_mod.stream_accession_vdb("SRRO000002",
+                                                  rank=rank, ntasks=2)]
+    assert sorted(both) == sorted(want)
+
+
+def test_old_abi_no_kmetadata_fallback(old_abi_lib, tmp_path, monkeypatch,
+                                       _restore_vdb_module):
+    """A pre-KMetadata library keeps cursor streaming but meta_available()
+    is False, vdb_number_of_bases raises (lazy-bind fallback path,
+    sriracha/vdb.py), and pipeline.sra_meta routes to the toolkit probe."""
+    import kwage_tpu.pipeline.sra_meta as sm
+    from kwage_tpu.sriracha.sra_source import DownloadError
+
+    vdb_mod = _reload_vdb(monkeypatch, old_abi_lib, tmp_path,
+                          KWAGE_VDB_KPT_DATABASE="2",
+                          KWAGE_VDB_KPT_TABLE="3")
+    assert vdb_mod.available()          # cursor surface fully usable
+    assert not vdb_mod.meta_available()  # KMetadata genuinely absent
+    _write_spots(tmp_path, "SRRO000004", [["ACGT"]])
+    (tmp_path / "SRRO000004.meta").write_text("BASE_COUNT=77\n")
+    with pytest.raises(DownloadError):
+        vdb_mod.vdb_number_of_bases("SRRO000004")
+    # pipeline fallback: no sra-stat on PATH -> RuntimeError, NOT a
+    # silent wrong answer through a half-bound KMetadata.
+    monkeypatch.setattr(sm.shutil, "which", lambda _name: None)
+    with pytest.raises(RuntimeError):
+        sm.sra_number_of_bases("SRRO000004")
+
+
+def test_symbol_subset_library_unavailable(subset_lib, tmp_path, monkeypatch,
+                                           _restore_vdb_module):
+    """A library missing part of the REQUIRED cursor surface (KNamelist*)
+    fails available() at bind time -- never a crash at first use."""
+    vdb_mod = _reload_vdb(monkeypatch, subset_lib, tmp_path)
+    assert not vdb_mod.available()
+
+
+def test_read2na_elem_bits_clean_error(vdb_env):
+    """A READ column served with elem_bits=2 (packed 2na) is classified
+    as READ_FORMAT_ERROR -- the binding must never decode it as ASCII."""
+    from kwage_tpu.sriracha.sra_source import (
+        DownloadError,
+        SRA_DOWNLOAD_READ_FORMAT_ERROR,
+    )
+    from kwage_tpu.sriracha.vdb import stream_accession_vdb
+
+    _write_spots(vdb_env, "SRRO000005", [["ACGTACGT"]])
+    (vdb_env / "SRRO000005.read2na").touch()
+    with pytest.raises(DownloadError) as ei:
+        list(stream_accession_vdb("SRRO000005"))
+    assert ei.value.status == SRA_DOWNLOAD_READ_FORMAT_ERROR
+
+
+def test_vdb_smoke_tool(mock_vdb_lib, tmp_path):
+    """tools/vdb_smoke.py end to end against the mock: bind report,
+    stream, metadata -- the one-command validation for real-library
+    machines."""
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools", "vdb_smoke.py")
+    with open(tmp_path / "SRRS000001.vdb", "w") as f:
+        f.write("ACGTACGT|TTGG\nGGGGCCCC\n")
+    (tmp_path / "SRRS000001.meta").write_text(
+        "BASE_COUNT=20\nSPOT_COUNT=2\n")
+    env = dict(os.environ, KWAGE_VDB_LIB=str(mock_vdb_lib),
+               FAKE_VDB_DIR=str(tmp_path), KWAGE_VDB_RETRY_SLEEP="0.01")
+    proc = subprocess.run(
+        [sys.executable, script, "--max-frags", "2", "SRRS000001"],
+        env=env, capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stdout + proc.stderr[-1000:]
+    rep = json.loads(proc.stdout)
+    assert rep["available"] and rep["meta_available"]
+    assert rep["path_type_known"] and rep["stream_ok"]
+    assert [f["head"] for f in rep["streamed_fragments"]] == [
+        "ACGTACGT", "TTGG"]
+    assert rep["metadata"] == {"BASE_COUNT": 20, "SPOT_COUNT": 2}
+
+    # Without the accession: pure bind check, exit 0.
+    proc = subprocess.run([sys.executable, script], env=env,
+                          capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0
+    # With a library that does not exist: available False, exit 1.
+    env["KWAGE_VDB_LIB"] = str(tmp_path / "nope.so")
+    proc = subprocess.run([sys.executable, script], env=env,
+                          capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 1
+    assert json.loads(proc.stdout)["available"] is False
