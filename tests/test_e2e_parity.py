@@ -121,3 +121,47 @@ def test_search_output_byte_identical(
     assert kwage_main(args[:-2] + ["-o", str(dev_file), "--device"]) == 0
     with open(dev_file) as f:
         assert f.read() == want, f"{case}: device output differs"
+
+
+def test_db_pack_chunked_byte_identical(built, tmp_path):
+    """Production-L filters (L >= 22) stream through the pack in multiple
+    chunks (DEFAULT_CHUNK_BITS = 2^21 < filter_len): the multi-chunk
+    stream must be byte-identical to a single-chunk pack and to the
+    numpy-twin transpose, at a deliberately tiny chunk so MANY chunk
+    boundaries are crossed (build_db.cpp:236-315's 1 GiB tiling analog)."""
+    import hashlib
+
+    import kwage_tpu.pipeline.build_db as bdb
+    from kwage_tpu.io.bloom_file import read_bloom_file
+
+    bloom_paths, _ = built
+    by_param: dict = {}
+    for p in bloom_paths.values():
+        by_param.setdefault(
+            read_bloom_file(str(p), with_bits=False).param, []
+        ).append(str(p))
+    param, paths = max(by_param.items(), key=lambda kv: len(kv[1]))
+    assert len(paths) >= 2
+
+    def sha(p):
+        return hashlib.sha256(open(p, "rb").read()).hexdigest()
+
+    one = tmp_path / "one.db"
+    bdb.build_db_from_bloom_files(
+        str(one), param, paths, chunk_bits=param.filter_len)
+    many = tmp_path / "many.db"
+    bdb.build_db_from_bloom_files(
+        str(many), param, paths, chunk_bits=1 << 12)
+    assert sha(one) == sha(many)
+
+    # numpy-twin transpose (native disabled) over the same chunking.
+    import kwage_tpu.native as native
+    orig = native.transpose_bits_native
+    native.transpose_bits_native = lambda *a, **kw: None
+    try:
+        twin = tmp_path / "twin.db"
+        bdb.build_db_from_bloom_files(
+            str(twin), param, paths, chunk_bits=1 << 12)
+    finally:
+        native.transpose_bits_native = orig
+    assert sha(twin) == sha(one)
