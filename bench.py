@@ -106,8 +106,13 @@ def main() -> None:
             res.append((hi - lo) / (n_hi - n_lo))
         return sorted(res)[len(res) // 2]  # median
 
-    per_iter = measure(2, 50)
-    tpu_rate = NQ * NK * FILES / per_iter  # 2048-filter file-equivalents
+    # Spread: 5 independent slope measurements (each itself a median of 5
+    # chained-pair samples). VERDICT r04 flagged a 7% single-sample dip
+    # (124.0 -> 114.8 across rounds) that nothing could classify as noise
+    # or regression; min/median/max of the headline metric travels with
+    # the number from now on.
+    rates = sorted(NQ * NK * FILES / measure(2, 50) for _ in range(5))
+    tpu_rate = rates[len(rates) // 2]  # 2048-filter file-equivalents
 
     # Complete-match path (the reference's DEFAULT, threshold=1.0,
     # kwage.cpp:377-384): AND-reduce across k-mers instead of CSA counts.
@@ -165,6 +170,12 @@ def main() -> None:
                 "unit": f"kmer-queries/s (2048-filter files, 5 seeds, 2^{LOG2_L} rows, {FILES} files fused)",
                 "vs_baseline": round(tpu_rate / cpu_rate, 2),
                 "complete_match_kmer_queries_per_sec": round(complete_rate, 1),
+                "spread": {
+                    "n": len(rates),
+                    "min": round(rates[0], 1),
+                    "median": round(tpu_rate, 1),
+                    "max": round(rates[-1], 1),
+                },
             }
         )
     )

@@ -263,6 +263,7 @@ def search_reads_device(
     span_reads: int | None = None,
     mesh=None,
     auto_mesh: bool = True,
+    profile: dict | None = None,
 ) -> list[list[SearchMatch]]:
     """Device-batched equivalent of engine.search_reads (bit-identical
     output) for every reference-legal k (1..32,
@@ -286,7 +287,15 @@ def search_reads_device(
     split (sra_stream.cpp:525-543); per-read work is independent, so no
     collective is introduced. Bit-identical to the single-device path.
     By default (``auto_mesh``) a batch-axis mesh over every visible
-    device is built automatically when more than one is present."""
+    device is built automatically when more than one is present.
+
+    ``profile`` (optional dict) accumulates pipeline phase timings in
+    place: ``pack_dispatch_s`` (host packing + async dispatch per span),
+    ``sync_s`` (the one 3-transfer readback per span), ``gate_s``
+    (vectorized gates + accumulation), ``spans``/``bp`` totals, and
+    ``events`` -- the ("dispatch"|"sync", span#) order, which proves the
+    1-deep overlap (span i+1 dispatches BEFORE span i syncs). Zero cost
+    when None."""
     from itertools import islice
 
     ns = len(subject_kmers)
@@ -450,21 +459,51 @@ def search_reads_device(
                 nu[chunk] = uu[off : off + len(chunk)]
         return counts, nk, nu
 
+    if profile is not None:
+        import time as _time
+
+        profile.setdefault("pack_dispatch_s", 0.0)
+        profile.setdefault("sync_s", 0.0)
+        profile.setdefault("gate_s", 0.0)
+        profile.setdefault("spans", 0)
+        profile.setdefault("bp", 0)
+        profile.setdefault("events", [])
+
     read_iter = iter(read_iter)
     prev: tuple | None = None  # (reads, pending) -- 1-deep span pipeline
+    span_no = 0
     while True:
         reads = list(islice(read_iter, span_reads))
         # Pack + dispatch span i+1 BEFORE syncing span i's readback:
         # host packing overlaps device compute (and, on high-latency
         # links, the next span's uploads ride ahead of the sync).
-        cur = (reads, dispatch_span(reads)) if reads else None
+        if reads:
+            if profile is not None:
+                t0 = _time.perf_counter()
+                cur = (reads, dispatch_span(reads), span_no)
+                profile["pack_dispatch_s"] += _time.perf_counter() - t0
+                profile["spans"] += 1
+                profile["bp"] += sum(len(r[0]) for r in reads)
+                profile["events"].append(("dispatch", span_no))
+            else:
+                cur = (reads, dispatch_span(reads), span_no)
+            span_no += 1
+        else:
+            cur = None
         if prev is None:
             if cur is None:
                 break
             prev = cur
             continue
-        reads, pending = prev
-        counts, nk, nu = readback_span(reads, pending)
+        reads, pending, prev_no = prev
+        if profile is not None:
+            t0 = _time.perf_counter()
+            counts, nk, nu = readback_span(reads, pending)
+            profile["sync_s"] += _time.perf_counter() - t0
+            profile["events"].append(("sync", prev_no))
+            _t_gate = _time.perf_counter()
+        else:
+            counts, nk, nu = readback_span(reads, pending)
         prev = cur
 
         # Vectorized gates + accumulation. Semantics are EXACTLY the
@@ -508,6 +547,8 @@ def search_reads_device(
             if opt.max_num_match > 0 and len(bucket) > 10 * opt.max_num_match:
                 bucket.sort(key=SearchMatch.sort_key)
                 del bucket[opt.max_num_match :]
+        if profile is not None:
+            profile["gate_s"] += _time.perf_counter() - _t_gate
 
     for bucket in results:
         bucket.sort(key=SearchMatch.sort_key)

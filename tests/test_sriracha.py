@@ -611,3 +611,45 @@ def test_merge_slices_accepts_repeated_accession_arg(data_dir, tmp_path):
                         "--merge-slices", str(tmp_path / "one1.tsv"),
                         "-o", str(ref), acc]) == 0
     assert merged.read_bytes() == ref.read_bytes()
+
+
+def test_device_span_pipeline_overlap_order(data_dir):
+    """The 1-deep span pipeline's load-bearing property, asserted
+    structurally via the profile hook: span i+1 is packed and DISPATCHED
+    before span i's readback sync (host packing and, on high-latency
+    links, uploads overlap device compute). Also checks the profile
+    accumulators are filled and the results stay bit-identical to the
+    unprofiled run."""
+    from kwage_tpu.io.sequence import iter_sequences
+    from kwage_tpu.sriracha.device import search_reads_device
+    from kwage_tpu.sriracha.engine import SrirachaOptions, load_subject_kmers
+
+    reads = [s for _, s in
+             iter_sequences(str(data_dir / "sriracha_reads.fasta"))]
+    reads = (reads * 4)[:50]
+    tuples = [(s, i + 1, 1) for i, s in enumerate(reads)]
+    subjects = load_subject_kmers(
+        [str(data_dir / "sriracha_queries.fasta")], 11)
+    opt = SrirachaOptions(kmer_len=11, kmer_match_threshold=0.4,
+                          min_valid_kmer=1, max_num_match=5)
+
+    prof: dict = {}
+    got = search_reads_device(iter(tuples), subjects, opt, batch_size=4,
+                              span_reads=8, profile=prof)
+    plain = search_reads_device(iter(tuples), subjects, opt, batch_size=4,
+                                span_reads=8)
+    assert [[m.sort_key() for m in b] for b in got] == \
+           [[m.sort_key() for m in b] for b in plain]
+
+    ev = prof["events"]
+    n_spans = prof["spans"]
+    assert n_spans >= 3  # several spans actually streamed
+    assert [e for e in ev if e[0] == "dispatch"] == [
+        ("dispatch", i) for i in range(n_spans)]
+    assert [e for e in ev if e[0] == "sync"] == [
+        ("sync", i) for i in range(n_spans)]
+    for i in range(1, n_spans):
+        # dispatch(i) strictly precedes sync(i-1): the overlap invariant.
+        assert ev.index(("dispatch", i)) < ev.index(("sync", i - 1)), ev
+    assert prof["bp"] == sum(len(s) for s in reads)
+    assert prof["pack_dispatch_s"] > 0 and prof["sync_s"] > 0

@@ -1,0 +1,154 @@
+"""Phase-split of the headline search kernel on chip (VERDICT r04 task 2).
+
+The question: BENCH r04's 114.8 M kq/s implies ~147 GB/s effective
+gather (rate/FILES * NH * 2048 B rows), ~18% below the ~179 GB/s this
+repo measured for raw W=512-row gathers -- where does the gap live?
+
+Phases, all at the EXACT bench shape (2^BENCH_LOG2_L x 512 uint32, 8
+files fused, NQ x NK queries, 5 seeds), all device-chained (N dependent
+fori_loop iterations inside one jit, perturbed indices, slope between
+two N values, readback at the end):
+
+  gather1      one seed:  NQ*NK row gathers + XOR fold (pure gather)
+  gather5_and  five seeds gathered sequentially + AND
+               (_gather_and_reduce_seeds -- the seed phase)
+  complete     + the k-mer tree AND (threshold=1.0 path)
+  counts       + the CSA bit-plane popcount (thresholded path)
+
+Each phase reports ms/iter, effective gather GB/s (gathered rows x
+2 KiB / time) and the delta vs the previous phase. Writes
+SEARCH_PHASES_r{KWAGE_ROUND}.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+
+import numpy as np
+
+LOG2_L = int(os.environ.get("BENCH_LOG2_L", "22"))
+FILES = 8
+W = 64 * FILES
+NQ = int(os.environ.get("BENCH_NQ", "8"))
+NK = int(os.environ.get("BENCH_NK", "1024"))
+NH = 5
+
+
+def main() -> int:
+    from kwage_tpu.utils.runtime import pin_platform_from_env
+
+    pin_platform_from_env()
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/kwage_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from kwage_tpu.ops.search import (
+        _gather_and_reduce_seeds,
+        complete_kernel,
+        counts_kernel,
+    )
+
+    key = jax.random.key(0)
+    db = jax.jit(
+        lambda k: jax.random.bits(k, (1 << LOG2_L, W), dtype=jnp.uint32)
+    )(key)
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(
+        rng.integers(0, 1 << LOG2_L, size=(NQ, NK, NH), dtype=np.int32))
+    valid = jnp.ones((NQ, NK), dtype=bool)
+    mask = jnp.int32((1 << LOG2_L) - 1)
+
+    def chained(phase_fn, rows_per_iter):
+        @jax.jit
+        def run(db, idx, valid, n):
+            def body(i, acc):
+                ix = (idx + i) & mask
+                return acc + phase_fn(db, ix, valid)
+            return jax.lax.fori_loop(0, n, body, jnp.uint32(0))
+
+        np.asarray(run(db, idx, valid, 1))  # compile + warm
+
+        def measure(n_lo=2, n_hi=50):
+            res = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                np.asarray(run(db, idx, valid, n_lo))
+                lo = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                np.asarray(run(db, idx, valid, n_hi))
+                hi = time.perf_counter() - t0
+                res.append((hi - lo) / (n_hi - n_lo))
+            return sorted(res)[len(res) // 2]
+
+        dt = measure()
+        return {
+            "ms_per_iter": round(dt * 1e3, 3),
+            "gather_gb_per_s": round(
+                rows_per_iter * W * 4 / dt / 1e9, 1),
+            "kmer_queries_per_s": round(NQ * NK * FILES / dt, 1),
+        }
+
+    # Phase kernels. Each returns a scalar uint32 so the chained loop's
+    # accumulator keeps every iteration live (nothing hoists/DCEs).
+    def p_gather1(db, ix, valid):
+        km = db[ix[:, :, 0].reshape(-1)]
+        return jax.lax.reduce(km, jnp.uint32(0), jax.lax.bitwise_xor,
+                              (0, 1))
+
+    def p_gather5(db, ix, valid):
+        km = _gather_and_reduce_seeds(db, ix, valid)
+        return jax.lax.reduce(km, jnp.uint32(0), jax.lax.bitwise_xor,
+                              (0, 1, 2))
+
+    def p_complete(db, ix, valid):
+        return complete_kernel(db, ix, valid).sum(dtype=jnp.uint32)
+
+    def p_counts(db, ix, valid):
+        return counts_kernel(db, ix, valid).sum(dtype=jnp.int32).astype(
+            jnp.uint32)
+
+    phases = {}
+    phases["gather1"] = chained(p_gather1, NQ * NK)
+    phases["gather5_and"] = chained(p_gather5, NQ * NK * NH)
+    phases["complete"] = chained(p_complete, NQ * NK * NH)
+    phases["counts"] = chained(p_counts, NQ * NK * NH)
+
+    # Attribution: time added by each stage on top of the previous.
+    t1 = phases["gather1"]["ms_per_iter"]
+    t5 = phases["gather5_and"]["ms_per_iter"]
+    tc = phases["complete"]["ms_per_iter"]
+    tn = phases["counts"]["ms_per_iter"]
+    out = {
+        "shape": {"log2_rows": LOG2_L, "row_bytes": W * 4, "files": FILES,
+                  "nq": NQ, "nk": NK, "seeds": NH},
+        "phases": phases,
+        "attribution_ms": {
+            "gather_per_seed": round(t1, 3),
+            "five_seeds_expected": round(5 * t1, 3),
+            "five_seeds_actual": round(t5, 3),
+            "seed_and_overhead": round(t5 - 5 * t1, 3),
+            "kmer_tree_and": round(tc - t5, 3),
+            "csa_popcount": round(tn - t5, 3),
+        },
+    }
+    print(json.dumps(out), flush=True)
+    rnd = os.environ.get("KWAGE_ROUND", "05")
+    with open(os.path.join(_REPO_ROOT,
+                           f"SEARCH_PHASES_r{rnd}.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,178 @@
+"""SriRachA device end-to-end model: rate = f(RTT) (VERDICT r04 task 7).
+
+The 243 Mbp/s device-chained kernel vs 2.0 Mbp/s tunneled end-to-end
+left the deployment claim unmeasured. This tool separates the terms on
+the CURRENT backend and publishes the projection any deployment can
+apply:
+
+  per span (steady state, 1-deep pipeline):
+      wall = max(t_pack_dispatch, t_kernel) + t_sync + t_gate
+      t_sync(RTT) ~= 3*RTT + readback_bytes/bw   (3 transfers per span)
+
+  end-to-end Mbp/s = span_bp / wall
+
+Measured here: t_pack_dispatch, t_sync, t_gate (profile hook in
+search_reads_device), t_kernel (device-chained, same batch shape), and
+the actual end-to-end -- the model is validated against it, then
+projected at RTT = 0 / 1 / 10 / 60 ms. History points this curve must
+explain (measured through this box's ~60-70 ms tunnel, r04): 0.6 Mbp/s
+per-batch sync, 0.9 deferred per-batch, 2.0 per-span sync.
+
+Env: SRIRACHA_K (21), SRIRACHA_NREADS (16384), SRIRACHA_READ_LEN (100),
+SRIRACHA_NSUBJ (4). Writes SRIRACHA_MODEL_r{KWAGE_ROUND}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+
+import numpy as np
+
+K = int(os.environ.get("SRIRACHA_K", "21"))
+NREADS = int(os.environ.get("SRIRACHA_NREADS", "16384"))
+READ_LEN = int(os.environ.get("SRIRACHA_READ_LEN", "100"))
+NSUBJ = int(os.environ.get("SRIRACHA_NSUBJ", "4"))
+BATCH = 512
+SPAN = 16 * BATCH
+
+
+def main() -> int:
+    from kwage_tpu.utils.runtime import pin_platform_from_env
+
+    pin_platform_from_env()
+    import jax
+    import jax.numpy as jnp
+
+    from kwage_tpu.core.words import canonical_kmers
+    from kwage_tpu.sriracha.device import (
+        _build_hash_group,
+        _read_batch_kernel_hash,
+        search_reads_device,
+    )
+    from kwage_tpu.sriracha.engine import SrirachaOptions
+
+    rng = np.random.default_rng(0)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    target = lut[rng.integers(0, 4, size=8000)].tobytes().decode()
+    subjects = []
+    for s in range(NSUBJ):
+        seg = target[s * 1500:s * 1500 + 2000]
+        subjects.append(
+            (f"subj{s}", np.unique(canonical_kmers(seg, K))))
+
+    reads = []
+    for i in range(NREADS):
+        if i % 3 == 0:
+            st = int(rng.integers(0, len(target) - READ_LEN))
+            seq = target[st:st + READ_LEN]
+        else:
+            seq = lut[rng.integers(0, 4, size=READ_LEN)].tobytes().decode()
+        reads.append((seq, i + 1, 0))
+    total_bp = sum(len(r[0]) for r in reads)
+
+    opt = SrirachaOptions(kmer_len=K, kmer_match_threshold=0.3,
+                          min_valid_kmer=1, max_num_match=10)
+
+    # End-to-end + profile (warm pass first so compiles don't pollute).
+    search_reads_device(iter(reads[:2 * SPAN]), subjects, opt,
+                        batch_size=BATCH, span_reads=SPAN)
+    prof: dict = {}
+    t0 = time.perf_counter()
+    search_reads_device(iter(reads), subjects, opt,
+                        batch_size=BATCH, span_reads=SPAN, profile=prof)
+    wall = time.perf_counter() - t0
+    spans = prof["spans"]
+    pack = prof["pack_dispatch_s"] / spans
+    sync = prof["sync_s"] / spans
+    gate = prof["gate_s"] / spans
+    span_bp = total_bp / spans
+
+    # Kernel rate, device-chained at the same batch shape (the dispatch
+    # path above includes host packing; this isolates device compute).
+    ht = tuple(tuple(jnp.asarray(a) for a in _build_hash_group(
+        [s.astype(np.uint64) for _, s in subjects]))
+        for _ in range(1))
+    block = np.zeros((BATCH, 128), dtype=np.uint8)
+    for r in range(BATCH):
+        seq = reads[r][0].encode()
+        block[r, :len(seq)] = np.frombuffer(seq, dtype=np.uint8)
+    lengths = np.full(BATCH, READ_LEN, dtype=np.int32)
+    block_d, len_d = jnp.asarray(block), jnp.asarray(lengths)
+    ns_groups = (len(subjects),)
+
+    @jax.jit
+    def chained(b, ln, n):
+        def body(i, acc):
+            bb = (b + i.astype(jnp.uint8)) % jnp.uint8(4) + jnp.uint8(65)
+            c, k_, u_ = _read_batch_kernel_hash(bb, ln, ht, K, ns_groups)
+            return acc + c.sum(dtype=jnp.int64)
+        return jax.lax.fori_loop(0, n, body, jnp.int64(0))
+
+    np.asarray(chained(block_d, len_d, 1))
+
+    def slope(lo=2, hi=34):
+        res = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(chained(block_d, len_d, lo))
+            a = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            np.asarray(chained(block_d, len_d, hi))
+            b = time.perf_counter() - t0
+            res.append((b - a) / (hi - lo))
+        return sorted(res)[len(res) // 2]
+
+    t_batch = slope()
+    kernel_mbps = BATCH * READ_LEN / t_batch / 1e6
+    t_kernel_span = span_bp / (kernel_mbps * 1e6)
+
+    # Model + validation. Current-backend RTT inferred from the span
+    # sync cost (3 transfers/span).
+    rtt_now = sync / 3
+    def rate(rtt_s: float) -> float:
+        w = max(pack, t_kernel_span) + 3 * rtt_s + gate
+        return span_bp / w / 1e6
+
+    measured_mbps = total_bp / wall / 1e6
+    out = {
+        "workload": {"k": K, "reads": NREADS, "read_len": READ_LEN,
+                     "subjects": NSUBJ, "span_reads": SPAN,
+                     "total_mbp": round(total_bp / 1e6, 2)},
+        "measured": {
+            "end_to_end_mbps": round(measured_mbps, 2),
+            "kernel_mbps": round(kernel_mbps, 1),
+            "per_span_s": {"pack_dispatch": round(pack, 4),
+                           "kernel": round(t_kernel_span, 4),
+                           "sync": round(sync, 4),
+                           "gate": round(gate, 4)},
+            "inferred_rtt_ms": round(rtt_now * 1e3, 1),
+        },
+        "model": {
+            "formula": "span_bp / (max(pack, kernel) + 3*RTT + gate)",
+            "predicted_at_current_rtt_mbps": round(rate(rtt_now), 2),
+            "projected_mbps": {
+                "rtt_0": round(rate(0.0), 1),
+                "rtt_1ms": round(rate(0.001), 1),
+                "rtt_10ms": round(rate(0.010), 1),
+                "rtt_60ms": round(rate(0.060), 2),
+            },
+        },
+        "model_vs_measured_ratio": round(
+            rate(rtt_now) / measured_mbps, 2) if measured_mbps else None,
+    }
+    print(json.dumps(out), flush=True)
+    rnd = os.environ.get("KWAGE_ROUND", "05")
+    with open(os.path.join(_REPO_ROOT,
+                           f"SRIRACHA_MODEL_r{rnd}.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
