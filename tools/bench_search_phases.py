@@ -141,6 +141,19 @@ def main() -> int:
             "kmer_tree_and": round(tc - t5, 3),
             "csa_popcount": round(tn - t5, 3),
         },
+        "caveats": [
+            "gather1 exceeds HBM peak (~819 GB/s on v5e) so it is NOT a "
+            "bandwidth measure: with a single seed the only cross-"
+            "iteration dependency is the scalar XOR accumulator, letting "
+            "the scheduler overlap iterations' DMA freely; do not derive "
+            "per-seed cost from it. The trusted baseline is gather5_and "
+            "(the production seed phase), which lands at the "
+            "independently measured W=512 gather ceiling.",
+            "kmer_tree_and and csa_popcount are measured serial on top "
+            "of gather5_and (tc==t5+delta exactly): XLA schedules the "
+            "dependent reduction after the gather with no overlap. That "
+            "delta IS the headline-vs-ceiling gap.",
+        ],
     }
     print(json.dumps(out), flush=True)
     rnd = os.environ.get("KWAGE_ROUND", "05")
