@@ -106,27 +106,47 @@ def main() -> int:
     block_d, len_d = jnp.asarray(block), jnp.asarray(lengths)
     ns_groups = (len(subjects),)
 
+    # Perturb WITHIN the ACGT alphabet (rotating the raw byte mod 4 emits
+    # B/D, which the kernel treats as invalid and window-resets — that
+    # would overstate the kernel rate by skipping hash work).
+    base_code = np.full(256, 255, dtype=np.uint8)
+    for c_, v_ in zip(b"ACGT", range(4)):
+        base_code[c_] = v_
+    letters = jnp.asarray(np.frombuffer(b"ACGT", dtype=np.uint8))
+    code_lut = jnp.asarray(base_code)
+    codes_d = code_lut[block_d]
+
     @jax.jit
-    def chained(b, ln, n):
+    def chained(b, codes, ln, n):
         def body(i, acc):
-            bb = (b + i.astype(jnp.uint8)) % jnp.uint8(4) + jnp.uint8(65)
+            rot = letters[(codes + i.astype(jnp.uint8)) % jnp.uint8(4)]
+            bb = jnp.where(codes == jnp.uint8(255), b, rot)
             c, k_, u_ = _read_batch_kernel_hash(bb, ln, ht, K, ns_groups)
             return acc + c.sum(dtype=jnp.int64)
         return jax.lax.fori_loop(0, n, body, jnp.int64(0))
 
-    np.asarray(chained(block_d, len_d, 1))
+    np.asarray(chained(block_d, codes_d, len_d, 1))
 
-    def slope(lo=2, hi=34):
-        res = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            np.asarray(chained(block_d, len_d, lo))
-            a = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            np.asarray(chained(block_d, len_d, hi))
-            b = time.perf_counter() - t0
-            res.append((b - a) / (hi - lo))
-        return sorted(res)[len(res) // 2]
+    def slope(lo=8, hi=512):
+        # Keep the iteration delta's runtime far above the tunnel's RTT
+        # jitter (a 57 ms RTT with ±ms jitter swamps a ~7 ms delta and
+        # can even turn the slope negative); grow hi until the measured
+        # delta is comfortably signal-dominated.
+        for _ in range(4):
+            res = []
+            for _ in range(7):
+                t0 = time.perf_counter()
+                np.asarray(chained(block_d, codes_d, len_d, lo))
+                a = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                np.asarray(chained(block_d, codes_d, len_d, hi))
+                b_ = time.perf_counter() - t0
+                res.append(((b_ - a) / (hi - lo), b_ - a))
+            med, delta = sorted(res)[len(res) // 2]
+            if med > 0 and delta > 0.05:
+                return med
+            lo, hi = hi, hi * 4
+        raise RuntimeError(f"kernel slope never stabilized: {res}")
 
     t_batch = slope()
     kernel_mbps = BATCH * READ_LEN / t_batch / 1e6
