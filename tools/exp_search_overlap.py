@@ -23,6 +23,17 @@ at chunk sizes 128/256/512 on the exact bench shape.  All variants are
 asserted bit-identical to the production kernels first (runs under the
 CPU backend too, where only the parity check is meaningful).  Writes
 OVERLAP_r{KWAGE_ROUND}.json.
+
+RESULT (round 5, on chip): NEGATIVE — thread closed.  Same-process A/B
+spreads (7 slopes per variant, one compile) show base and chunked
+distributions overlapping almost entirely (complete med 0.504 vs
+0.499 ms, counts 0.565 vs 0.545).  In the chained steady state XLA
+already overlaps iteration i+1's seed gather with iteration i's
+reduction — the same scheduling freedom that makes gather1 report
+>HBM-peak — so pipelining *inside* the kernel adds nothing the outer
+chain didn't.  Beware: separate-process comparisons under host load
+showed a spurious 1.5x "win" (the base runs absorbed the load).
+Production kernels stay monolithic; see OVERLAP_r05.json.
 """
 
 from __future__ import annotations
