@@ -183,6 +183,55 @@ def counts_kernel(db: jax.Array, idx: jax.Array, kmer_valid: jax.Array) -> jax.A
 search_counts = jax.jit(counts_kernel)
 
 
+def eval_chunk_cols(
+    words,
+    idx_d,
+    valid_d,
+    threshold: float,
+    budget_bytes: int,
+) -> np.ndarray:
+    """Hit counts (threshold < 1, int32 [nq, 32*W]) or packed complete
+    mask (threshold == 1.0, uint32 [nq, W]) for one fused chunk.
+
+    ``words`` is either a device-resident matrix (searched in one kernel
+    call) or a host uint32 [L, W] matrix.  A host chunk wider than
+    ``budget_bytes`` streams through the device in uniform column slabs
+    (zero-padded tail; padding columns gather zero words, so they count
+    0 / mask 0 and are trimmed by the caller's num_filter spans), each
+    slab's device buffer released BEFORE the next upload so peak HBM
+    stays one slab.  This is what lets a single production-L file (a
+    full 2048-filter file at L=26 is 16 GiB) search on a 16 GB chip —
+    the reference reads it from disk in filter-sized strides
+    (kwage.cpp:404-433); here the column axis is the streaming axis.
+    """
+    if not isinstance(words, np.ndarray):
+        if threshold == 1.0:
+            return np.asarray(search_complete(words, idx_d, valid_d))
+        return np.asarray(search_counts(words, idx_d, valid_d))
+    L, Wc = words.shape
+    slab_w = max(int(budget_bytes // (L * 4)), 1)
+    if slab_w >= Wc:
+        db = jnp.asarray(words)
+        if threshold == 1.0:
+            return np.asarray(search_complete(db, idx_d, valid_d))
+        return np.asarray(search_counts(db, idx_d, valid_d))
+    parts = []
+    for w0 in range(0, Wc, slab_w):
+        slab = words[:, w0 : w0 + slab_w]
+        real = slab.shape[1]
+        if real < slab_w:  # uniform width: one XLA compile for the stream
+            slab = np.pad(slab, ((0, 0), (0, slab_w - real)))
+        db = jnp.asarray(slab)
+        if threshold == 1.0:
+            parts.append(np.asarray(search_complete(db, idx_d, valid_d))[:, :real])
+        else:
+            parts.append(
+                np.asarray(search_counts(db, idx_d, valid_d))[:, : 32 * real]
+            )
+        db = None  # release before the next slab uploads (peak = 1 slab)
+    return np.concatenate(parts, axis=1)
+
+
 def unpack_mask(mask_words: np.ndarray, num_filter: int) -> np.ndarray:
     """Packed uint32 match mask [nq, W] -> bool [nq, num_filter] (host)."""
     m = np.asarray(mask_words)
@@ -216,6 +265,8 @@ def search_files_device(
 
     # Cap each fused matrix so huge corpora stream through HBM in waves
     # (env-tunable; tests shrink it to exercise the multi-chunk path).
+    # A SINGLE file wider than the budget still becomes its own chunk
+    # here; eval_chunk_cols streams its columns in budget-sized slabs.
     budget = int(os.environ.get("KWAGE_FUSION_BUDGET_BYTES", 8 << 30))
     chunked_groups: list[tuple[object, list[int]]] = []
     for param, file_idxs in groups.items():
@@ -245,7 +296,7 @@ def search_files_device(
             words.append(w)
             spans.append((fi, w0, w0 + w.shape[1]))
             w0 += w.shape[1]
-        db = jnp.asarray(np.hstack(words))
+        fused = np.hstack(words)
         del words
 
         if param not in batch_cache:
@@ -255,10 +306,12 @@ def search_files_device(
             )
         idx, valid, nk = batch_cache[param]
         idx_d, valid_d = jnp.asarray(idx), jnp.asarray(valid)
+        out = eval_chunk_cols(fused, idx_d, valid_d, threshold, budget)
+        del fused
         if threshold == 1.0:
-            mask_words = np.asarray(search_complete(db, idx_d, valid_d))
+            mask_words = out
         else:
-            counts = np.asarray(search_counts(db, idx_d, valid_d))
+            counts = out
 
         for qi, (qid, _q) in enumerate(queries):
             if nk[qi] == 0:

@@ -32,9 +32,8 @@ import numpy as np
 
 from ..ops.search import (
     db_bytes_to_words,
+    eval_chunk_cols,
     make_query_batch,
-    search_complete,
-    search_counts,
     unpack_mask,
 )
 from .engine import MatchResult, query_threshold_count
@@ -58,6 +57,7 @@ class ResidentSearcher:
 
         if budget_bytes is None:
             budget_bytes = int(os.environ.get("KWAGE_FUSION_BUDGET_BYTES", 8 << 30))
+        self._budget_bytes = budget_bytes
         self.db_paths = list(db_paths)
         self._readers = [open_database(p) for p in self.db_paths]
         groups: dict = {}
@@ -107,17 +107,20 @@ class ResidentSearcher:
         results: dict[int, list] = {}
         buckets: dict[int, dict[int, list]] = {}
         for param, db, spans in self._groups:
-            if isinstance(db, np.ndarray):  # over-budget chunk: upload per call
-                db = jnp.asarray(db)
             idx, valid, nk = make_query_batch(
                 [q for _, q in queries],
                 param.kmer_len, param.num_hash, param.log_2_filter_len,
             )
             idx_d, valid_d = jnp.asarray(idx), jnp.asarray(valid)
+            # Host (over-budget) chunks upload per call; a chunk wider
+            # than the budget (one production-L file is 16 GiB) streams
+            # in column slabs instead of OOMing.
+            out = eval_chunk_cols(db, idx_d, valid_d, threshold,
+                                  self._budget_bytes)
             if threshold == 1.0:
-                mask_words = np.asarray(search_complete(db, idx_d, valid_d))
+                mask_words = out
             else:
-                counts = np.asarray(search_counts(db, idx_d, valid_d))
+                counts = out
             for qi, (qid, _q) in enumerate(queries):
                 if nk[qi] == 0:
                     continue

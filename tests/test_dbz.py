@@ -175,6 +175,65 @@ def test_device_search_multichunk_fusion(corpus, tmp_path, monkeypatch):
             ]
 
 
+def test_device_search_slab_streams_single_wide_file(corpus, tmp_path, monkeypatch):
+    """A budget smaller than ONE file forces intra-file column-slab
+    streaming (ops.search.eval_chunk_cols) — the production-L regime,
+    where a full 2048-filter file at L=26 is 16 GiB and exceeds HBM.
+    Hit lists must stay identical to the host engine."""
+    from kwage_tpu.io.dbz_file import open_database
+    from kwage_tpu.ops.search import search_files_device
+    from kwage_tpu.search.engine import search_database_files
+
+    work, groups, queries = corpus
+    param, blooms = max(groups.items(), key=lambda kv: len(kv[1]))
+    db = tmp_path / "wide.db"
+    build_db_from_bloom_files(str(db), param, blooms)
+    h = open_database(str(db)).header
+    file_bytes = h.filter_len * ((h.slice_size + 3) // 4) * 4
+    # Three-plus slabs through the one file.
+    monkeypatch.setenv("KWAGE_FUSION_BUDGET_BYTES", str(max(file_bytes // 3, 4)))
+
+    q = [(i, s) for i, (_, s) in enumerate(queries)]
+    for t in (1.0, 0.5):
+        dev = search_files_device([str(db)], q, t)
+        host = search_database_files([str(db)], q, t)
+        assert set(dev) == set(host)
+        for qid in host:
+            assert [
+                (m.num_kmers_found, m.num_query_kmer, m.subject_info.run_accession)
+                for m in dev[qid]
+            ] == [
+                (m.num_kmers_found, m.num_query_kmer, m.subject_info.run_accession)
+                for m in host[qid]
+            ]
+
+
+def test_resident_slab_streams_single_wide_file(corpus, tmp_path):
+    """ResidentSearcher with a budget below one file's size serves via
+    per-call column-slab streaming, identical hit lists to the host."""
+    from kwage_tpu.search.engine import search_database_files
+    from kwage_tpu.search.resident import ResidentSearcher
+
+    work, groups, queries = corpus
+    param, blooms = max(groups.items(), key=lambda kv: len(kv[1]))
+    db = tmp_path / "wide.db"
+    build_db_from_bloom_files(str(db), param, blooms)
+    rs = ResidentSearcher([str(db)], budget_bytes=1 << 12)
+    assert rs.resident_bytes == 0  # nothing fit: the chunk stayed host-side
+
+    q = [(i, s) for i, (_, s) in enumerate(queries)]
+    for t in (1.0, 0.5):
+        dev = rs.search(q, t)
+        host = search_database_files([str(db)], q, t)
+        assert set(dev) == set(host)
+        for qid in host:
+            assert [
+                (m.num_kmers_found, m.subject_info.run_accession) for m in dev[qid]
+            ] == [
+                (m.num_kmers_found, m.subject_info.run_accession) for m in host[qid]
+            ]
+
+
 def test_mixed_db_dbz_fusion(corpus, tmp_path):
     """Same-param .db and .dbz files fuse into one device matrix; hits
     equal the host engine run over the same mixed set."""
