@@ -149,6 +149,10 @@ def main(argv: list[str] | None = None) -> int:
         print("Please provide at least one database file to search (-d)", file=sys.stderr)
         return 0
     if serve_port is not None:
+        if serve_engine == "device":
+            from ..utils.runtime import pin_platform_from_env
+
+            pin_platform_from_env()
         from ..search.resident import SearchServer
 
         server = SearchServer(subject_files, port=serve_port, engine=serve_engine)
@@ -190,6 +194,9 @@ def main(argv: list[str] | None = None) -> int:
             qid += 1
 
     if use_device:
+        from ..utils.runtime import pin_platform_from_env
+
+        pin_platform_from_env()  # honor JAX_PLATFORMS over plugin sitecustomize
         import jax
 
         if len(jax.devices()) > 1:

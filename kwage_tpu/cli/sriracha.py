@@ -272,6 +272,9 @@ def main(argv: list[str] | None = None) -> int:
                     from ..sriracha.engine import StreamStats as _SS, search_reads
 
                     if opt.use_device:
+                        from ..utils.runtime import pin_platform_from_env
+
+                        pin_platform_from_env()
                         # Lazy: importing the device module initializes
                         # the jax backend -- never pay that for a host
                         # search.

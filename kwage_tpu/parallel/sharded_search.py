@@ -160,11 +160,14 @@ class ShardedDatabase:
         if words.shape[1] > max_cols:
             # Multi-wave: _wave_dbs keeps the prefetched next wave resident
             # alongside the current one, so halve the per-wave footprint to
-            # hold the documented per-device budget at peak.
+            # hold the documented per-device budget at peak. Floor to a
+            # multiple of n_shards so the uniform shard padding can't push
+            # a wave past budget/2.
             max_cols = max(
                 (budget_bytes // 2 * n_shards) // max(bytes_per_word_col, 1),
                 n_shards,
             )
+            max_cols = max((max_cols // n_shards) * n_shards, n_shards)
         # (padded word matrix, real unpadded filter-column count) per wave.
         self._waves: list[tuple[np.ndarray, int]] = []
         self._spec_db = NamedSharding(mesh, P(None, "filters"))
@@ -334,6 +337,16 @@ def build_sharded_groups(
     before the per-chunk column waves bound HBM. Keep the returned groups
     alive to serve many query batches without reloading (the mesh
     serving primitive; see search/resident.py for the single-chip one).
+
+    The budget is shared ACROSS groups: single-wave groups stay
+    device-resident and claim their footprint from the pool, streaming
+    groups size their waves within what remains — peak resident +
+    2-wave-transient stays <= budget_bytes per device.  (Per-group
+    budgets OOMed at production L: a 1.76 GB merged-file group sat
+    resident while the 16 GiB full-file group's waves consumed the
+    whole budget on top of it.)  When every chunk fits together, all
+    go resident (the serving fast path); otherwise residency is capped
+    at budget/2 so streaming groups keep at least half the pool.
     """
     import os
 
@@ -348,7 +361,8 @@ def build_sharded_groups(
 
     if budget_bytes is None:
         budget_bytes = int(os.environ.get("KWAGE_FUSION_BUDGET_BYTES", 8 << 30))
-    ram_cap = budget_bytes * mesh.shape["filters"]
+    n_shards = mesh.shape["filters"]
+    ram_cap = budget_bytes * n_shards
     chunked: list[list[int]] = []
     for _param, file_idxs in groups.items():
         chunk: list[int] = []
@@ -364,14 +378,40 @@ def build_sharded_groups(
         if chunk:
             chunked.append(chunk)
 
+    def chunk_dev_bytes(chunk):
+        # Resident footprint per device, including the pad-to-n_shards
+        # columns a single-wave matrix carries.
+        cols = sum((headers[fi].slice_size + 3) // 4 for fi in chunk)
+        cols += (-cols) % n_shards
+        return cols * headers[chunk[0]].filter_len * 4 // n_shards
+
+    total_dev = sum(chunk_dev_bytes(c) for c in chunked)
+    resident_cap = budget_bytes if total_dev <= budget_bytes else budget_bytes // 2
+    # Pass 1: greedy residency in order, bounded by the cap.
+    spent = 0
+    resident = []
+    for chunk in chunked:
+        sz = chunk_dev_bytes(chunk)
+        ok = spent + sz <= resident_cap
+        resident.append(ok)
+        if ok:
+            spent += sz
+    # Pass 2: streaming chunks size waves within the pool the FINAL
+    # resident total leaves free (a running subtraction would let a
+    # later resident chunk overlap an earlier streaming chunk's waves).
+    plan = [
+        budget_bytes if ok else max(budget_bytes - spent, 1)
+        for ok in resident
+    ]
+
     return [
         (
             ShardedDatabase.from_files(
-                mesh, [db_paths[fi] for fi in chunk], budget_bytes
+                mesh, [db_paths[fi] for fi in chunk], eff
             ),
             chunk,
         )
-        for chunk in chunked
+        for chunk, eff in zip(chunked, plan)
     ]
 
 

@@ -135,6 +135,64 @@ def test_hbm_budget_waves_match_unbudgeted(corpus, mesh_shape, budget):
     )
 
 
+def test_budget_shared_across_groups(tmp_path):
+    """Resident groups claim from ONE budget pool; streaming groups size
+    waves within the remainder. (Per-group budgets over-committed HBM at
+    production L: a resident merged-file group sat alongside a streaming
+    full-file group whose waves used the whole budget.)"""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from kwage_tpu.core import FilterInfo, str_to_accession
+    from kwage_tpu.io.db_file import write_db_file
+    from kwage_tpu.parallel.sharded_search import (
+        build_sharded_groups,
+        search_sharded_groups,
+    )
+    from kwage_tpu.search.engine import search_database_files
+
+    param = BloomParam(kmer_len=31, log_2_filter_len=12, num_hash=3, hash_func=0)
+    lrng = np.random.default_rng(5)
+
+    def mk(path, nf, acc0):
+        slices = lrng.integers(
+            0, 256, size=(1 << 12, (nf + 7) // 8), dtype=np.uint8)
+        infos = [FilterInfo(run_accession=str_to_accession(f"SRR4{acc0 + i:06d}"))
+                 for i in range(nf)]
+        write_db_file(str(path), param, slices, infos)
+        return str(path)
+
+    small = mk(tmp_path / "small.db", 64, 0)      # 2 packed words wide
+    big = mk(tmp_path / "big.db", 4096, 1000)     # 128 words wide
+    files = [small, big]
+    n_shards = 8
+    mesh = make_search_mesh(1, n_shards)
+    budget = 68 << 10  # small (4 KiB/dev) goes resident; big must stream
+    groups = build_sharded_groups(mesh, files, budget_bytes=budget)
+    assert len(groups) == 2
+    (sdb_small, _), (sdb_big, _) = groups
+    assert sdb_small.num_waves == 1 and sdb_small.db is not None
+    assert sdb_big.num_waves > 1 and sdb_big.db is None
+    # Big group's waves fit the pool the resident group leaves free:
+    # per-device peak = resident + 2 waves <= budget.
+    small_dev = sdb_small._waves[0][0].nbytes // n_shards
+    wave_dev = max(w.nbytes // n_shards for w, _ in sdb_big._waves)
+    assert small_dev + 2 * wave_dev <= budget
+
+    queries = [(i, rand_seq(n)) for i, n in enumerate((100, 64, 150))]
+    for threshold in (1.0, 0.4):
+        got = search_sharded_groups(groups, files, queries, threshold)
+        want = search_database_files(files, queries, threshold)
+        assert set(got) == set(want)
+        for qid in want:
+            assert [
+                (m.num_kmers_found, m.num_query_kmer,
+                 int(m.subject_info.run_accession)) for m in got[qid]
+            ] == [
+                (m.num_kmers_found, m.num_query_kmer,
+                 int(m.subject_info.run_accession)) for m in want[qid]
+            ]
+
+
 def test_resident_sharded_groups_reusable(tmp_path, data_dir, golden_dir):
     """build_sharded_groups once, search many times (the mesh serving
     primitive): results identical to the one-shot sharded_search_files."""
