@@ -107,6 +107,20 @@ def count_and_threshold(hi, lo, valid, min_count: int):
     )
 
 
+def _pack_bit_image(image):
+    """uint8 0/1 bit image [n*32] -> packed uint32 words [n], little-endian
+    bit order (bit b of word w = image[32*w + b]).
+
+    packbits + 4-byte combine instead of the obvious
+    ``image.reshape(-1, 32).astype(uint32) * weights`` expansion: the
+    latter materializes a 32x uint32 temp — 4 GB for a 16 x 2^26-bit
+    batch image, which (with the scatter's double buffer) blew a 20 GB
+    program allocation at production L on a 16 GB chip.
+    """
+    b = jnp.packbits(image, bitorder="little").reshape(-1, 4).astype(jnp.uint32)
+    return b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | (b[:, 3] << 24)
+
+
 @partial(jax.jit, static_argnames=("k", "num_hash", "log2_filter_len"))
 def set_filter_bits(hi, lo, selected, k: int, num_hash: int, log2_filter_len: int):
     """Scatter the murmur bits of selected words into a packed filter.
@@ -120,10 +134,7 @@ def set_filter_bits(hi, lo, selected, k: int, num_hash: int, log2_filter_len: in
     # Unselected rows scatter out of bounds and are dropped.
     idx = jnp.where(selected[:, None], idx, jnp.int32(L))
     image = jnp.zeros(L, jnp.uint8).at[idx.reshape(-1)].set(1, mode="drop")
-    weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
-    return (image.reshape(-1, 32).astype(jnp.uint32) * weights).sum(
-        axis=1, dtype=jnp.uint32
-    )
+    return _pack_bit_image(image)
 
 
 def filter_words_to_bytes(words) -> "np.ndarray":
@@ -270,11 +281,7 @@ def set_filter_bits_multi(
     image = (
         jnp.zeros(num_acc * L, jnp.uint8).at[flat.reshape(-1)].set(1, mode="drop")
     )
-    weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
-    packed = (image.reshape(-1, 32).astype(jnp.uint32) * weights).sum(
-        axis=1, dtype=jnp.uint32
-    )
-    return packed.reshape(num_acc, L // 32)
+    return _pack_bit_image(image).reshape(num_acc, L // 32)
 
 
 def build_filter_device(

@@ -71,24 +71,29 @@ def main() -> int:
         assert proc.returncode == 0, proc.stderr[-3000:]
         return proc.stdout
 
-    t0 = time.perf_counter()
-    host_out = run_kwage([sys.executable, "-m", "kwage_tpu.cli.kwage",
-                          "-d", corpus, "-t", "0.8", "-i", qfasta])
-    log(results, "search_host_rerun",
-        dt_sec=round(time.perf_counter() - t0, 2))
+    # PRODL_SKIP_SEARCH=1 re-runs only the build phases (each search
+    # pass streams the 19.6 GB corpus through the tunnel: ~45 min).
+    skip_search = os.environ.get("PRODL_SKIP_SEARCH") == "1"
+    wave_rec = {}
+    if not skip_search:
+        t0 = time.perf_counter()
+        host_out = run_kwage([sys.executable, "-m", "kwage_tpu.cli.kwage",
+                              "-d", corpus, "-t", "0.8", "-i", qfasta])
+        log(results, "search_host_rerun",
+            dt_sec=round(time.perf_counter() - t0, 2))
 
-    # Wave plan under real HBM pressure FIRST (the flagship phase -- run
-    # it before anything that could trip a flaky tunnel).
-    wave_rec = _wave_proof(corpus, qfasta, host_out)
-    log(results, "sharded_wave_search", **wave_rec)
+        # Wave plan under real HBM pressure FIRST (the flagship phase --
+        # run it before anything that could trip a flaky tunnel).
+        wave_rec = _wave_proof(corpus, qfasta, host_out)
+        log(results, "sharded_wave_search", **wave_rec)
 
-    t0 = time.perf_counter()
-    dev_out = run_kwage([sys.executable, "-m", "kwage_tpu.cli.kwage",
-                         "-d", corpus, "-t", "0.8", "-i", qfasta,
-                         "--device"])
-    log(results, "search_device",
-        dt_sec=round(time.perf_counter() - t0, 2),
-        byte_identical_to_host=dev_out == host_out)
+        t0 = time.perf_counter()
+        dev_out = run_kwage([sys.executable, "-m", "kwage_tpu.cli.kwage",
+                             "-d", corpus, "-t", "0.8", "-i", qfasta,
+                             "--device"])
+        log(results, "search_device",
+            dt_sec=round(time.perf_counter() - t0, 2),
+            byte_identical_to_host=dev_out == host_out)
 
     n_dev = int(os.environ.get("SCALE_DEVICE_N", "256"))
     for label in ("cold", "warm"):
@@ -117,9 +122,14 @@ def main() -> int:
         shutil.rmtree(dopt.scratch_bloom_dir, ignore_errors=True)
         shutil.rmtree(dopt.scratch_database_dir, ignore_errors=True)
 
-    ok = (wave_rec.get("hit_lists_equal_host") is True
-          and results[2]["byte_identical_to_host"] is True)
-    log(results, "device_done", ok=ok)
+    if skip_search:
+        ok = all(r.get("committed", 0) > 0 for r in results
+                 if r["phase"].startswith("maestro_device_build"))
+    else:
+        ok = (wave_rec.get("hit_lists_equal_host") is True
+              and results[2]["byte_identical_to_host"] is True)
+    log(results, "device_done_builds" if skip_search else "device_done",
+        ok=ok)
     rnd = os.environ.get("KWAGE_ROUND", "05")
     path = os.path.join(_REPO_ROOT, f"ATSCALE_PRODL_r{rnd}.json")
     existing = []
