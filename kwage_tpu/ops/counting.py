@@ -149,7 +149,9 @@ def filter_words_to_bytes(words) -> "np.ndarray":
     """Packed uint32 filter words -> on-disk LSB-first byte order (host)."""
     import numpy as np
 
-    return np.asarray(words).astype("<u4").view(np.uint8)
+    # ascontiguousarray: astype(order='K') keeps non-contiguous strides
+    # on sliced device outputs, which .view() rejects.
+    return np.ascontiguousarray(np.asarray(words), dtype="<u4").view(np.uint8)
 
 
 @partial(jax.jit, static_argnames=("k", "min_count"))

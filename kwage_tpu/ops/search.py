@@ -234,7 +234,10 @@ def eval_chunk_cols(
 
 def unpack_mask(mask_words: np.ndarray, num_filter: int) -> np.ndarray:
     """Packed uint32 match mask [nq, W] -> bool [nq, num_filter] (host)."""
-    m = np.asarray(mask_words)
+    # ascontiguousarray: sliced device outputs can carry non-contiguous
+    # strides that .view() rejects (round-1 gotcha, resurfaced on large
+    # query batches through the resident path).
+    m = np.ascontiguousarray(np.asarray(mask_words))
     bits = np.unpackbits(m.view(np.uint8).reshape(m.shape[0], -1), axis=1, bitorder="little")
     return bits[:, :num_filter].astype(bool)
 
